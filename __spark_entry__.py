@@ -1,38 +1,1033 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes one entry per implemented operator family from
+SURVEY.md §2 (plus the large-scale training-data operators); each
+callable takes (spark, sf_dir) and returns a DataFrame built with
+yaetos_spark operators / DataFrame plans. ``oracle_sql()`` returns the
+equivalent DuckDB SQL. Column names and value rounding are aligned on
+both sides so the driver's order-insensitive value-hash matches.
+
+Float policy: aggregates of doubles are rounded (2-6 dp) on BOTH sides;
+thresholds are applied to identically-computed expressions so IEEE
+results agree bit-for-bit except at measure-zero boundaries.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from yaetos_spark.functions.vectors import cosine
+from yaetos_spark.operators import dedup as D
+from yaetos_spark.operators import similarity as S
+from yaetos_spark.operators import text as TX
+from yaetos_spark.operators import windows as WOP
+from yaetos_spark.operators.quality import compare_fuzzy, identify_non_unique_pks
+from yaetos_spark.sources.tables import load_table
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+def _dsum(col, scale: int = 4):
+    """Engine-portable money sum: the per-row double expression is
+    IEEE-identical in any engine; casting it to DECIMAL makes the SUM
+    exact (associative), so Spark and the DuckDB oracle agree
+    bit-for-bit. The result is NOT rounded: rounding exact-decimal
+    values is where engines disagree (Spark rounds the shortest string
+    repr, DuckDB the binary value), while identical doubles hash
+    identically without it."""
+    return F.sum(col.cast(f"decimal(28,{scale})")).cast("double")
+
+
+def _davg(col, scale: int = 4):
+    return F.sum(col.cast(f"decimal(28,{scale})")).cast("double") / F.count(F.lit(1))
+
+
+# ---------------------------------------------------------------------
+# entry: flagship query (smoke check at sf0.001)
+# ---------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: segment-filtered customer⋈orders⋈lineitem revenue top-k
+    (scan→filter→broadcast join→agg→sort→limit spine)."""
+    return _topk_revenue(spark, "/root/testdata/sf0.001")
+
+
+# ---------------------------------------------------------------------
+# relational corpus (SURVEY §2.3-2.9)
+# ---------------------------------------------------------------------
+
+
+def _pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum(F.col("l_quantity")).alias("sum_qty"),
+            _dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
+            _dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")), scale=6
+            ).alias("sum_charge"),
+            _davg(F.col("l_quantity")).alias("avg_qty"),
+            _davg(F.col("l_extendedprice")).alias("avg_price"),
+            _davg(F.col("l_discount")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+_PRICING_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS sum_disc_price,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,6))) AS DOUBLE) AS sum_charge,
+       CAST(sum(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) / count(*) AS avg_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) / count(*) AS avg_price,
+       CAST(sum(CAST(l_discount AS DECIMAL(28,4))) AS DOUBLE) / count(*) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def _filter_project(spark, sf_dir):
+    part = _t(spark, sf_dir, "part")
+    return (
+        part.filter(
+            (F.col("p_size").between(10, 30))
+            & F.col("p_type").like("%AND%")
+            & ~F.col("p_brand").isin("Brand#1", "Brand#2")
+        )
+        .select(
+            "p_partkey",
+            F.lower("p_name").alias("name_lower"),
+            "p_type",
+            "p_size",
+            F.round(F.col("p_retailprice") * 1.1, 2).alias("markup_price"),
+        )
+    )
+
+
+_FILTER_PROJECT_SQL = """
+SELECT p_partkey, lower(p_name) AS name_lower, p_type, p_size,
+       round(p_retailprice * 1.1, 2) AS markup_price
+FROM part
+WHERE p_size BETWEEN 10 AND 30 AND p_type LIKE '%AND%'
+  AND p_brand NOT IN ('Brand#1', 'Brand#2')
+"""
+
+
+def _topk_revenue(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1999-01-01"))
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1999-01-01"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,4)")).alias("_rev_dec")
+        )
+        .orderBy(F.desc("_rev_dec"), F.asc("l_orderkey"))
+        .limit(10)
+        .select(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.col("_rev_dec").cast("double").alias("revenue"),
+        )
+    )
+
+
+_TOPK_REVENUE_SQL = """
+SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1999-01-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def _region_revenue(spark, sf_dir):
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01")) & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+_REGION_REVENUE_SQL = """
+SELECT n_name, CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+
+def _user_sessions(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.unix_timestamp(F.min("ts")).alias("first_sec"),
+        F.unix_timestamp(F.max("ts")).alias("last_sec"),
+        (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))).alias("delta_sec"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("event_type").alias("n_types"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+_USER_SESSIONS_SQL = """
+SELECT user_id,
+       CAST(floor(extract(epoch FROM min(ts))) AS BIGINT) AS first_sec,
+       CAST(floor(extract(epoch FROM max(ts))) AS BIGINT) AS last_sec,
+       CAST(floor(extract(epoch FROM max(ts))) AS BIGINT)
+         - CAST(floor(extract(epoch FROM min(ts))) AS BIGINT) AS delta_sec,
+       count(*) AS n_events,
+       count(DISTINCT event_type) AS n_types,
+       round(avg(value), 4) AS avg_value,
+       round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY user_id
+"""
+
+
+def _conditional_agg(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    n_clicks = F.count(F.when(F.col("event_type") == "click", 1)).alias("n_clicks")
+    n_purchases = F.count(F.when(F.col("event_type") == "purchase", 1)).alias("n_purchases")
+    return ev.groupBy("user_id").agg(
+        n_clicks,
+        n_purchases,
+        F.count(F.when(F.col("event_type") == "view", 1)).alias("n_views"),
+        F.round(
+            F.sum(F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(F.lit(0.0))), 2
+        ).alias("purchase_value"),
+    )
+
+
+_CONDITIONAL_AGG_SQL = """
+SELECT user_id,
+       count(CASE WHEN event_type = 'click' THEN 1 END) AS n_clicks,
+       count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchases,
+       count(CASE WHEN event_type = 'view' THEN 1 END) AS n_views,
+       round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END), 2) AS purchase_value
+FROM events
+GROUP BY user_id
+"""
+
+
+def _full_outer_coalesce(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer").groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("n_cust"))
+    supp = _t(spark, sf_dir, "supplier").groupBy("s_nationkey").agg(F.count(F.lit(1)).alias("n_supp"))
+    joined = cust.join(supp, cust.c_nationkey == supp.s_nationkey, "full_outer")
+    return joined.select(
+        F.coalesce("c_nationkey", "s_nationkey").alias("nationkey"),
+        F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+        F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+    )
+
+
+_FULL_OUTER_SQL = """
+WITH c AS (SELECT c_nationkey, count(*) AS n_cust FROM customer GROUP BY c_nationkey),
+     s AS (SELECT s_nationkey, count(*) AS n_supp FROM supplier GROUP BY s_nationkey)
+SELECT coalesce(c_nationkey, s_nationkey) AS nationkey,
+       coalesce(n_cust, 0) AS n_cust,
+       coalesce(n_supp, 0) AS n_supp
+FROM c FULL OUTER JOIN s ON c_nationkey = s_nationkey
+"""
+
+
+def _setop_intersect(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    supp = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return cust.intersect(supp)
+
+
+_SETOP_INTERSECT_SQL = """
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT
+SELECT s_nationkey AS nationkey FROM supplier
+"""
+
+
+def _setop_except(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey")).distinct()
+    supp = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey")).distinct()
+    return cust.exceptAll(supp)
+
+
+_SETOP_EXCEPT_SQL = """
+SELECT DISTINCT c_nationkey AS nationkey FROM customer
+EXCEPT
+SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+"""
+
+
+def _topk_per_group(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    out = WOP.topk_per_group(
+        orders, ["o_orderpriority"], "o_totalprice", k=3, descending=True, tie_break="o_orderkey"
+    )
+    return out.select("o_orderpriority", "o_orderkey", "o_totalprice", F.col("rank").alias("rn"))
+
+
+_TOPK_PER_GROUP_SQL = """
+SELECT o_orderpriority, o_orderkey, o_totalprice, CAST(rn AS INT) AS rn
+FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+)
+WHERE rn <= 3
+"""
+
+
+def _cte_casewhen(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") < 100000, "small")
+        .when(F.col("o_totalprice") < 300000, "medium")
+        .otherwise("large")
+    )
+    return (
+        orders.withColumn("bucket", bucket)
+        .groupBy("o_orderstatus", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_orders"), _davg(F.col("o_totalprice")).alias("avg_price"))
+    )
+
+
+_CTE_CASEWHEN_SQL = """
+WITH t AS (
+  SELECT o_orderstatus,
+         CASE WHEN o_totalprice < 100000 THEN 'small'
+              WHEN o_totalprice < 300000 THEN 'medium'
+              ELSE 'large' END AS bucket,
+         o_totalprice
+  FROM orders
+)
+SELECT o_orderstatus, bucket, count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE) / count(*) AS avg_price
+FROM t GROUP BY o_orderstatus, bucket
+"""
+
+
+def _union_all_sides(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer").select(
+        F.lit("customer").alias("side"), F.col("c_acctbal").alias("acctbal")
+    )
+    supp = _t(spark, sf_dir, "supplier").select(
+        F.lit("supplier").alias("side"), F.col("s_acctbal").alias("acctbal")
+    )
+    return (
+        cust.unionByName(supp)
+        .groupBy("side")
+        .agg(F.count(F.lit(1)).alias("n"), _davg(F.col("acctbal")).alias("avg_bal"))
+    )
+
+
+_UNION_SQL = """
+WITH u AS (
+  SELECT 'customer' AS side, c_acctbal AS acctbal FROM customer
+  UNION ALL
+  SELECT 'supplier' AS side, s_acctbal AS acctbal FROM supplier
+)
+SELECT side, count(*) AS n,
+       CAST(sum(CAST(acctbal AS DECIMAL(28,4))) AS DOUBLE) / count(*) AS avg_bal
+FROM u GROUP BY side
+"""
+
+
+def _semi_anti_counts(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    with_orders = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_with_orders"))
+    )
+    without = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_without_orders"))
+    )
+    return with_orders.crossJoin(without)
+
+
+_SEMI_ANTI_SQL = """
+SELECT
+  (SELECT count(*) FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)) AS n_with_orders,
+  (SELECT count(*) FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)) AS n_without_orders
+"""
+
+
+def _running_window(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    monthly = (
+        li.groupBy("l_suppkey", F.date_format("l_shipdate", "yyyy-MM").alias("month"))
+        .agg(
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,4)")).alias("_rev_dec")
+        )
+    )
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("month")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        monthly.withColumn("_run_dec", F.sum("_rev_dec").over(w))
+        .select(
+            "l_suppkey",
+            "month",
+            F.col("_rev_dec").cast("double").alias("rev_month"),
+            F.col("_run_dec").cast("double").alias("running_rev"),
+        )
+    )
+
+
+_RUNNING_WINDOW_SQL = """
+WITH m AS (
+  SELECT l_suppkey, strftime(l_shipdate, '%Y-%m') AS month,
+         sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS rev_dec
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT l_suppkey, month, CAST(rev_dec AS DOUBLE) AS rev_month,
+       CAST(sum(rev_dec) OVER (PARTITION BY l_suppkey ORDER BY month
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_rev
+FROM m
+"""
+
+
+def _summary_stats(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.min("l_quantity"), 2).alias("min_qty"),
+        F.round(F.max("l_quantity"), 2).alias("max_qty"),
+        _davg(F.col("l_quantity")).alias("avg_qty"),
+        F.round(F.stddev_samp("l_quantity"), 4).alias("std_qty"),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        _davg(F.col("l_extendedprice")).alias("avg_price"),
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("std_price"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+    )
+
+
+_SUMMARY_STATS_SQL = """
+SELECT count(*) AS n_rows,
+       round(min(l_quantity), 2) AS min_qty,
+       round(max(l_quantity), 2) AS max_qty,
+       CAST(sum(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) / count(*) AS avg_qty,
+       round(stddev_samp(l_quantity), 4) AS std_qty,
+       round(min(l_extendedprice), 2) AS min_price,
+       round(max(l_extendedprice), 2) AS max_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) / count(*) AS avg_price,
+       round(stddev_samp(l_extendedprice), 4) AS std_price,
+       count(DISTINCT l_partkey) AS n_parts
+FROM lineitem
+"""
+
+
+def _json_extract_agg(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("k").alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+_JSON_EXTRACT_SQL = """
+SELECT event_type, count(*) AS n,
+       avg(CAST(json_extract_string(props, '$.k') AS INT)) AS avg_k,
+       max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+FROM events
+GROUP BY event_type
+"""
+
+
+def _month_trunc_agg(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+        .agg(F.count(F.lit(1)).alias("n_orders"), _dsum(F.col("o_totalprice")).alias("total"))
+    )
+
+
+_MONTH_TRUNC_SQL = """
+SELECT strftime(o_orderdate, '%Y-%m') AS month, count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE) AS total
+FROM orders GROUP BY 1
+"""
+
+
+def _subquery_above_avg(spark, sf_dir):
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT count(*) AS n_above,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE) / count(*) AS avg_above
+        FROM orders
+        WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+        """
+    )
+
+
+_SUBQUERY_SQL = """
+SELECT count(*) AS n_above,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE) / count(*) AS avg_above
+FROM orders
+WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+"""
+
+
+def _rollup_counts(spark, sf_dir):
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    base = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return base.rollup("r_name", "n_name").agg(F.count(F.lit(1)).alias("n_cust"))
+
+
+_ROLLUP_SQL = """
+SELECT r_name, n_name, count(*) AS n_cust
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+def _orderby_limit(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.orderBy(F.desc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber"))
+        .limit(20)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_extendedprice",
+            F.date_format("l_shipdate", "yyyy-MM-dd").alias("shipdate"),
+        )
+    )
+
+
+_ORDERBY_LIMIT_SQL = """
+SELECT l_orderkey, l_linenumber, l_extendedprice, strftime(l_shipdate, '%Y-%m-%d') AS shipdate
+FROM lineitem
+ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+LIMIT 20
+"""
+
+
+def _event_gaps(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    return (
+        ev.withColumn("gap", gap)
+        .groupBy("user_id")
+        .agg(F.count("gap").alias("n_gaps"), F.avg("gap").alias("avg_gap_sec"))
+    )
+
+
+_EVENT_GAPS_SQL = """
+WITH g AS (
+  SELECT user_id,
+         CAST(floor(extract(epoch FROM ts)) AS BIGINT)
+           - lag(CAST(floor(extract(epoch FROM ts)) AS BIGINT))
+             OVER (PARTITION BY user_id ORDER BY ts) AS gap
+  FROM events
+)
+SELECT user_id, count(gap) AS n_gaps, avg(gap) AS avg_gap_sec
+FROM g GROUP BY user_id
+"""
+
+
+def _asof_join_events(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts"), F.col("event_id").alias("click_event_id")
+    )
+    joined = WOP.asof_join(
+        purchases, clicks, key="user_id", left_ts="ts", right_ts="click_ts",
+        direction="backward", right_cols=["click_event_id"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").alias("purchase_sec"),
+        "click_event_id",
+        F.unix_timestamp("asof_click_ts").alias("click_sec"),
+    )
+
+
+_ASOF_SQL = """
+SELECT p.event_id, p.user_id,
+       CAST(floor(extract(epoch FROM p.ts)) AS BIGINT) AS purchase_sec,
+       c.event_id AS click_event_id,
+       CAST(floor(extract(epoch FROM c.ts)) AS BIGINT) AS click_sec
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
+def _pk_violations(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    bad = identify_non_unique_pks(orders, ["o_custkey"])
+    return bad.select("o_custkey", F.col("_pk_count").alias("n_rows")).distinct()
+
+
+_PK_VIOLATIONS_SQL = """
+SELECT o_custkey, count(*) AS n_rows FROM orders GROUP BY o_custkey HAVING count(*) >= 2
+"""
+
+
+def _dataset_compare(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    d1 = orders.select("o_orderkey", "o_totalprice")
+    d2 = (
+        orders.filter(F.col("o_orderkey") % 97 != 0)
+        .select(
+            "o_orderkey",
+            F.when(F.col("o_orderkey") % 100 == 0, F.col("o_totalprice") * 1.001)
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+        )
+    )
+    diff = compare_fuzzy(d1, d2, ["o_orderkey"], numeric_pct_threshold=0.01)
+    return diff.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum(F.when(F.col("_in_1") & ~F.col("_in_2"), 1).otherwise(0)).alias("only_in_1"),
+        F.sum(F.when(F.col("_in_2") & ~F.col("_in_1"), 1).otherwise(0)).alias("only_in_2"),
+        F.sum(
+            F.when(F.col("_in_1") & F.col("_in_2") & ~F.col("o_totalprice_match"), 1).otherwise(0)
+        ).alias("price_mismatches"),
+    )
+
+
+_DATASET_COMPARE_SQL = """
+WITH d2 AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 100 = 0 THEN o_totalprice * 1.001 ELSE o_totalprice END AS o_totalprice
+  FROM orders WHERE o_orderkey % 97 != 0
+),
+j AS (
+  SELECT d1.o_orderkey AS k1, d2.o_orderkey AS k2, d1.o_totalprice AS p1, d2.o_totalprice AS p2
+  FROM orders d1 FULL OUTER JOIN d2 ON d1.o_orderkey = d2.o_orderkey
+)
+SELECT count(*) AS n_keys,
+       CAST(sum(CASE WHEN k1 IS NOT NULL AND k2 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS only_in_1,
+       CAST(sum(CASE WHEN k2 IS NOT NULL AND k1 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS only_in_2,
+       CAST(sum(CASE WHEN k1 IS NOT NULL AND k2 IS NOT NULL
+                 AND NOT (abs((p1 - p2) / p1) * 100 <= 0.01) THEN 1 ELSE 0 END) AS BIGINT) AS price_mismatches
+FROM j
+"""
+
+
+# ---------------------------------------------------------------------
+# training-data operators (dedup / text / similarity)
+# ---------------------------------------------------------------------
+
+
+def _text_stats(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        TX.word_count("text").alias("n_words"),
+        TX.bpe_ish_token_count("text").alias("n_tokens_est"),
+        F.round(TX.avg_word_len("text"), 6).alias("avg_word_len"),
+        F.round(TX.punct_ratio("text"), 6).alias("punct_ratio"),
+    )
+
+
+_TEXT_STATS_SQL = r"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_words,
+       CAST(list_sum(list_transform(regexp_split_to_array(trim(text), '\s+'),
+            w -> CAST(ceil(length(w) / 4.0) AS BIGINT))) AS BIGINT) AS n_tokens_est,
+       round(length(replace(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ', ''))
+             / len(regexp_split_to_array(trim(text), '\s+')), 6) AS avg_word_len,
+       round(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) / length(text), 6) AS punct_ratio
+FROM documents
+"""
+
+
+def _lang_quality(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    from yaetos_spark.functions.hashing import normalize_text, stable_fingerprint
+
+    return docs.select(
+        "doc_id",
+        "lang",
+        TX.lang_id("text").alias("lang_pred"),
+        F.round(TX.stopword_ratio("text"), 6).alias("stopword_ratio"),
+        TX.quality_score("text").alias("quality_score"),
+        stable_fingerprint(normalize_text("text")).alias("fingerprint"),
+    )
+
+
+def _lang_quality_oracle() -> str:
+    # replicate operators/text.py formulas exactly in DuckDB SQL
+    def hits(w):
+        needle = f" {w} "
+        return (
+            f"CAST((length(dd) - length(replace(dd, '{needle}', ''))) / {len(needle)} AS BIGINT)"
+        )
+
+    stop_hits = " + ".join(hits(w) for w in TX.STOPWORDS)
+    lang_scores = {
+        lang: " + ".join(hits(w) for w in ws) for lang, ws in sorted(TX.LANG_MARKERS.items())
+    }
+    score_cols = ", ".join(f"({expr}) AS s_{lang}" for lang, expr in lang_scores.items())
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in lang_scores) + ")"
+    lang_case = "CASE " + " ".join(
+        f"WHEN s_{lang} = best AND best > 0 THEN '{lang}'" for lang in lang_scores
+    ) + " ELSE 'und' END"
+    return rf"""
+WITH base AS (
+  SELECT doc_id, lang, text,
+         replace(' ' || regexp_replace(lower(text), '\s+', ' ', 'g') || ' ', ' ', '  ') AS dd,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_words,
+         length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) / length(text) AS p_ratio
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, lang, text, n_words, p_ratio,
+         ({stop_hits}) AS stop_hits_total, {score_cols}
+  FROM base
+),
+final AS (
+  SELECT doc_id, lang, text, n_words, p_ratio, stop_hits_total,
+         s_de, s_en, s_es, s_fr, {best} AS best,
+         CASE WHEN n_words = 0 THEN 0.0 ELSE stop_hits_total / n_words END AS s_ratio
+  FROM scored
+)
+SELECT doc_id, lang,
+       {lang_case} AS lang_pred,
+       round(s_ratio, 6) AS stopword_ratio,
+       round((least(length(text) / 500.0, 1.0)
+              + (1.0 - least(p_ratio * 5, 1.0))
+              + least(s_ratio * 4, 1.0)) / 3, 6) AS quality_score,
+       md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS fingerprint
+FROM final
+"""
+
+
+def _dedup_exact_norm(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dupes = docs.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    return D.normalized_dup_groups(docs.unionByName(dupes))
+
+
+_DEDUP_EXACT_SQL = r"""
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 50 = 0
+)
+SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS fp,
+       count(*) AS n_dups, min(doc_id) AS keep_id
+FROM aug GROUP BY 1 HAVING count(*) > 1
+"""
+
+
+_MINHASH_K = 16
+_MINHASH_BANDS = 4
+_MINHASH_THRESHOLD = 0.2
+_NGRAM_N = 3
+
+
+def _minhash_lsh(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(
+        docs, n=_NGRAM_N, num_hashes=_MINHASH_K, bands=_MINHASH_BANDS, threshold=_MINHASH_THRESHOLD
+    )
+
+
+def _minhash_oracle() -> str:
+    k, bands, n = _MINHASH_K, _MINHASH_BANDS, _NGRAM_N
+    r = k // bands
+    mh_cols = ", ".join(f"min(md5('{i}:' || shingle)) AS mh{i}" for i in range(k))
+    band_selects = "\nUNION ALL\n".join(
+        "SELECT id, {b} AS band, md5({concat}) AS bsig FROM sigs".format(
+            b=b, concat=" || '|' || ".join(f"mh{b * r + j}" for j in range(r))
+        )
+        for b in range(bands)
+    )
+    return rf"""
+WITH toks AS (
+  SELECT doc_id AS id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+),
+sh AS (
+  SELECT id, unnest(CASE WHEN len(t) < {n} THEN [array_to_string(t, ' ')]
+       ELSE list_distinct(list_transform(generate_series(1, len(t) - {n - 1}),
+            i -> array_to_string(t[i:i+{n - 1}], ' '))) END) AS shingle
+  FROM toks
+),
+sigs AS (
+  SELECT id, {mh_cols} FROM sh GROUP BY id
+),
+buckets AS (
+{band_selects}
+),
+cand AS (
+  SELECT DISTINCT a.id AS id1, b.id AS id2
+  FROM buckets a JOIN buckets b ON a.band = b.band AND a.bsig = b.bsig AND a.id < b.id
+),
+sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+inter AS (
+  SELECT c.id1, c.id2, count(*) AS n_common
+  FROM cand c
+  JOIN sh s1 ON s1.id = c.id1
+  JOIN sh s2 ON s2.id = c.id2 AND s2.shingle = s1.shingle
+  GROUP BY c.id1, c.id2
+)
+SELECT i.id1, i.id2, round(i.n_common / (z1.n_sh + z2.n_sh - i.n_common), 6) AS jaccard
+FROM inter i JOIN sizes z1 ON z1.id = i.id1 JOIN sizes z2 ON z2.id = i.id2
+WHERE round(i.n_common / (z1.n_sh + z2.n_sh - i.n_common), 6) >= {_MINHASH_THRESHOLD}
+"""
+
+
+_JACCARD_THRESHOLD = 0.2
+
+
+def _ngram_jaccard(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return D.jaccard_pairs(docs, n=_NGRAM_N, threshold=_JACCARD_THRESHOLD)
+
+
+def _ngram_jaccard_oracle() -> str:
+    n = _NGRAM_N
+    return rf"""
+WITH toks AS (
+  SELECT doc_id AS id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+),
+sh AS (
+  SELECT id, unnest(CASE WHEN len(t) < {n} THEN [array_to_string(t, ' ')]
+       ELSE list_distinct(list_transform(generate_series(1, len(t) - {n - 1}),
+            i -> array_to_string(t[i:i+{n - 1}], ' '))) END) AS shingle
+  FROM toks
+),
+sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS id1, b.id AS id2, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT i.id1, i.id2, i.n_common,
+       round(i.n_common / (z1.n_sh + z2.n_sh - i.n_common), 6) AS jaccard
+FROM inter i JOIN sizes z1 ON z1.id = i.id1 JOIN sizes z2 ON z2.id = i.id2
+WHERE round(i.n_common / (z1.n_sh + z2.n_sh - i.n_common), 6) >= {_JACCARD_THRESHOLD}
+"""
+
+
+def _simhash_docs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return D.simhash(docs)
+
+
+def _simhash_oracle() -> str:
+    bits = 32
+    vote_cols = []
+    for i in range(bits):
+        j = 8 - i // 4
+        shift = 2 ** (i % 4)
+        bit = (
+            f"(CAST(floor((strpos('0123456789abcdef', substr(m, {j}, 1)) - 1) / {shift}) AS BIGINT) % 2)"
+        )
+        vote_cols.append(f"sum(CASE WHEN {bit} = 1 THEN 1 ELSE -1 END) AS v{i}")
+    votes = ", ".join(vote_cols)
+    sim = " + ".join(f"CASE WHEN v{i} > 0 THEN {2 ** i} ELSE 0 END" for i in range(bits))
+    return rf"""
+WITH toks AS (
+  SELECT doc_id AS id, unnest(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS tok
+  FROM documents
+),
+h AS (SELECT id, md5(tok) AS m FROM toks),
+votes AS (SELECT id, {votes} FROM h GROUP BY id)
+SELECT id, CAST({sim} AS BIGINT) AS simhash FROM votes
+"""
+
+
+_ANN_K = 10
+_ANN_N_QUERIES = 5
+
+
+def _ann_cosine_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _ANN_N_QUERIES)
+    return S.cosine_topk(emb, queries, k=_ANN_K)
+
+
+_ANN_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < {_ANN_N_QUERIES}
+),
+c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+scored AS (
+  SELECT q.query_id, c.neighbor_id,
+         list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cos
+  FROM c, q WHERE c.neighbor_id != q.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, round(cos, 6) AS cos_sim,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= {_ANN_K}
+"""
+
+
+_NEAR_DUP_COS = 0.4
+
+
+def _embedding_near_dup(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.embedding_near_dup_pairs(emb, threshold=_NEAR_DUP_COS)
+
+
+_NEAR_DUP_SQL = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.vec_id AS id1, b.vec_id AS id2,
+       round(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v)
+      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= {_NEAR_DUP_COS}
+"""
+
+
+def _lsh_ann_pairs(spark, sf_dir):
+    # scale path: hyperplane-LSH bucketed near-dup (no SQL oracle —
+    # numpy-seeded hyperplanes; driver records rows-only check)
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.lsh_near_dup_pairs(emb, dim=64, threshold=_NEAR_DUP_COS, n_planes=8, n_tables=2)
+
+
+# ---------------------------------------------------------------------
+# contract
+# ---------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "pricing_summary": _pricing_summary,
+        "filter_project": _filter_project,
+        "topk_revenue": _topk_revenue,
+        "region_revenue": _region_revenue,
+        "user_sessions": _user_sessions,
+        "conditional_agg": _conditional_agg,
+        "full_outer_coalesce": _full_outer_coalesce,
+        "setop_intersect": _setop_intersect,
+        "setop_except": _setop_except,
+        "topk_per_group": _topk_per_group,
+        "cte_casewhen": _cte_casewhen,
+        "union_all_sides": _union_all_sides,
+        "semi_anti_counts": _semi_anti_counts,
+        "running_window": _running_window,
+        "summary_stats": _summary_stats,
+        "json_extract_agg": _json_extract_agg,
+        "month_trunc_agg": _month_trunc_agg,
+        "subquery_above_avg": _subquery_above_avg,
+        "rollup_counts": _rollup_counts,
+        "orderby_limit": _orderby_limit,
+        "event_gaps": _event_gaps,
+        "asof_join_events": _asof_join_events,
+        "pk_violations": _pk_violations,
+        "dataset_compare": _dataset_compare,
+        "text_stats": _text_stats,
+        "lang_quality": _lang_quality,
+        "dedup_exact_norm": _dedup_exact_norm,
+        "minhash_lsh_pairs": _minhash_lsh,
+        "ngram_jaccard_pairs": _ngram_jaccard,
+        "simhash_docs": _simhash_docs,
+        "ann_cosine_topk": _ann_cosine_topk,
+        "embedding_near_dup": _embedding_near_dup,
+        "lsh_ann_pairs": _lsh_ann_pairs,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "pricing_summary": _PRICING_SQL,
+        "filter_project": _FILTER_PROJECT_SQL,
+        "topk_revenue": _TOPK_REVENUE_SQL,
+        "region_revenue": _REGION_REVENUE_SQL,
+        "user_sessions": _USER_SESSIONS_SQL,
+        "conditional_agg": _CONDITIONAL_AGG_SQL,
+        "full_outer_coalesce": _FULL_OUTER_SQL,
+        "setop_intersect": _SETOP_INTERSECT_SQL,
+        "setop_except": _SETOP_EXCEPT_SQL,
+        "topk_per_group": _TOPK_PER_GROUP_SQL,
+        "cte_casewhen": _CTE_CASEWHEN_SQL,
+        "union_all_sides": _UNION_SQL,
+        "semi_anti_counts": _SEMI_ANTI_SQL,
+        "running_window": _RUNNING_WINDOW_SQL,
+        "summary_stats": _SUMMARY_STATS_SQL,
+        "json_extract_agg": _JSON_EXTRACT_SQL,
+        "month_trunc_agg": _MONTH_TRUNC_SQL,
+        "subquery_above_avg": _SUBQUERY_SQL,
+        "rollup_counts": _ROLLUP_SQL,
+        "orderby_limit": _ORDERBY_LIMIT_SQL,
+        "event_gaps": _EVENT_GAPS_SQL,
+        "asof_join_events": _ASOF_SQL,
+        "pk_violations": _PK_VIOLATIONS_SQL,
+        "dataset_compare": _DATASET_COMPARE_SQL,
+        "text_stats": _TEXT_STATS_SQL,
+        "lang_quality": _lang_quality_oracle(),
+        "dedup_exact_norm": _DEDUP_EXACT_SQL,
+        "minhash_lsh_pairs": _minhash_oracle(),
+        "ngram_jaccard_pairs": _ngram_jaccard_oracle(),
+        "simhash_docs": _simhash_oracle(),
+        "ann_cosine_topk": _ANN_SQL,
+        "embedding_near_dup": _NEAR_DUP_SQL,
+        # lsh_ann_pairs: intentionally no oracle (seeded hyperplanes)
+    }

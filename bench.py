@@ -1,0 +1,62 @@
+"""Benchmark harness — times the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit":
+"sec", "queries": {name: sec}, "sf": ...}. Each query is executed to
+completion (count of the materialized result) after a warm-up of the
+session; per-query time includes plan + execution, not session boot.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod
+from yaetos_spark.session import get_spark
+
+HEADLINE = [
+    "pricing_summary",
+    "topk_revenue",
+    "region_revenue",
+    "user_sessions",
+    "running_window",
+    "asof_join_events",
+    "minhash_lsh_pairs",
+    "simhash_docs",
+    "text_stats",
+    "ann_cosine_topk",
+    "embedding_near_dup",
+]
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="yaetos_spark_bench")
+    # warm up the JVM + file listing so query timings measure the plans
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    qs = entrymod.queries()
+    times = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        n = qs[name](spark, sf_dir).count()
+        times[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {times[name]}s ({n} rows)", file=sys.stderr)
+    total = round(sum(times.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

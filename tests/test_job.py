@@ -1,0 +1,133 @@
+import pytest
+from pyspark.sql import functions as F
+
+from yaetos_spark.job import SparkJob, SqlJob, parse_sql_file_params, strip_param_lines
+from yaetos_spark.plans.flow import Flow
+from yaetos_spark.plans.registry import Registry
+
+
+class CountBySession(SparkJob):
+    """Mirror of the reference's flagship ex1 shape: filter + join +
+    group-by + order-by (reference: jobs/examples/ex1_frameworked_job.py)."""
+
+    def transform(self, some_events, other_events):
+        return self.query(
+            """
+            SELECT se.session_id, count(*) AS count_events
+            FROM some_events se
+            JOIN other_events oe ON se.session_id = oe.session_id
+            WHERE se.action = 'searchResultPage' AND se.n_results > 0
+            GROUP BY se.session_id
+            ORDER BY count_events DESC
+            """
+        )
+
+
+def test_etl_no_io_flagship(spark):
+    some = spark.createDataFrame(
+        [
+            (1234, "searchResultPage", 10),
+            (1234, "searchResultPage", 11),
+            (1235, "searchResultPage", 2),
+            (1236, "checkin", 0),
+        ],
+        "session_id bigint, action string, n_results bigint",
+    )
+    other = spark.createDataFrame([(1234, 1), (1235, 1), (1237, 1)], "session_id bigint, other bigint")
+    job = CountBySession({"add_created_at": False})
+    out = job.etl_no_io(spark, {"some_events": some, "other_events": other})
+    rows = [(r.session_id, r.count_events) for r in out.collect()]
+    assert rows == [(1234, 2), (1235, 1)]
+
+
+def test_etl_full_with_save(spark, tmp_path):
+    class Copy(SparkJob):
+        def transform(self, src):
+            return src
+
+    src = spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string")
+    src.write.parquet(str(tmp_path / "in"))
+    job = Copy(
+        {
+            "inputs": {"src": {"path": str(tmp_path / "in"), "type": "parquet"}},
+            "output": {"path": str(tmp_path / "out"), "type": "parquet"},
+            "pks": ["id"],
+        }
+    )
+    out = job.etl(spark)
+    assert out.count() == 2
+    assert "_created_at" in out.columns
+    back = spark.read.parquet(str(tmp_path / "out"))
+    assert back.count() == 2
+
+
+def test_pk_gate_fails(spark, tmp_path):
+    class Dup(SparkJob):
+        def transform(self, src):
+            return src.unionByName(src)
+
+    src = spark.createDataFrame([(1, "a")], "id int, v string")
+    src.write.parquet(str(tmp_path / "in2"))
+    job = Dup(
+        {
+            "inputs": {"src": {"path": str(tmp_path / "in2"), "type": "parquet"}},
+            "output": {"type": "None"},
+            "pks": ["id"],
+        }
+    )
+    with pytest.raises(AssertionError):
+        job.etl(spark)
+
+
+def test_sql_file_job(spark, tmp_path):
+    sql = tmp_path / "job.sql"
+    sql.write_text(
+        "----param---- 'repartition': 1 ----\n"
+        "SELECT session_id, session_id * 2 AS doubled FROM events_in\n"
+    )
+    events = spark.createDataFrame([(1,), (2,)], "session_id bigint")
+    job = SqlJob({"sql_file": str(sql), "add_created_at": False})
+    out = job.etl_no_io(spark, {"events_in": events})
+    assert sorted(r.doubled for r in out.collect()) == [2, 4]
+    assert job.params["repartition"] == 1
+
+
+def test_parse_sql_file_params():
+    text = "----param---- 'a': 'x', 'n': 3 ----\nSELECT 1"
+    assert parse_sql_file_params(text) == {"a": "x", "n": 3}
+    assert strip_param_lines(text) == "SELECT 1"
+
+
+def test_flow_chained_pipeline(spark, tmp_path):
+    """ex4-style dependency chain with in-memory chaining
+    (reference: conf/jobs_metadata.yml:99-126)."""
+    src = spark.createDataFrame([("ab",), ("abcd",)], "session_id string")
+    src.write.parquet(str(tmp_path / "raw"))
+
+    class Dep1(SparkJob):
+        def transform(self, raw):
+            return raw.withColumn("session_length", F.length("session_id"))
+
+    class Dep2(SparkJob):
+        def transform(self, dep1):
+            return dep1.withColumn("doubled_length", F.col("session_length") * 2)
+
+    classes = {"dep1": Dep1, "dep2": Dep2}
+    manifest = {
+        "jobs": {
+            "dep1": {
+                "inputs": {"raw": {"path": str(tmp_path / "raw"), "type": "parquet"}},
+                "add_created_at": False,
+            },
+            "dep2": {
+                "dependencies": ["dep1"],
+                "inputs": {"dep1": {"from": "dep1"}},
+                "add_created_at": False,
+            },
+        }
+    }
+    reg = Registry(manifest)
+    flow = Flow(reg, chain_dependencies=True)
+    out = flow.run_pipeline(spark, "dep2", lambda name, params: classes[name](params))
+    rows = {r.session_id: (r.session_length, r.doubled_length) for r in out.collect()}
+    assert rows == {"ab": (2, 4), "abcd": (4, 8)}

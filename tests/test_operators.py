@@ -1,0 +1,220 @@
+import math
+
+from pyspark.sql import functions as F
+
+from yaetos_spark.operators import dedup as D
+from yaetos_spark.operators import multimodal as MM
+from yaetos_spark.operators import similarity as S
+from yaetos_spark.operators import text as TX
+from yaetos_spark.operators import windows as W
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "completely different words entirely here now"),
+            (4, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        ],
+        "doc_id bigint, text string",
+    )
+
+
+# -- dedup ------------------------------------------------------------
+
+
+def test_exact_dup_groups(spark):
+    groups = D.exact_dup_groups(_docs(spark)).collect()
+    assert len(groups) == 1
+    assert groups[0].n_dups == 2 and groups[0].keep_id == 1
+
+
+def test_dedup_exact_keeps_min_id(spark):
+    out = D.dedup_exact(_docs(spark))
+    assert sorted(r.doc_id for r in out.collect()) == [1, 2, 3]
+
+
+def test_jaccard_pairs_finds_near_dup(spark):
+    pairs = {(r.id1, r.id2): r.jaccard for r in D.jaccard_pairs(_docs(spark), n=3, threshold=0.5).collect()}
+    assert (1, 4) in pairs and pairs[(1, 4)] == 1.0
+    assert (1, 2) in pairs and 0.5 <= pairs[(1, 2)] < 1.0
+    assert all(k[0] != 3 and k[1] != 3 for k in pairs)
+
+
+def test_minhash_lsh_finds_near_dup(spark):
+    pairs = {(r.id1, r.id2) for r in D.minhash_lsh_pairs(_docs(spark), threshold=0.5).collect()}
+    assert (1, 4) in pairs  # identical docs always collide in every band
+
+
+def test_minhash_signature_determinism(spark):
+    s1 = D.minhash_signatures(_docs(spark)).collect()
+    s2 = D.minhash_signatures(_docs(spark)).collect()
+    assert sorted(map(str, s1)) == sorted(map(str, s2))
+
+
+def test_simhash_identical_docs_equal(spark):
+    sim = {r.id: r.simhash for r in D.simhash(_docs(spark)).collect()}
+    assert sim[1] == sim[4]
+    assert 0 <= sim[1] < 2**32
+
+
+def test_simhash_pairs_hamming(spark):
+    sim = D.simhash(_docs(spark))
+    pairs = {(r.id1, r.id2): r.hamming for r in D.simhash_pairs(sim, max_hamming=5).collect()}
+    assert pairs.get((1, 4)) == 0
+
+
+# -- text -------------------------------------------------------------
+
+
+def test_text_profile(spark):
+    df = spark.createDataFrame([(1, "The cat and the dog!")], "doc_id bigint, text string")
+    row = TX.text_profile(df).collect()[0]
+    assert row.n_words == 5
+    assert row.n_chars == 20
+    assert row.lang_pred == "en"
+    assert row.punct_ratio > 0
+    assert 0 <= row.quality_score <= 1
+    assert len(row.fingerprint) == 32
+
+
+def test_lang_id_markers(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "le chat et la maison des amis"),
+            (2, "der hund und die katze das haus"),
+            (3, "xyz qrs tuv"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r.pred for r in df.select("doc_id", TX.lang_id("text").alias("pred")).collect()}
+    assert out[1] == "fr" and out[2] == "de" and out[3] == "und"
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([(1, "abcd abcdefgh xy")], "doc_id bigint, text string")
+    row = df.select(
+        TX.word_count("text").alias("wc"), TX.bpe_ish_token_count("text").alias("tc")
+    ).collect()[0]
+    assert row.wc == 3
+    assert row.tc == 1 + 2 + 1  # ceil(4/4)+ceil(8/4)+ceil(2/4)
+
+
+# -- windows ----------------------------------------------------------
+
+
+def test_sessionize_gap(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00"),
+            (1, "2024-01-01 10:10:00"),
+            (1, "2024-01-01 12:00:00"),  # > 30 min gap → new session
+            (2, "2024-01-01 10:00:00"),
+        ],
+        "user_id bigint, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = W.sessionize(df, "user_id", "ts", gap_seconds=1800).collect()
+    sessions = {(r.user_id, str(r.ts)): r.session_seq for r in out}
+    assert sessions[(1, "2024-01-01 10:00:00")] == 1
+    assert sessions[(1, "2024-01-01 10:10:00")] == 1
+    assert sessions[(1, "2024-01-01 12:00:00")] == 2
+    assert sessions[(2, "2024-01-01 10:00:00")] == 1
+
+
+def test_session_bounds(spark):
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00"), (1, "2024-01-01 10:30:00")], "user_id bigint, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    row = W.session_bounds(df, "user_id", "ts").collect()[0]
+    assert row.delta_sec == 1800 and row.n_events == 2
+
+
+def test_topk_per_group(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, 30.0), ("a", 3, 20.0), ("b", 4, 5.0)],
+        "g string, id bigint, v double",
+    )
+    out = W.topk_per_group(df, ["g"], "v", k=2, tie_break="id").collect()
+    got = {(r.g, r.id): r.rank for r in out}
+    assert got == {("a", 2): 1, ("a", 3): 2, ("b", 4): 1}
+
+
+def test_asof_join_backward(spark):
+    left = spark.createDataFrame(
+        [(1, 100, "2024-01-01 10:05:00"), (2, 100, "2024-01-01 10:20:00"), (3, 200, "2024-01-01 09:00:00")],
+        "event_id bigint, user_id bigint, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [(100, "2024-01-01 10:00:00", 77), (100, "2024-01-01 10:10:00", 88), (200, "2024-01-01 11:00:00", 99)],
+        "user_id bigint, click_ts string, click_id bigint",
+    ).withColumn("click_ts", F.col("click_ts").cast("timestamp"))
+    out = W.asof_join(left, right, "user_id", "ts", "click_ts", right_cols=["click_id"])
+    got = {r.event_id: r.click_id for r in out.collect()}
+    assert got == {1: 77, 2: 88, 3: None}
+
+
+# -- similarity -------------------------------------------------------
+
+
+def _emb(spark):
+    return spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.99, 0.1, 0.0]),
+            (3, [0.0, 1.0, 0.0]),
+            (4, [-1.0, 0.0, 0.0]),
+        ],
+        "vec_id bigint, embedding array<float>",
+    )
+
+
+def test_cosine_topk(spark):
+    out = S.cosine_topk(_emb(spark), _emb(spark).filter("vec_id = 1"), k=2)
+    rows = sorted((r.rank, r.neighbor_id) for r in out.collect())
+    assert rows[0] == (1, 2)  # closest is vec 2
+    assert len(rows) == 2
+
+
+def test_embedding_near_dup(spark):
+    pairs = {(r.id1, r.id2) for r in S.embedding_near_dup_pairs(_emb(spark), threshold=0.9).collect()}
+    assert pairs == {(1, 2)}
+
+
+def test_lsh_near_dup_recall(spark):
+    pairs = {(r.id1, r.id2) for r in S.lsh_near_dup_pairs(_emb(spark), dim=3, threshold=0.9, n_planes=4, n_tables=4).collect()}
+    # multi-table LSH must recover the one true near-dup pair
+    assert (1, 2) in pairs
+
+
+def test_ivf_assign(spark):
+    cents = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]
+    out = {r.vec_id: r.ivf_cell for r in S.ivf_assign(_emb(spark), cents).collect()}
+    assert out[1] == 0 and out[3] == 1
+
+
+# -- multimodal -------------------------------------------------------
+
+
+def test_fake_image_decode(spark):
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(b"fakejpegbytes"), ("f.jpg", "image/jpeg", 13))],
+        "media_id bigint, kind string, content binary, meta struct<uri:string,mime:string,size_bytes:bigint>",
+    )
+    out = MM.decode_image(df, fake=True).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.width >= 64 and r.height >= 64 and r.n_channels == 3
+    assert len(r.sha256) == 64
+    # deterministic: same bytes → same fake dims
+    out2 = MM.decode_image(df, fake=True).collect()[0]
+    assert (out2.width, out2.height) == (r.width, r.height)
+
+
+def test_frame_sample_plan(spark):
+    df = spark.createDataFrame(
+        [(1, "video", None, ("v.mp4", None, 90000))],
+        "media_id bigint, kind string, content binary, meta struct<uri:string,mime:string,size_bytes:bigint>",
+    )
+    frames = MM.frame_sample_plan(df, every_n=30).collect()
+    assert [r.frame_idx for r in frames] == [0, 30, 60]

@@ -1,0 +1,109 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin
+on DuckDB at a given scale factor, compares row count, column-name
+sets, and an order-insensitive value comparison (rows sorted after
+stringifying, columns sorted by name). Reports per-query PASS/FAIL.
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb  # noqa: E402
+
+import __spark_entry__ as entrymod  # noqa: E402
+from yaetos_spark.session import get_spark  # noqa: E402
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def norm_cell(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # canonical float repr: 12 significant digits
+        return f"{v:.12g}"
+    if isinstance(v, bool):
+        return str(v)
+    return str(v)
+
+
+def norm_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for row in rows:
+        out.append(tuple(norm_cell(row[i]) for i in order))
+    out.sort()
+    return out
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+
+    spark = get_spark(app_name="oracle_check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    n_pass = n_fail = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            print(f"FAIL {name}: spark error: {type(e).__name__}: {str(e)[:300]}")
+            n_fail += 1
+            continue
+        if name not in oracles:
+            print(f"SKIP-ORACLE {name}: rows={len(srows)} ({time.time()-t0:.1f}s)")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            dcols = [d[0] for d in res.description]
+            drows = res.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error: {type(e).__name__}: {str(e)[:300]}")
+            n_fail += 1
+            continue
+        problems = []
+        if sorted(scols) != sorted(dcols):
+            problems.append(f"cols spark={sorted(scols)} duckdb={sorted(dcols)}")
+        if len(srows) != len(drows):
+            problems.append(f"rowcount spark={len(srows)} duckdb={len(drows)}")
+        if not problems:
+            a = norm_rows(scols, srows)
+            b = norm_rows(dcols, drows)
+            if a != b:
+                diffs = [(x, y) for x, y in zip(a, b) if x != y][:3]
+                problems.append(f"values differ, first diffs: {diffs}")
+        if problems:
+            print(f"FAIL {name}: " + "; ".join(problems))
+            n_fail += 1
+        else:
+            print(f"PASS {name}: rows={len(srows)} ({time.time()-t0:.1f}s)")
+            n_pass += 1
+    print(f"\n{n_pass} passed, {n_fail} failed")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,83 @@
+"""CLI launcher — run a registry job, a SQL file, or a dependency tree.
+
+Behavior parity with the reference's Commandliner/Runner
+(reference: yaetos/etl_utils.py:1122-1267, jobs/generic/launcher.py):
+
+    python -m yaetos_spark.cli --job_name=my_job [--dependencies]
+    python -m yaetos_spark.cli --sql_file=path/to/job.sql
+"""
+
+from __future__ import annotations
+
+import argparse
+import importlib
+import sys
+
+from yaetos_spark.job import SparkJob, SqlJob
+from yaetos_spark.plans.flow import Flow
+from yaetos_spark.plans.registry import Registry
+from yaetos_spark.session import get_spark
+
+
+def job_factory(registry: Registry):
+    def make(job_name: str, params: dict) -> SparkJob:
+        if params.get("sql_file"):
+            return SqlJob(params)
+        py_job = params.get("py_job")
+        if py_job:
+            if ":" in py_job:
+                mod_name, _, cls_name = py_job.rpartition(":")
+            else:
+                mod_name, cls_name = py_job, None
+            mod = importlib.import_module(mod_name)
+            cls = getattr(mod, cls_name) if cls_name else _find_job_class(mod)
+            return cls(params)
+        raise ValueError(f"job '{job_name}' has neither sql_file nor py_job")
+
+    return make
+
+
+def _find_job_class(mod):
+    for obj in vars(mod).values():
+        if isinstance(obj, type) and issubclass(obj, SparkJob) and obj is not SparkJob:
+            return obj
+    raise ValueError(f"no SparkJob subclass in {mod.__name__}")
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="yaetos_spark")
+    ap.add_argument("--job_name")
+    ap.add_argument("--sql_file")
+    ap.add_argument("--registry", default="conf/jobs.yml")
+    ap.add_argument("--mode", default=None)
+    ap.add_argument("--dependencies", "-x", action="store_true")
+    known, unknown = ap.parse_known_args(argv)
+    cmd_args = {}
+    for tok in unknown:
+        if tok.startswith("--") and "=" in tok:
+            k, _, v = tok[2:].partition("=")
+            cmd_args[k] = v
+
+    spark = get_spark()
+    if known.sql_file and not known.job_name:
+        job = SqlJob({"sql_file": known.sql_file, **cmd_args})
+        out = job.etl(spark)
+        if out is not None:
+            out.show(20, truncate=False)
+        return 0
+
+    registry = Registry.from_file(known.registry)
+    if known.dependencies:
+        flow = Flow(registry)
+        out = flow.run_pipeline(spark, known.job_name, job_factory(registry), mode=known.mode, cmd_args=cmd_args)
+    else:
+        params = registry.job_params(known.job_name, mode=known.mode, cmd_args=cmd_args)
+        job = job_factory(registry)(known.job_name, params)
+        out = job.etl(spark)
+    if out is not None:
+        out.show(20, truncate=False)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,304 @@
+"""Deduplication operators — exact, MinHash-LSH, SimHash, n-gram Jaccard.
+
+Training-data-pipeline dedup at 100 TB scale, all expressed as Spark
+DataFrame plans (no Python in the hot path) and deterministic (md5-
+based hash families) so a DuckDB oracle can reproduce every value.
+
+Scale design notes:
+- Exact dedup is one hash-aggregate shuffle on a fingerprint.
+- MinHash signatures are computed with K min-aggregations in a single
+  groupBy (no doc×K row blowup); LSH banding turns the quadratic
+  all-pairs problem into an equi-join on (band, signature) buckets.
+- Hot shingles (boilerplate present in >max_df docs) are dropped
+  before any join — the classic guard against quadratic bucket blowup.
+- Candidate verification joins shingle sets only for candidate pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from yaetos_spark.functions.hashing import normalize_text, stable_fingerprint
+from yaetos_spark.functions.shingles import word_ngrams
+
+
+# -- exact ------------------------------------------------------------
+
+
+def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Groups of exact duplicates (by md5 of raw text): one row per
+    duplicated fingerprint with the member count and min id kept."""
+    return (
+        df.select(F.col(id_col), stable_fingerprint(text_col).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_dups"), F.min(id_col).alias("keep_id"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one row (min id) per exact text fingerprint. Single shuffle
+    on the fingerprint; survives any scale."""
+    w = Window.partitionBy(stable_fingerprint(text_col)).orderBy(F.col(id_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def normalized_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact-after-normalization dup groups (casefold, strip punct,
+    collapse whitespace) — catches trivial re-encodings."""
+    return (
+        df.select(F.col(id_col), stable_fingerprint(normalize_text(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_dups"), F.min(id_col).alias("keep_id"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+# -- shingle machinery ------------------------------------------------
+
+
+def shingle_rows(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    max_df: int | None = None,
+) -> DataFrame:
+    """(id, shingle) rows, distinct per doc; optionally drop shingles
+    occurring in more than ``max_df`` docs (boilerplate guard)."""
+    rows = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_ngrams(text_col, n)).alias("shingle"),
+    )
+    if max_df:
+        hot = (
+            rows.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df_count"))
+            .filter(F.col("df_count") > max_df)
+            .select("shingle")
+        )
+        rows = rows.join(hot, "shingle", "left_anti")
+    return rows
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Brute n-gram Jaccard near-dup pairs via shingle equi-join.
+
+    Exact (no approximation); the shingle join IS the candidate
+    generator — pairs sharing zero shingles never materialize. Use
+    ``max_df`` to cap hot-shingle fan-out at scale; for very large
+    corpora prefer :func:`minhash_lsh_pairs`.
+    """
+    rows = shingle_rows(df, text_col, id_col, n, max_df)
+    sizes = rows.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a, b = rows.alias("a"), rows.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sz1 = sizes.select(F.col("id").alias("id1"), F.col("n_shingles").alias("n1"))
+    sz2 = sizes.select(F.col("id").alias("id2"), F.col("n_shingles").alias("n2"))
+    return (
+        inter.join(sz1, "id1")
+        .join(sz2, "id2")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_common") / (F.col("n1") + F.col("n2") - F.col("n_common")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id1", "id2", "n_common", "jaccard")
+    )
+
+
+# -- MinHash + LSH ----------------------------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 16,
+    max_df: int | None = None,
+) -> DataFrame:
+    """K lexicographic-min md5 minhashes per doc, one groupBy shuffle.
+
+    minhash_i(doc) = min over shingles of md5('{i}:' || shingle) — a
+    valid minhash family (md5 is uniform; hex-string min is a total
+    order), and exactly reproducible in any engine with md5.
+    Computed as K min() aggregates in ONE aggregation: no row blowup.
+    """
+    rows = shingle_rows(df, text_col, id_col, n, max_df)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    return rows.groupBy("id").agg(*aggs)
+
+
+def lsh_candidates(
+    signatures: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Banded-LSH candidate pairs from a minhash signature frame.
+
+    Bands of r = num_hashes/bands rows; band key = md5 of the
+    concatenated band slice. Docs sharing any band bucket become a
+    candidate pair (id1 < id2, distinct).
+    """
+    r = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        slice_cols = [F.col(f"mh{b * r + j}") for j in range(r)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *slice_cols)).alias("sig"))
+        )
+    buckets = signatures.select(
+        F.col("id"), F.explode(F.array(*band_cols)).alias("bk")
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig"))
+    a, b2 = buckets.alias("a"), buckets.alias("b")
+    return (
+        a.join(
+            b2,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        .distinct()
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: signatures → banded
+    candidates → exact-Jaccard verification of candidates only.
+
+    At 100 TB this is the scale path: cost is linear in corpus size
+    plus the (threshold-controlled) candidate volume; the only joins
+    are equi-joins on hash keys, AQE handles residual skew.
+    """
+    rows = shingle_rows(df, text_col, id_col, n, max_df).persist()
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    sigs = rows.groupBy("id").agg(*aggs)
+    cands = lsh_candidates(sigs, num_hashes, bands)
+    # verify candidates with exact jaccard over the shingle sets
+    sizes = rows.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    ra = rows.select(F.col("id").alias("id1"), "shingle")
+    rb = rows.select(F.col("id").alias("id2"), "shingle")
+    inter = (
+        cands.join(ra, "id1")
+        .join(rb, ["id2", "shingle"])
+        .groupBy("id1", "id2")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sz1 = sizes.select(F.col("id").alias("id1"), F.col("n_shingles").alias("n1"))
+    sz2 = sizes.select(F.col("id").alias("id2"), F.col("n_shingles").alias("n2"))
+    return (
+        inter.join(sz1, "id1")
+        .join(sz2, "id2")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_common") / (F.col("n1") + F.col("n2") - F.col("n_common")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id1", "id2", "jaccard")
+    )
+
+
+# -- SimHash ----------------------------------------------------------
+
+
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+) -> DataFrame:
+    """32-bit SimHash per doc over distinct whitespace tokens.
+
+    Token hash = first 8 md5 hex chars as long; per bit position the
+    ±1 votes are summed as ``bits`` aggregate expressions in ONE
+    groupBy — no bit-explosion of rows. Near-dup = small hamming
+    distance; pair generation at scale uses byte-banding (pigeonhole).
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))).alias("tok"),
+    )
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
+    toks = toks.select("id", h.alias("h"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{i}")
+        for i in range(bits)
+    ]
+    agg = toks.groupBy("id").agg(*votes)
+    sim = F.lit(0).cast("long")
+    for i in range(bits):
+        sim = sim + F.when(F.col(f"v{i}") > 0, F.lit(2 ** i).cast("long")).otherwise(F.lit(0).cast("long"))
+    return agg.select("id", sim.alias("simhash"))
+
+
+def simhash_pairs(sim: DataFrame, max_hamming: int = 3, bits: int = 32, bands: int = 4) -> DataFrame:
+    """Candidate pairs with hamming(simhash) <= max_hamming via
+    byte-band bucketing (a pair within distance ``bands-1`` must agree
+    on at least one band), then exact hamming verification."""
+    r = bits // bands
+    mask = (1 << r) - 1
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright(F.col("simhash"), b * r).bitwiseAND(F.lit(mask)).alias("key"),
+        )
+        for b in range(bands)
+    ]
+    buckets = sim.select(
+        "id", "simhash", F.explode(F.array(*band_cols)).alias("bk")
+    ).select("id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a, b2 = buckets.alias("a"), buckets.alias("b")
+    pairs = (
+        a.join(
+            b2,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id1"),
+            F.col("b.id").alias("id2"),
+            F.col("a.simhash").alias("s1"),
+            F.col("b.simhash").alias("s2"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("s1").bitwiseXOR(F.col("s2")))
+    return pairs.withColumn("hamming", ham).filter(F.col("hamming") <= max_hamming).select(
+        "id1", "id2", "hamming"
+    )

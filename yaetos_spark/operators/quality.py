@@ -1,0 +1,92 @@
+"""Data-quality primitives — PK checks and dataset compare, Spark-native.
+
+Behavior parity: ``check_pk`` (count vs distinct-count, reference:
+yaetos/spark_utils.py:32-40), ``identify_non_unique_pks`` (window count
+over the key, reference: yaetos/spark_utils.py:16-21), and the dataset
+compare job (exact hash equality then fuzzy per-column outer-join diff,
+reference: jobs/generic/compare_job.py:18-84 and
+yaetos/libs/analysis_toolkit/compare_pandas_dfs.py:6-97) — rebuilt on
+DataFrame ops so they distribute.
+
+Scale notes: check_pk is two aggregations over one shuffle each;
+identify_non_unique_pks is one shuffle (window by key). The exact
+compare uses ``exceptAll`` both ways (hash-based set difference — no
+driver-side hashing of the whole dataset like the reference's
+sha256-over-pandas). The fuzzy compare is a single full-outer join on
+the PK, all per-column deltas evaluated JVM-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def check_pk(df: DataFrame, pks: list[str]) -> bool:
+    """True iff ``pks`` uniquely identify rows (reference:
+    yaetos/spark_utils.py:32-40)."""
+    cnt = df.count()
+    distinct_cnt = df.select(*pks).dropDuplicates().count()
+    return cnt == distinct_cnt
+
+
+def identify_non_unique_pks(df: DataFrame, pks: list[str]) -> DataFrame:
+    """Rows whose PK occurs more than once (reference:
+    yaetos/spark_utils.py:16-21)."""
+    w = Window.partitionBy(*[F.col(c) for c in pks])
+    return df.withColumn("_pk_count", F.count(F.lit(1)).over(w)).filter(F.col("_pk_count") >= 2)
+
+
+def datasets_equal(df1: DataFrame, df2: DataFrame) -> bool:
+    """Exact multiset equality via exceptAll both directions."""
+    if set(df1.columns) != set(df2.columns):
+        return False
+    df2 = df2.select(*df1.columns)
+    return df1.exceptAll(df2).isEmpty() and df2.exceptAll(df1).isEmpty()
+
+
+def compare_fuzzy(
+    df1: DataFrame,
+    df2: DataFrame,
+    pk: list[str],
+    numeric_pct_threshold: float = 0.01,
+) -> DataFrame:
+    """Full-outer-join diff report keyed by ``pk``.
+
+    Returns one row per PK with ``_in_1``/``_in_2`` presence flags and,
+    per shared non-key column c, ``c_1``, ``c_2`` and ``c_match``
+    (numeric: |a-b|/|a| * 100 <= threshold with 0/NULL handling;
+    other types: equality). Mirrors the reference's fuzzy compare
+    (compare_pandas_dfs.py:31-97) as one distributed join.
+    """
+    shared = [c for c in df1.columns if c in df2.columns and c not in pk]
+    numeric_types = ("int", "bigint", "double", "float", "decimal", "smallint", "tinyint", "long")
+    d1 = df1.select(*pk, *[F.col(c).alias(c + "_1") for c in shared]).withColumn("_in_1", F.lit(True))
+    d2 = df2.select(*pk, *[F.col(c).alias(c + "_2") for c in shared]).withColumn("_in_2", F.lit(True))
+    joined = d1.join(d2, on=pk, how="full_outer")
+    joined = joined.withColumn("_in_1", F.coalesce("_in_1", F.lit(False)))
+    joined = joined.withColumn("_in_2", F.coalesce("_in_2", F.lit(False)))
+    dtypes1 = dict(df1.dtypes)
+    for c in shared:
+        a, b = F.col(c + "_1"), F.col(c + "_2")
+        if any(t in dtypes1[c] for t in numeric_types):
+            delta_pct = F.when(a.isNull() & b.isNull(), F.lit(0.0)) \
+                .when(a.isNull() | b.isNull(), F.lit(100.0)) \
+                .when(a == 0, F.when(b == 0, F.lit(0.0)).otherwise(F.lit(100.0))) \
+                .otherwise(F.abs((a - b) / a) * 100)
+            joined = joined.withColumn(c + "_match", delta_pct <= F.lit(numeric_pct_threshold))
+        else:
+            joined = joined.withColumn(c + "_match", a.eqNullSafe(b))
+    return joined
+
+
+def compare_summary(diff: DataFrame, shared_cols: list[str]) -> dict:
+    """Aggregate a compare_fuzzy report into counts (driver-side dict)."""
+    aggs = [
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(F.when(F.col("_in_1") & ~F.col("_in_2"), 1).otherwise(0)).alias("only_in_1"),
+        F.sum(F.when(F.col("_in_2") & ~F.col("_in_1"), 1).otherwise(0)).alias("only_in_2"),
+    ]
+    for c in shared_cols:
+        aggs.append(F.sum(F.when(~F.col(c + "_match"), 1).otherwise(0)).alias(c + "_mismatches"))
+    return diff.agg(*aggs).collect()[0].asDict()

@@ -1,0 +1,211 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine is the exact baseline; the scale paths are (a)
+random-hyperplane LSH bucketing and (b) IVF-style coarse quantization —
+both turn the all-pairs cross join into an equi-join on a bucket key.
+
+Execution strategy: the reference side of every brute-force operator
+(query set / full corpus snapshot) is shipped to executors as a numpy
+matrix via a Spark broadcast, and the big side streams through an
+Arrow-batched ``mapInPandas`` doing one BLAS matmul per batch — orders
+of magnitude faster than per-pair expression evaluation, no shuffle of
+the corpus, and partial top-k is reduced per batch before the final
+(tiny) global window.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from yaetos_spark.functions.vectors import cosine, dot, norm
+
+
+def _collect_matrix(df: DataFrame, id_col: str, vec_col: str):
+    """Small-side (id array, row-normalized matrix) for broadcasting.
+    The caller guarantees this side fits on one node (same contract as
+    ``F.broadcast``)."""
+    pdf = df.select(id_col, vec_col).toPandas()
+    ids = pdf[id_col].to_numpy()
+    mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    norms[norms == 0] = 1.0
+    return ids, mat / norms[:, None]
+
+
+def cosine_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors of each query vector.
+
+    ``queries`` (small) is broadcast as a normalized numpy matrix; the
+    corpus streams through ``mapInPandas``, each Arrow batch scoring
+    against all queries with one matmul and emitting only its LOCAL
+    top-k per query. The global top-k reduces partitions×k candidate
+    rows — not the corpus. Ties broken by neighbor id (deterministic).
+    """
+    spark = emb.sparkSession
+    q_ids, q_mat = _collect_matrix(queries, id_col, vec_col)
+    bc = spark.sparkContext.broadcast((q_ids, q_mat))
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids_q, mat_q = bc.value
+        for pdf in batches:
+            n_ids = pdf[id_col].to_numpy()
+            mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            norms = np.sqrt((mat * mat).sum(axis=1))
+            norms[norms == 0] = 1.0
+            sims = (mat / norms[:, None]) @ mat_q.T  # (batch, n_queries)
+            out = []
+            for qi, qid in enumerate(ids_q):
+                col = sims[:, qi]
+                mask = n_ids != qid
+                cand_idx = np.nonzero(mask)[0]
+                if len(cand_idx) > k:
+                    # local partial top-k: keep the k best of this batch
+                    part = cand_idx[np.argpartition(-col[cand_idx], k - 1)[:k]]
+                else:
+                    part = cand_idx
+                for i in part:
+                    out.append((int(qid), int(n_ids[i]), float(col[i])))
+            yield pd.DataFrame(out, columns=["query_id", "neighbor_id", "cos"])
+
+    scored = emb.select(id_col, vec_col).mapInPandas(
+        score, schema="query_id long, neighbor_id long, cos double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cos_sim"), "rank")
+    )
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All pairs with cosine >= threshold (exact, brute force).
+
+    The corpus snapshot is broadcast once as a normalized matrix; each
+    streaming batch does one matmul against it and emits only pairs
+    above threshold with id1 < id2. Quadratic in corpus size — the
+    correct baseline; use :func:`lsh_near_dup_pairs` when the corpus
+    no longer fits a broadcast.
+    """
+    spark = emb.sparkSession
+    ids, mat = _collect_matrix(emb, id_col, vec_col)
+    bc = spark.sparkContext.broadcast((ids, mat))
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        all_ids, all_mat = bc.value
+        for pdf in batches:
+            b_ids = pdf[id_col].to_numpy()
+            bmat = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            norms = np.sqrt((bmat * bmat).sum(axis=1))
+            norms[norms == 0] = 1.0
+            sims = (bmat / norms[:, None]) @ all_mat.T  # (batch, corpus)
+            rows, cols = np.nonzero((sims >= threshold) & (b_ids[:, None] < all_ids[None, :]))
+            yield pd.DataFrame(
+                {
+                    "id1": b_ids[rows].astype("int64"),
+                    "id2": all_ids[cols].astype("int64"),
+                    "cos": sims[rows, cols],
+                }
+            )
+
+    scored = emb.select(id_col, vec_col).mapInPandas(score, schema="id1 long, id2 long, cos double")
+    return scored.select("id1", "id2", F.round("cos", 6).alias("cos_sim"))
+
+
+# -- scale paths ------------------------------------------------------
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def lsh_bucket_ids(
+    emb: DataFrame,
+    dim: int,
+    n_planes: int = 8,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane (SimHash-for-vectors) bucket id per row.
+
+    sign(v·p_i) bits packed into one long. Vectors in the same bucket
+    are near-duplicate candidates; multiple tables (different seeds)
+    raise recall. Hyperplanes are plan literals — broadcast for free.
+    """
+    planes = _hyperplanes(dim, n_planes, seed)
+    bucket = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        plane_col = F.array(*[F.lit(float(x)) for x in p])
+        bit = F.when(dot(F.col(vec_col), plane_col) > 0, F.lit(2 ** i)).otherwise(F.lit(0))
+        bucket = bucket + bit.cast("long")
+    return emb.withColumn("bucket", bucket)
+
+
+def lsh_near_dup_pairs(
+    emb: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    n_tables: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-dup pairs via multi-table hyperplane LSH + exact verify.
+
+    Each table is an equi-join on its bucket key (linear + candidate
+    volume, not quadratic); union of candidates, distinct, then exact
+    cosine on candidates only.
+    """
+    cands = None
+    for t in range(n_tables):
+        bucketed = lsh_bucket_ids(emb, dim, n_planes, seed=42 + t, vec_col=vec_col)
+        a = bucketed.select(F.col(id_col).alias("id1"), F.col("bucket"))
+        b = bucketed.select(F.col(id_col).alias("id2"), F.col("bucket"))
+        pairs = a.join(b, ["bucket"]).filter(F.col("id1") < F.col("id2")).select("id1", "id2")
+        cands = pairs if cands is None else cands.unionByName(pairs)
+    cands = cands.distinct()
+    v1 = emb.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"))
+    v2 = emb.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"))
+    return (
+        cands.join(v1, "id1")
+        .join(v2, "id2")
+        .withColumn("cos", cosine(F.col("v1"), F.col("v2")))
+        .filter(F.col("cos") >= threshold)
+        .select("id1", "id2", F.round("cos", 6).alias("cos_sim"))
+    )
+
+
+def ivf_assign(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantization: assign each vector to its nearest
+    centroid (by dot product over normalized centroids). Centroids are
+    plan literals (typically 256-65536 of them, trained offline);
+    queries then probe only a few inverted lists."""
+    best_id = F.lit(-1)
+    best_score = F.lit(float("-inf"))
+    for i, cvec in enumerate(centroids):
+        c = F.array(*[F.lit(float(x)) for x in cvec])
+        score = dot(F.col(vec_col), c) / norm(c)
+        best_id = F.when(score > best_score, F.lit(i)).otherwise(best_id)
+        best_score = F.greatest(best_score, score)
+    return emb.withColumn("ivf_cell", best_id)

@@ -1,0 +1,119 @@
+"""Text-analysis operators for training-data pipelines.
+
+All pure-column expressions (codegen'd, no UDFs): language ID via
+stopword-marker scoring, quality scoring (length/punct/stopword
+ratios), token counting (whitespace + BPE-ish regex), and document
+fingerprinting (normalized md5). Designed to run over billions of
+documents: every operator is a narrow projection — zero shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from yaetos_spark.functions.hashing import normalize_text, stable_fingerprint
+
+# Marker stopwords per language for the n-gram-free heuristic language
+# ID. Real pipelines use a trained model; the heuristic is the always-
+# available fallback and is fully SQL-expressible (oracle-checkable).
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "a"],
+    "fr": ["le", "la", "les", "et", "des"],
+    "es": ["el", "los", "las", "una", "y"],
+    "de": ["der", "die", "und", "das", "ein"],
+}
+
+STOPWORDS = sorted({w for ws in LANG_MARKERS.values() for w in ws})
+
+
+def _word_hits(col: str, words: list[str]) -> Column:
+    """Count of tokens of ``col`` that are in ``words`` — via a padded
+    space-join so word boundaries are exact, no regex dialect issues."""
+    padded = F.concat(F.lit(" "), F.regexp_replace(F.lower(F.col(col)), r"\s+", " "), F.lit(" "))
+    total = F.lit(0)
+    for w in words:
+        # occurrences of ' w ' allowing adjacency: count via length diff
+        needle = f" {w} "
+        # overlapping ' a b a ' patterns can't overlap for distinct words+spaces,
+        # but consecutive stopwords share the separating space — double the
+        # spaces first so every token is independently surrounded.
+        total = total + _substr_count(F.regexp_replace(padded, r" ", "  "), needle)
+    return total
+
+
+def _substr_count(c: Column, needle: str) -> Column:
+    return ((F.length(c) - F.length(F.replace(c, F.lit(needle), F.lit("")))) / len(needle)).cast("long")
+
+
+def word_count(col: str) -> Column:
+    """Whitespace token count."""
+    t = F.trim(F.col(col))
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))
+    ).cast("long")
+
+
+def bpe_ish_token_count(col: str) -> Column:
+    """BPE-ish subword proxy: count of word-chunks plus punctuation
+    marks, where long words cost ceil(len/4) tokens (the ~4-chars-per-
+    token rule of thumb)."""
+    words = F.split(F.trim(F.col(col)), r"\s+")
+    per_word = F.transform(words, lambda w: F.ceil(F.length(w) / F.lit(4.0)).cast("long"))
+    return F.aggregate(per_word, F.lit(0).cast("long"), lambda a, v: a + v)
+
+
+def punct_ratio(col: str) -> Column:
+    c = F.col(col)
+    non_alnum = F.length(F.regexp_replace(c, r"[A-Za-z0-9\s]", ""))
+    return F.when(F.length(c) == 0, F.lit(0.0)).otherwise(non_alnum / F.length(c))
+
+
+def stopword_ratio(col: str) -> Column:
+    wc = word_count(col)
+    return F.when(wc == 0, F.lit(0.0)).otherwise(_word_hits(col, STOPWORDS) / wc)
+
+
+def avg_word_len(col: str) -> Column:
+    c = F.regexp_replace(F.trim(F.col(col)), r"\s+", " ")
+    wc = word_count(col)
+    chars = F.length(F.replace(c, F.lit(" "), F.lit("")))
+    return F.when(wc == 0, F.lit(0.0)).otherwise(chars / wc)
+
+
+def quality_score(col: str) -> Column:
+    """Composite [0,1] quality heuristic: long-enough docs with low
+    punctuation noise and a plausible stopword rate score high."""
+    length_term = F.least(F.length(F.col(col)) / F.lit(500.0), F.lit(1.0))
+    punct_term = F.lit(1.0) - F.least(punct_ratio(col) * 5, F.lit(1.0))
+    stop_term = F.least(stopword_ratio(col) * 4, F.lit(1.0))
+    return F.round((length_term + punct_term + stop_term) / 3, 6)
+
+
+def lang_id(col: str) -> Column:
+    """Argmax of per-language marker-stopword hit counts; 'und' when no
+    marker hits. Deterministic tie-break: language name ascending."""
+    scores = [(lang, _word_hits(col, ws)) for lang, ws in sorted(LANG_MARKERS.items())]
+    best = F.greatest(*[s for _, s in scores])
+    result = F.lit("und")
+    # reverse order so earlier languages win ties via later overwrite
+    for lang, s in reversed(scores):
+        result = F.when((s == best) & (best > 0), F.lit(lang)).otherwise(result)
+    return result
+
+
+def text_profile(df: DataFrame, col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One-pass profile of a document table — all metrics in a single
+    narrow projection (no shuffle)."""
+    return df.select(
+        F.col(id_col),
+        F.length(F.col(col)).cast("long").alias("n_chars"),
+        word_count(col).alias("n_words"),
+        bpe_ish_token_count(col).alias("n_tokens_est"),
+        F.round(avg_word_len(col), 6).alias("avg_word_len"),
+        F.round(punct_ratio(col), 6).alias("punct_ratio"),
+        F.round(stopword_ratio(col), 6).alias("stopword_ratio"),
+        quality_score(col).alias("quality_score"),
+        lang_id(col).alias("lang_pred"),
+        stable_fingerprint(normalize_text(col)).alias("fingerprint"),
+    )

@@ -1,0 +1,76 @@
+"""Path templating — {{base_path}} / {{latest}} / {{now}} expansion.
+
+Behavior parity with the reference's Path_Handler (reference:
+yaetos/etl_utils.py:1081-1119): ``{{now}}`` stamps an output run with
+``date%Y%m%d_time%H%M%S_utc``; ``{{latest}}`` resolves to the max
+lexicographic subfolder of the parent at read time (which is why the
+stamp format must sort correctly); ``{{base_path}}``/``{{root_path}}``
+come from mode params. S3 paths are rewritten s3:// → s3a:// for the
+hadoop connector (reference: yaetos/etl_utils.py:360).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import re
+
+NOW_FMT = "date%Y%m%d_time%H%M%S_utc"
+
+
+def now_stamp(now: dt.datetime | None = None) -> str:
+    now = now or dt.datetime.now(dt.timezone.utc)
+    return now.strftime(NOW_FMT)
+
+
+def is_s3_path(path: str) -> bool:
+    return path.startswith("s3://") or path.startswith("s3a://")
+
+
+def to_spark_path(path: str) -> str:
+    return re.sub(r"^s3://", "s3a://", path)
+
+
+def list_subfolders(parent: str, spark=None) -> list[str]:
+    """Immediate subfolder names of ``parent`` (local or hadoop FS)."""
+    if is_s3_path(parent) or "://" in parent:
+        if spark is None:
+            raise ValueError("listing a remote path requires a SparkSession")
+        jvm = spark._jvm
+        jsc = spark._jsc
+        conf = jsc.hadoopConfiguration()
+        p = jvm.org.apache.hadoop.fs.Path(to_spark_path(parent))
+        fs = p.getFileSystem(conf)
+        if not fs.exists(p):
+            return []
+        return [s.getPath().getName() for s in fs.listStatus(p) if s.isDirectory()]
+    if not os.path.isdir(parent):
+        return []
+    return [d for d in os.listdir(parent) if os.path.isdir(os.path.join(parent, d))]
+
+
+def expand_latest(path: str, spark=None) -> str:
+    """Replace each {{latest}} segment with the max lexicographic
+    subfolder at that level (reference: yaetos/etl_utils.py:1097-1104)."""
+    while "{{latest}}" in path:
+        head, _, tail = path.partition("{{latest}}")
+        parent = head.rstrip("/") or "."
+        subs = list_subfolders(parent, spark)
+        if not subs:
+            raise FileNotFoundError(f"no subfolders under '{parent}' to resolve {{{{latest}}}}")
+        path = head + max(subs) + tail
+    return path
+
+
+def expand_now(path: str, now: dt.datetime | None = None) -> str:
+    return path.replace("{{now}}", now_stamp(now))
+
+
+def expand_path(path: str, params: dict | None = None, now: dt.datetime | None = None, spark=None) -> str:
+    """Full expansion: {{key}} params, then {{now}}, then {{latest}}."""
+    params = params or {}
+    for k, v in params.items():
+        path = path.replace("{{" + k + "}}", str(v))
+    path = expand_now(path, now)
+    path = expand_latest(path, spark)
+    return to_spark_path(path)

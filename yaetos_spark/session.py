@@ -1,0 +1,72 @@
+"""SparkSession factory with scale-aware defaults.
+
+Behavior parity: the reference bootstraps a SparkSession per run with
+connector packages and memory overrides (reference:
+yaetos/etl_utils.py:1318-1359). Here the factory is Spark-first: AQE on
+(runtime re-plan, skew-join splitting, partition coalescing), UTC
+session timezone (oracle comparability), Arrow enabled for the
+pandas-UDF slow path, and shuffle parallelism sized from the
+environment rather than the 200-partition default.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Defaults tuned for this container (local[32], 128 GiB). On a real
+# cluster these are overridden by spark-submit/cluster conf; only the
+# adaptive + timezone settings matter universally.
+_DEFAULTS = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.ui.enabled": "false",
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # At 100 TB the default 128m maxPartitionBytes yields ~800k scan
+    # tasks; 256m halves scheduler pressure while staying in-memory.
+    "spark.sql.files.maxPartitionBytes": str(256 * 1024 * 1024),
+    # Spark has no native nanosecond timestamp; read INT64(TIMESTAMP_NANOS)
+    # parquet columns as raw longs (converted to micros by the loaders)
+    # instead of failing the scan.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def default_parallelism() -> int:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    if cpus:
+        return max(1, int(cpus))
+    return max(1, os.cpu_count() or 4)
+
+
+def get_spark(
+    app_name: str = "yaetos_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Create (or reuse) a SparkSession with engine defaults.
+
+    ``shuffle_partitions`` defaults to the local core count — right for
+    local mode; on a 1000-executor cluster pass ~2-3x total cores (or
+    rely on AQE coalescing from a high initial value).
+    """
+    n = default_parallelism()
+    builder = SparkSession.builder.appName(app_name)
+    builder = builder.master(master or f"local[{n}]")
+    conf = dict(_DEFAULTS)
+    conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions or n)
+    mem = os.environ.get("SPARK_DRIVER_MEMORY")
+    if mem:
+        conf["spark.driver.memory"] = mem
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,88 @@
+"""Typed output saving — format dispatch, mode policy, layout control.
+
+Behavior parity with the reference's ``save`` (reference:
+yaetos/etl_utils.py:595-655): write mode is ``append`` iff the job is
+incremental-partitioned or a partition layout is requested, else
+``error`` (fail on existing output); ``repartition: N`` compacts
+output; a ``_metadata`` sidecar records provenance.
+
+Scale notes: ``partitionBy`` on the incremental field gives partition
+pruning to every downstream reader. Compaction uses ``coalesce`` (no
+shuffle) when shrinking, ``repartition`` only when a hash layout is
+requested. Never ``collect`` — the row-count compaction heuristic the
+reference used (count()<500k → repartition(1)) is replaced by AQE
+coalescing, which does the same without a second job.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+from pyspark.sql import DataFrame
+
+
+def save_output(df: DataFrame, spec: dict, job_name: str = "", now: dt.datetime | None = None) -> None:
+    """Write one output spec.
+
+    spec keys: ``path``, ``type`` (parquet/csv/json/orc/txt/None),
+    optional ``partition_by`` (list or str), ``mode``, ``repartition``
+    (int), ``coalesce`` (int), ``incremental_type``, ``write_kwargs``,
+    ``save_metadata``.
+    """
+    otype = spec.get("type", "parquet")
+    if otype in (None, "None", "none"):
+        return  # no-output job (reference: yaetos/etl_utils.py:608-610)
+    path = spec["path"]
+
+    partition_by = spec.get("partition_by") or spec.get("partitionby")
+    if isinstance(partition_by, str):
+        partition_by = [partition_by]
+
+    # write-mode policy (reference: yaetos/etl_utils.py:622-623)
+    if spec.get("mode"):
+        mode = spec["mode"]
+    elif spec.get("incremental_type") == "partitioned" or partition_by:
+        mode = "append"
+    else:
+        mode = "error"
+
+    n_re = spec.get("repartition")
+    n_co = spec.get("coalesce")
+    if n_re:
+        df = df.repartition(int(n_re))
+    elif n_co:
+        df = df.coalesce(int(n_co))
+
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    kwargs = dict(spec.get("write_kwargs") or {})
+
+    if otype == "parquet":
+        writer.options(**kwargs).parquet(path)
+    elif otype == "orc":
+        writer.options(**kwargs).orc(path)
+    elif otype == "csv":
+        opts = {"header": True}
+        opts.update(kwargs)
+        writer.options(**opts).csv(path)
+    elif otype == "json":
+        writer.options(**kwargs).json(path)
+    elif otype == "txt":
+        writer.text(path)
+    else:
+        raise ValueError(f"unsupported output type '{otype}'")
+
+    if spec.get("save_metadata"):
+        _write_metadata_sidecar(path, job_name, now)
+
+
+def _write_metadata_sidecar(path: str, job_name: str, now: dt.datetime | None) -> None:
+    """_metadata.txt provenance sidecar (reference: yaetos/etl_utils.py:657-669)."""
+    now = now or dt.datetime.now(dt.timezone.utc)
+    if "://" in path:
+        return  # only local sidecars in v1; S3 via hadoop FS later
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "_metadata.txt"), "w") as fh:
+        fh.write(f"job_name: {job_name}\nsaved_at_utc: {now.isoformat()}\n")

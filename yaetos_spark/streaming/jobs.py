@@ -1,0 +1,77 @@
+"""Structured-Streaming flavor of the incremental loop.
+
+The reference has no streaming operators (SURVEY §2.10) — its
+incremental multi-pass batch loop is the substitute. Here the same
+semantics run engine-natively: a file-source stream with
+``trigger(availableNow=True)`` processes exactly the not-yet-seen
+files (checkpointed), which IS the reference's "catch up to now then
+stop" loop, but with Spark tracking the watermark instead of a
+max-timestamp probe.
+
+Also provides the standard streaming aggregation surface (watermark +
+tumbling/sliding windows) used by the streaming tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def incremental_file_stream(
+    spark: SparkSession,
+    path: str,
+    schema,
+    fmt: str = "parquet",
+) -> DataFrame:
+    """readStream over a growing folder — the streaming equivalent of
+    the reference's per-period input re-scan."""
+    return spark.readStream.format(fmt).schema(schema).load(path)
+
+
+def windowed_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window: str = "5 minutes",
+    slide: str | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked tumbling/sliding window counts — late data beyond
+    the watermark is dropped, state is bounded."""
+    win = F.window(ts_col, window, slide) if slide else F.window(ts_col, window)
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(win, F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total_value"))
+    )
+
+
+def run_available_now(stream_df: DataFrame, checkpoint: str, out_path: str, fmt: str = "parquet"):
+    """Process everything currently available, then stop — the
+    idempotent incremental pass."""
+    q = (
+        stream_df.writeStream.format(fmt)
+        .option("checkpointLocation", checkpoint)
+        .option("path", out_path)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete"):
+    """Drive a streaming query synchronously into an in-memory table
+    (test harness path)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return name
