@@ -792,13 +792,28 @@ def _minhash_lsh(spark, sf_dir):
     )
 
 
+def _hex_long_sql(col: str, start: int) -> str:
+    """DuckDB expression: 8 hex chars of ``col`` starting at ``start``
+    (1-based) parsed as BIGINT — equals Spark's conv(substr(...),16,10)."""
+    terms = " + ".join(
+        f"(strpos('0123456789abcdef', substr({col}, {start + j}, 1)) - 1) * {16 ** (7 - j)}"
+        for j in range(8)
+    )
+    return f"({terms})"
+
+
 def _minhash_oracle() -> str:
+    from yaetos_spark.operators.dedup import MINHASH_PRIME
+
     k, bands, n = _MINHASH_K, _MINHASH_BANDS, _NGRAM_N
     r = k // bands
-    mh_cols = ", ".join(f"min(md5('{i}:' || shingle)) AS mh{i}" for i in range(k))
+    mh_cols = ", ".join(
+        f"min((h1 + {i} * h2) % {MINHASH_PRIME}) AS mh{i}" for i in range(k)
+    )
     band_selects = "\nUNION ALL\n".join(
-        "SELECT id, {b} AS band, md5({concat}) AS bsig FROM sigs".format(
-            b=b, concat=" || '|' || ".join(f"mh{b * r + j}" for j in range(r))
+        "SELECT id, {b} AS band, {concat} AS bsig FROM sigs".format(
+            b=b,
+            concat="concat_ws('_', " + ", ".join(f"mh{b * r + j}" for j in range(r)) + ")",
         )
         for b in range(bands)
     )
@@ -812,8 +827,12 @@ sh AS (
             i -> array_to_string(t[i:i+{n - 1}], ' '))) END) AS shingle
   FROM toks
 ),
+hashed AS (
+  SELECT id, {_hex_long_sql('md5(shingle)', 1)} AS h1, {_hex_long_sql('md5(shingle)', 9)} AS h2
+  FROM sh
+),
 sigs AS (
-  SELECT id, {mh_cols} FROM sh GROUP BY id
+  SELECT id, {mh_cols} FROM hashed GROUP BY id
 ),
 buckets AS (
 {band_selects}

@@ -1,12 +1,14 @@
 """Shingle (n-gram) generation — pure Spark SQL higher-order functions.
 
-Word n-grams are built with transform(sequence(...)) + slice, so the
-whole pipeline stays in codegen; no Python tokenizer in the hot path.
+Word n-grams are built with transform(sequence(...)) + slice over a
+PRE-MATERIALIZED token array column. Materializing tokens first
+matters: referencing ``split(...)`` inside the transform lambda makes
+Spark re-evaluate the split per n-gram (O(words²) per document).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -15,11 +17,32 @@ def tokens(col: str) -> Column:
     return F.split(F.trim(F.col(col)), r"\s+")
 
 
-def word_ngrams(col: str, n: int) -> Column:
-    """Distinct word n-gram shingles of a text column as array<string>.
+def ngrams_from_tokens(tok_col: str, n: int) -> Column:
+    """Distinct word n-grams from an array<string> token column.
 
-    Documents shorter than n words yield a single shingle of the whole
-    text (so they still participate in similarity)."""
+    Docs shorter than n tokens yield one shingle of the whole text so
+    they still participate in similarity."""
+    t = tok_col
+    expr = (
+        f"CASE WHEN size({t}) < {n} THEN array(concat_ws(' ', {t})) "
+        f"ELSE array_distinct(transform(sequence(1, size({t}) - {n} + 1), "
+        f"i -> concat_ws(' ', slice({t}, i, {n})))) END"
+    )
+    return F.expr(expr)
+
+
+def word_ngram_rows(
+    df: DataFrame, text_col: str, id_col: str, n: int, out_id: str = "id", out_col: str = "shingle"
+) -> DataFrame:
+    """(id, shingle) rows: tokens materialized once per doc, then the
+    n-gram fan-out — two narrow projections, zero shuffles."""
+    toked = df.select(F.col(id_col).alias(out_id), tokens(text_col).alias("_toks"))
+    return toked.select(out_id, F.explode(ngrams_from_tokens("_toks", n)).alias(out_col))
+
+
+def word_ngrams(col: str, n: int) -> Column:
+    """Distinct word n-gram shingles of a raw text column (convenience;
+    for hot paths prefer :func:`word_ngram_rows`)."""
     t = f"split(trim({col}), '\\\\s+')"
     expr = (
         f"CASE WHEN size({t}) < {n} THEN array(concat_ws(' ', {t})) "

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from yaetos_spark.functions.hashing import normalize_text, stable_fingerprint
-from yaetos_spark.functions.shingles import word_ngrams
+from yaetos_spark.functions.shingles import word_ngram_rows
 
 
 # -- exact ------------------------------------------------------------
@@ -71,10 +71,7 @@ def shingle_rows(
 ) -> DataFrame:
     """(id, shingle) rows, distinct per doc; optionally drop shingles
     occurring in more than ``max_df`` docs (boilerplate guard)."""
-    rows = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(word_ngrams(text_col, n)).alias("shingle"),
-    )
+    rows = word_ngram_rows(df, text_col, id_col, n)
     if max_df:
         hot = (
             rows.groupBy("shingle")
@@ -126,6 +123,22 @@ def jaccard_pairs(
 # -- MinHash + LSH ----------------------------------------------------
 
 
+# prime > 2^32 for the Kirsch-Mitzenmacher hash family
+MINHASH_PRIME = 4294967311
+
+
+def _minhash_aggs(num_hashes: int):
+    """K min() aggregates from ONE md5 per shingle (Kirsch-Mitzenmacher:
+    g_i = (h1 + i*h2) mod p simulates K independent hash functions).
+    All integer math — exactly reproducible in any engine with md5."""
+    h1 = F.conv(F.substring(F.md5(F.col("shingle")), 1, 8), 16, 10).cast("long")
+    h2 = F.conv(F.substring(F.md5(F.col("shingle")), 9, 8), 16, 10).cast("long")
+    return [
+        F.min((h1 + F.lit(i) * h2) % F.lit(MINHASH_PRIME)).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -134,19 +147,9 @@ def minhash_signatures(
     num_hashes: int = 16,
     max_df: int | None = None,
 ) -> DataFrame:
-    """K lexicographic-min md5 minhashes per doc, one groupBy shuffle.
-
-    minhash_i(doc) = min over shingles of md5('{i}:' || shingle) — a
-    valid minhash family (md5 is uniform; hex-string min is a total
-    order), and exactly reproducible in any engine with md5.
-    Computed as K min() aggregates in ONE aggregation: no row blowup.
-    """
+    """K minhashes per doc in one groupBy shuffle, no row blowup."""
     rows = shingle_rows(df, text_col, id_col, n, max_df)
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh{i}")
-        for i in range(num_hashes)
-    ]
-    return rows.groupBy("id").agg(*aggs)
+    return rows.groupBy("id").agg(*_minhash_aggs(num_hashes))
 
 
 def lsh_candidates(
@@ -165,7 +168,7 @@ def lsh_candidates(
     for b in range(bands):
         slice_cols = [F.col(f"mh{b * r + j}") for j in range(r)]
         band_cols.append(
-            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *slice_cols)).alias("sig"))
+            F.struct(F.lit(b).alias("band"), F.concat_ws("_", *slice_cols).alias("sig"))
         )
     buckets = signatures.select(
         F.col("id"), F.explode(F.array(*band_cols)).alias("bk")
@@ -201,11 +204,7 @@ def minhash_lsh_pairs(
     are equi-joins on hash keys, AQE handles residual skew.
     """
     rows = shingle_rows(df, text_col, id_col, n, max_df).persist()
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh{i}")
-        for i in range(num_hashes)
-    ]
-    sigs = rows.groupBy("id").agg(*aggs)
+    sigs = rows.groupBy("id").agg(*_minhash_aggs(num_hashes))
     cands = lsh_candidates(sigs, num_hashes, bands)
     # verify candidates with exact jaccard over the shingle sets
     sizes = rows.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
