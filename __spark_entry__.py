@@ -972,6 +972,352 @@ def _lsh_ann_pairs(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------
+# corpus extension: pivot / cube / grouping sets / window frames /
+# sessionization / arrays / strings / multimodal
+# ---------------------------------------------------------------------
+
+
+def _pivot_status(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    piv = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    # empty combos come back null from pivot; oracle's CASE-count gives 0
+    return piv.select(
+        "o_orderpriority",
+        F.coalesce("O", F.lit(0)).alias("n_open"),
+        F.coalesce("F", F.lit(0)).alias("n_filled"),
+        F.coalesce("P", F.lit(0)).alias("n_pending"),
+    )
+
+
+_PIVOT_SQL = """
+SELECT o_orderpriority,
+       count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_open,
+       count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_filled,
+       count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_pending
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def _cube_counts(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"), _dsum(F.col("l_quantity")).alias("sum_qty")
+    )
+
+
+_CUBE_SQL = """
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+       CAST(sum(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sum_qty
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def _grouping_sets_rev(spark, sf_dir):
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS total_price
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+_GROUPING_SETS_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS total_price
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+"""
+
+
+def _window_frames_ex2(spark, sf_dir):
+    """ex2-style sessionization via first/last window functions with an
+    EXPLICIT full frame — the frame the reference got wrong by default
+    (reference: jobs/examples/ex2_frameworked_job.py:31-32 comment)."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        ev.select(
+            "user_id",
+            F.unix_timestamp(F.first("ts").over(w)).alias("first_sec"),
+            F.unix_timestamp(F.last("ts").over(w)).alias("last_sec"),
+            F.count(F.lit(1)).over(w).alias("n_events"),
+        )
+        .distinct()
+    )
+
+
+_WINDOW_FRAMES_SQL = """
+SELECT DISTINCT user_id,
+       CAST(floor(extract(epoch FROM first_value(ts) OVER w)) AS BIGINT) AS first_sec,
+       CAST(floor(extract(epoch FROM last_value(ts) OVER w)) AS BIGINT) AS last_sec,
+       count(*) OVER w AS n_events
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+_SESSION_GAP_SEC = 1800
+
+
+def _sessionize_events(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    sess = WOP.sessionize(ev, key="user_id", ts_col="ts", gap_seconds=_SESSION_GAP_SEC)
+    return sess.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.unix_timestamp(F.min("ts")).alias("first_sec"),
+        F.unix_timestamp(F.max("ts")).alias("last_sec"),
+    )
+
+
+_SESSIONIZE_SQL = f"""
+WITH g AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                OR CAST(floor(extract(epoch FROM ts)) AS BIGINT)
+                   - CAST(floor(extract(epoch FROM lag(ts) OVER (PARTITION BY user_id ORDER BY ts))) AS BIGINT)
+                   > {_SESSION_GAP_SEC}
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+s AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM g
+)
+SELECT user_id, session_seq, count(*) AS n_events,
+       CAST(floor(extract(epoch FROM min(ts))) AS BIGINT) AS first_sec,
+       CAST(floor(extract(epoch FROM max(ts))) AS BIGINT) AS last_sec
+FROM s GROUP BY user_id, session_seq
+"""
+
+
+def _collect_types(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_set("event_type")).alias("types"),
+        F.countDistinct("event_type").alias("n_types"),
+    )
+
+
+_COLLECT_SQL = """
+SELECT user_id, list_sort(list(DISTINCT event_type)) AS types,
+       count(DISTINCT event_type) AS n_types
+FROM events GROUP BY user_id
+"""
+
+
+def _string_funcs(spark, sf_dir):
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.substring("p_name", 1, 5).alias("name_prefix"),
+        F.replace(F.col("p_type"), F.lit("A"), F.lit("#")).alias("type_masked"),
+        F.concat_ws("-", "p_brand", "p_type").alias("brand_type"),
+        F.length("p_name").alias("name_len"),
+        F.reverse("p_name").alias("name_rev"),
+        F.instr("p_name", "a").alias("first_a"),
+    )
+
+
+_STRING_FUNCS_SQL = """
+SELECT p_partkey,
+       upper(p_name) AS name_upper,
+       substr(p_name, 1, 5) AS name_prefix,
+       replace(p_type, 'A', '#') AS type_masked,
+       concat_ws('-', p_brand, p_type) AS brand_type,
+       CAST(length(p_name) AS INT) AS name_len,
+       reverse(p_name) AS name_rev,
+       CAST(strpos(p_name, 'a') AS INT) AS first_a
+FROM part
+"""
+
+
+def _lead_order_gaps(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gap_days = F.datediff(F.lead("o_orderdate").over(w), F.col("o_orderdate"))
+    return (
+        orders.withColumn("gap_days", gap_days)
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.count("gap_days").alias("n_gaps"),
+            F.avg("gap_days").alias("avg_gap_days"),
+            F.max("gap_days").alias("max_gap_days"),
+        )
+    )
+
+
+_LEAD_SQL = """
+WITH g AS (
+  SELECT o_custkey,
+         CAST(date_diff('day', CAST(o_orderdate AS DATE),
+              CAST(lead(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DATE)) AS INT) AS gap_days
+  FROM orders
+)
+SELECT o_custkey, count(*) AS n_orders, count(gap_days) AS n_gaps,
+       avg(gap_days) AS avg_gap_days, max(gap_days) AS max_gap_days
+FROM g GROUP BY o_custkey
+"""
+
+
+def _ntile_price_bands(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice")
+    return (
+        orders.withColumn("band", F.ntile(4).over(w))
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+    )
+
+
+_NTILE_SQL = """
+SELECT band, count(*) AS n, min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+FROM (SELECT o_totalprice, CAST(ntile(4) OVER (ORDER BY o_totalprice) AS INT) AS band FROM orders)
+GROUP BY band
+"""
+
+
+def _revenue_share(spark, sf_dir):
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    per_nation = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,4)")).alias("_rev_dec")
+        )
+    )
+    w = Window.partitionBy("r_name")
+    return per_nation.select(
+        "r_name",
+        "n_name",
+        F.col("_rev_dec").cast("double").alias("revenue"),
+        (F.col("_rev_dec").cast("double") / F.sum("_rev_dec").over(w).cast("double")).alias("region_share"),
+    )
+
+
+_REVENUE_SHARE_SQL = """
+WITH per_nation AS (
+  SELECT r_name, n_name,
+         sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS rev_dec
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY r_name, n_name
+)
+SELECT r_name, n_name, CAST(rev_dec AS DOUBLE) AS revenue,
+       CAST(rev_dec AS DOUBLE) / CAST(sum(rev_dec) OVER (PARTITION BY r_name) AS DOUBLE) AS region_share
+FROM per_nation
+"""
+
+
+def _in_subquery_parts(spark, sf_dir):
+    _t(spark, sf_dir, "part").createOrReplaceTempView("part")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT p_partkey, p_name, p_retailprice
+        FROM part
+        WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 49)
+        """
+    )
+
+
+_IN_SUBQUERY_SQL = """
+SELECT p_partkey, p_name, p_retailprice
+FROM part
+WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 49)
+"""
+
+
+def _distinct_users_daily(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.countDistinct(
+                F.when(F.col("event_type") == "purchase", F.col("user_id"))
+            ).alias("n_buyers"),
+        )
+    )
+
+
+_DISTINCT_DAILY_SQL = """
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+       count(DISTINCT user_id) AS n_users,
+       count(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END) AS n_buyers
+FROM events GROUP BY 1
+"""
+
+
+def _approx_distinct_parts(spark, sf_dir):
+    # HLL sketch — engine-specific estimates, so no value oracle; the
+    # driver records a rows-only check. Kept because approximate
+    # distinct is a first-class operator at 100 TB.
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+
+
+def _multimodal_decode(spark, sf_dir):
+    """Documents as fake media: utf-8 bytes → binary content column →
+    Arrow-batched decode stub (deterministic dims from sha256)."""
+    from yaetos_spark.operators.multimodal import decode_image
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "utf-8").alias("content"),
+    )
+    return decode_image(media, fake=True)
+
+
+def _multimodal_oracle() -> str:
+    # sha256(VARCHAR) hashes the utf-8 bytes — same as the stub's
+    # hashlib.sha256 over encode(text, 'utf-8')
+    h = _hex_long_sql("sha256(text)", 1)
+    return f"""
+SELECT doc_id AS media_id,
+       CAST(64 + {h} % 512 AS INT) AS width,
+       CAST(64 + CAST(floor({h} / 512) AS BIGINT) % 512 AS INT) AS height,
+       3 AS n_channels,
+       sha256(text) AS sha256
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------
 
@@ -1011,6 +1357,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _ann_cosine_topk,
         "embedding_near_dup": _embedding_near_dup,
         "lsh_ann_pairs": _lsh_ann_pairs,
+        "pivot_status": _pivot_status,
+        "cube_counts": _cube_counts,
+        "grouping_sets_rev": _grouping_sets_rev,
+        "window_frames_ex2": _window_frames_ex2,
+        "sessionize_events": _sessionize_events,
+        "collect_types": _collect_types,
+        "string_funcs": _string_funcs,
+        "lead_order_gaps": _lead_order_gaps,
+        "ntile_price_bands": _ntile_price_bands,
+        "revenue_share": _revenue_share,
+        "in_subquery_parts": _in_subquery_parts,
+        "distinct_users_daily": _distinct_users_daily,
+        "approx_distinct_parts": _approx_distinct_parts,
+        "multimodal_decode": _multimodal_decode,
     }
 
 
@@ -1049,4 +1409,18 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": _ANN_SQL,
         "embedding_near_dup": _NEAR_DUP_SQL,
         # lsh_ann_pairs: intentionally no oracle (seeded hyperplanes)
+        "pivot_status": _PIVOT_SQL,
+        "cube_counts": _CUBE_SQL,
+        "grouping_sets_rev": _GROUPING_SETS_SQL,
+        "window_frames_ex2": _WINDOW_FRAMES_SQL,
+        "sessionize_events": _SESSIONIZE_SQL,
+        "collect_types": _COLLECT_SQL,
+        "string_funcs": _STRING_FUNCS_SQL,
+        "lead_order_gaps": _LEAD_SQL,
+        "ntile_price_bands": _NTILE_SQL,
+        "revenue_share": _REVENUE_SHARE_SQL,
+        "in_subquery_parts": _IN_SUBQUERY_SQL,
+        "distinct_users_daily": _DISTINCT_DAILY_SQL,
+        # approx_distinct_parts: no oracle (HLL estimates are engine-specific)
+        "multimodal_decode": _multimodal_oracle(),
     }
