@@ -20,7 +20,7 @@ def test_queries_have_oracles():
     assert not missing, f"oracle without query: {missing}"
     # every query except explicitly non-SQL-expressible ones has an oracle
     no_oracle = set(qs) - set(oracles)
-    assert no_oracle <= {"lsh_ann_pairs"}
+    assert no_oracle <= {"lsh_ann_pairs", "approx_distinct_parts"}
 
 
 def test_each_query_runs(spark, sf_dir):

@@ -1,0 +1,165 @@
+import datetime as dt
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from jobs.generic.compare_job import CompareJob
+from jobs.generic.copy_job import CopyJob
+from jobs.generic.list_files_job import ListFilesJob
+from jobs.generic.multi_region_job import run_per_region
+from yaetos_spark.alerts import build_failure_email
+from yaetos_spark.job import InputLoader, SparkJob
+from yaetos_spark.plans.incremental import run_multi_pass
+from yaetos_spark.sources.catalog import register_external_table, save_as_table
+
+
+def test_copy_job(spark, tmp_path):
+    src = spark.createDataFrame([(1,), (2,)], "id int")
+    src.write.parquet(str(tmp_path / "in"))
+    job = CopyJob(
+        {
+            "inputs": {"src": {"path": str(tmp_path / "in"), "type": "parquet"}},
+            "output": {"path": str(tmp_path / "out"), "type": "parquet"},
+            "add_created_at": False,
+        }
+    )
+    assert job.etl(spark).count() == 2
+
+
+def test_compare_job_identical_and_diff(spark):
+    a = spark.createDataFrame([(1, 10.0), (2, 20.0)], "id int, v double")
+    job = CompareJob({"pks": ["id"], "add_created_at": False})
+    out = job.etl_no_io(spark, {"tableA": a, "tableB": a})
+    assert out.collect()[0].status == "identical"
+    b = spark.createDataFrame([(1, 10.0), (2, 99.0), (3, 1.0)], "id int, v double")
+    out2 = CompareJob({"pks": ["id"], "add_created_at": False}).etl_no_io(
+        spark, {"tableA": a, "tableB": b}
+    )
+    ids = sorted(r.id for r in out2.collect())
+    assert ids == [2, 3]  # 2 mismatches, 3 only in B
+
+
+def test_list_files_job(spark, tmp_path):
+    (tmp_path / "d").mkdir()
+    (tmp_path / "d" / "a.csv").write_text("x")
+    (tmp_path / "d" / "b.txt").write_text("y")
+    job = ListFilesJob({"list_path": str(tmp_path / "d"), "glob": "*.csv", "add_created_at": False})
+    out = job.etl_no_io(spark, None)
+    files = [r.path for r in out.collect()]
+    assert len(files) == 1 and files[0].endswith("a.csv")
+
+
+def test_multi_region(spark, tmp_path):
+    for region in ["us", "eu"]:
+        spark.createDataFrame([(region, 1)], "r string, v int").write.parquet(
+            str(tmp_path / f"in_{region}")
+        )
+
+    class Child(SparkJob):
+        def transform(self, src):
+            return src
+
+    outputs = run_per_region(
+        spark,
+        Child,
+        {
+            "inputs": {"src": {"path": str(tmp_path) + "/in_{{region}}", "type": "parquet"}},
+            "output": {"path": str(tmp_path) + "/out_{{region}}", "type": "parquet"},
+            "add_created_at": False,
+        },
+        ["us", "eu"],
+    )
+    assert set(outputs) == {"us", "eu"}
+    assert spark.read.parquet(str(tmp_path / "out_us")).collect()[0].r == "us"
+
+
+def test_input_loader(spark, tmp_path):
+    spark.createDataFrame([(1,)], "id int").write.parquet(str(tmp_path / "x"))
+    loader = InputLoader({"inputs": {"x": {"path": str(tmp_path / "x"), "type": "parquet"}}})
+    dfs = loader.load(spark)
+    assert dfs["x"].count() == 1
+    assert spark.sql("SELECT * FROM x").count() == 1
+
+
+def test_schema_snapshot(spark, tmp_path):
+    class J(SparkJob):
+        def transform(self, src):
+            return src.withColumn("y", F.lit(1))
+
+    src = spark.createDataFrame([(1,)], "id int")
+    job = J({"save_schemas": True, "schemas_dir": str(tmp_path / "schemas"), "job_name": "j1",
+             "add_created_at": False})
+    job.etl_no_io(spark, {"src": src})
+    import yaml
+
+    snap = yaml.safe_load(open(tmp_path / "schemas" / "j1.yaml"))
+    assert snap["inputs"]["src"] == {"id": "int"}
+    assert snap["output"] == {"id": "int", "y": "int"}
+
+
+def test_multi_pass_incremental(spark, tmp_path):
+    """First build processes all periods; second run resumes after the
+    watermark; each period appends a partition."""
+    src = spark.createDataFrame(
+        [
+            (1, "2024-01-01"), (2, "2024-01-01"),
+            (3, "2024-01-02"),
+            (4, "2024-01-04"),
+        ],
+        "id int, d string",
+    ).withColumn("ts", F.to_timestamp("d"))
+    src.write.parquet(str(tmp_path / "src"))
+    out_path = str(tmp_path / "inc_out")
+
+    class IncJob(SparkJob):
+        def transform(self, src):
+            return src.withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+
+    def make_job(period):
+        return IncJob(
+            {
+                "inputs": {"src": {"path": str(tmp_path / "src"), "type": "parquet", "inc_field": "ts"}},
+                "output": {
+                    "path": out_path, "type": "parquet", "inc_field": "ts",
+                    "partition_by": "day", "incremental_type": "partitioned",
+                },
+                "period": period,
+                "add_created_at": False,
+            }
+        )
+
+    done = run_multi_pass(spark, make_job, "2024-01-01", last_day=dt.date(2024, 1, 3))
+    assert done == ["2024-01-01", "2024-01-02", "2024-01-03"]
+    assert spark.read.parquet(out_path).count() == 3  # day 3 empty
+    assert os.path.isdir(tmp_path / "inc_out" / "day=2024-01-01")
+
+    # resume: watermark = 2024-01-02 → starts at 01-03, catches 01-04
+    done2 = run_multi_pass(spark, make_job, "2024-01-01", last_day=dt.date(2024, 1, 4))
+    assert done2 == ["2024-01-03", "2024-01-04"]
+    assert spark.read.parquet(out_path).count() == 4
+
+    # output_empty criterion stops at the first empty period
+    done3 = run_multi_pass(
+        spark, make_job, "2024-01-05", last_day=dt.date(2024, 1, 7), rerun_criteria="output_empty"
+    )
+    assert done3 == ["2024-01-05"]
+
+
+def test_catalog_registration(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string")
+    loc = str(tmp_path / "tbl")
+    df.write.parquet(loc)
+    register_external_table(spark, "ext_tbl", loc)
+    assert spark.sql("SELECT count(*) FROM ext_tbl").collect()[0][0] == 2
+    spark.sql("DROP TABLE ext_tbl")
+    save_as_table(df, "managed_tbl")
+    assert spark.table("managed_tbl").count() == 2
+    spark.sql("DROP TABLE managed_tbl")
+
+
+def test_failure_email_build():
+    msg = build_failure_email("job_x", "boom", ["a@b.c", "d@e.f"])
+    assert "job_x" in msg["Subject"]
+    assert msg["To"] == "a@b.c, d@e.f"
+    assert "boom" in msg.get_content()

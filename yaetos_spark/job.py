@@ -69,6 +69,12 @@ class SparkJob:
     def output_spec(self) -> dict:
         return self.params.get("output") or self.OUTPUT
 
+    def output_pks(self) -> list | None:
+        """Primary key the framework asserts unique on the OUTPUT.
+        Jobs whose ``pks`` param refers to something else (e.g. the
+        compare job's join keys) override this to opt out."""
+        return self.params.get("pks") or self.PKS
+
     def load_inputs(self) -> dict[str, DataFrame]:
         loaded = self.params.get("_loaded_inputs") or {}
         dfs = {}
@@ -99,7 +105,29 @@ class SparkJob:
         output = self.transform(**dfs)
         if output is not None and self.params.get("add_created_at", True):
             output = add_created_at(output, self._now)
+        if output is not None and self.params.get("save_schemas"):
+            self.snapshot_schemas(dfs, output)
         return output
+
+    def snapshot_schemas(self, inputs: dict[str, DataFrame], output: DataFrame) -> str:
+        """Dump per-input/output {column: dtype} to
+        ``schemas/<job>.yaml`` for observability (reference:
+        Schema_Builder, yaetos/etl_utils.py:804-821)."""
+        import os
+
+        import yaml
+
+        snap = {
+            "job_name": self.job_name,
+            "inputs": {name: dict(df.dtypes) for name, df in inputs.items()},
+            "output": dict(output.dtypes),
+        }
+        out_dir = self.params.get("schemas_dir", "schemas")
+        os.makedirs(out_dir, exist_ok=True)
+        path = os.path.join(out_dir, f"{self.job_name}.yaml")
+        with open(path, "w") as fh:
+            yaml.safe_dump(snap, fh, sort_keys=False)
+        return path
 
     def etl(self, spark: SparkSession) -> DataFrame:
         """Full pass: etl_no_io + quality gate + save
@@ -109,7 +137,7 @@ class SparkJob:
             return None
         if not self.params.get("no_fw_cache"):
             output = output.persist()
-        pks = self.params.get("pks") or self.PKS
+        pks = self.output_pks()
         if pks:
             assert check_pk(output, pks), f"primary key {pks} not unique in {self.job_name} output"
         out_spec = dict(self.output_spec())
@@ -142,6 +170,21 @@ class SqlJob(SparkJob):
     def transform(self, **dfs) -> DataFrame:
         sql = self.params.get("sql") or strip_param_lines(open(self.sql_file).read())
         return self.query(sql)
+
+
+class InputLoader(SparkJob):
+    """Load a job's registry inputs without running a transform — for
+    notebooks/dashboards (reference: yaetos/etl_utils.py:1398-1415)."""
+
+    def load(self, spark: SparkSession) -> dict[str, DataFrame]:
+        self.spark = spark
+        dfs = self.load_inputs()
+        for name, df in dfs.items():
+            self.sql_register(name, df)
+        return dfs
+
+    def transform(self, **dfs):  # pragma: no cover - not used
+        raise NotImplementedError("InputLoader only loads inputs")
 
 
 def parse_sql_file_params(text: str) -> dict:

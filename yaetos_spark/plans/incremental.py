@@ -81,6 +81,54 @@ def filter_incremental_inputs(
     return out
 
 
+def run_multi_pass(
+    spark,
+    make_job,
+    first_day: str,
+    last_day=None,
+    rerun_criteria: str = "last_date",
+):
+    """The incremental driver loop (reference: yaetos/etl_utils.py:97-137
+    ``etl_multi_pass``): replay daily periods from the last materialized
+    watermark (or ``first_day`` on the first build) up to yesterday,
+    running one idempotent append per period.
+
+    ``make_job(period: str) -> SparkJob`` builds a job configured for
+    one period (the job's output spec should append — partitioned by
+    the inc field for pruning). ``rerun_criteria``:
+
+    - ``last_date``: next run starts after max(inc_field) of existing
+      output (empty days are skipped forever — the reference documents
+      this pitfall for gappy data).
+    - ``output_empty``: stop the loop at the first empty period so it
+      is retried next run (stalls on legitimately-empty days — also a
+      documented reference pitfall).
+    - ``both``: start from the watermark but stop on empty.
+
+    Returns the list of periods actually processed.
+    """
+    probe_job = make_job(first_day)
+    out_spec = probe_job.output_spec()
+    inc_field = out_spec.get("inc_field")
+    start = first_day
+    if rerun_criteria in ("last_date", "both") and inc_field and out_spec.get("path"):
+        last = get_output_max_timestamp(spark, out_spec["path"], inc_field, out_spec.get("type", "parquet"))
+        if last is not None:
+            last_date = dt.date.fromisoformat(str(last)[:10]) + dt.timedelta(days=1)
+            start = max(start, last_date.isoformat())
+    processed = []
+    for period in get_periods(start, last_day):
+        job = make_job(period)
+        out = job.etl(spark)
+        processed.append(period)
+        is_empty = out is None or out.isEmpty()
+        if is_empty and rerun_criteria in ("output_empty", "both"):
+            break
+        if out is not None:
+            out.unpersist()
+    return processed
+
+
 def min_of_max_timestamps(inputs: dict[str, DataFrame], specs: dict[str, dict]):
     """Min across inputs of each input's max(inc_field) — the safe
     upper watermark when inputs arrive at different speeds
