@@ -1317,6 +1317,61 @@ FROM documents
 """
 
 
+def _wordcount_top(spark, sf_dir):
+    """The reference's canonical wordcount example (reference:
+    jobs/examples/wordcount_frameworked_job.py — reduceByKey over an
+    RDD), re-expressed as explode+groupBy so it codegens and shuffles
+    with map-side combine."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("word"))
+        .limit(20)
+    )
+
+
+_WORDCOUNT_SQL = r"""
+SELECT word, count(*) AS n
+FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word FROM documents)
+GROUP BY word
+ORDER BY n DESC, word
+LIMIT 20
+"""
+
+
+def _salted_hot_keys(spark, sf_dir):
+    """Skew-safe two-phase count — identical result to a plain groupBy
+    (which IS the oracle), exercised over the events table."""
+    from yaetos_spark.operators.skew import salted_count
+
+    ev = _t(spark, sf_dir, "events")
+    return salted_count(ev, ["event_type"], salt_buckets=16, count_col="n")
+
+
+_SALTED_SQL = """
+SELECT event_type, count(*) AS n FROM events GROUP BY event_type
+"""
+
+
+def _range_band_join(spark, sf_dir):
+    """Band join: customer/supplier account-balance matches within a
+    tolerance — bucketized, no cross join."""
+    from yaetos_spark.operators.rangejoin import band_join
+
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_acctbal")
+    out = band_join(cust, supp, "c_acctbal", "s_acctbal", tolerance=10.0)
+    return out.select("c_custkey", "s_suppkey", "c_acctbal", "s_acctbal")
+
+
+_RANGE_BAND_SQL = """
+SELECT c_custkey, s_suppkey, c_acctbal, s_acctbal
+FROM customer JOIN supplier ON abs(c_acctbal - s_acctbal) <= 10.0
+"""
+
+
 # ---------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------
@@ -1371,6 +1426,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_users_daily": _distinct_users_daily,
         "approx_distinct_parts": _approx_distinct_parts,
         "multimodal_decode": _multimodal_decode,
+        "wordcount_top": _wordcount_top,
+        "salted_hot_keys": _salted_hot_keys,
+        "range_band_join": _range_band_join,
     }
 
 
@@ -1423,4 +1481,7 @@ def oracle_sql() -> dict[str, str]:
         "distinct_users_daily": _DISTINCT_DAILY_SQL,
         # approx_distinct_parts: no oracle (HLL estimates are engine-specific)
         "multimodal_decode": _multimodal_oracle(),
+        "wordcount_top": _WORDCOUNT_SQL,
+        "salted_hot_keys": _SALTED_SQL,
+        "range_band_join": _RANGE_BAND_SQL,
     }

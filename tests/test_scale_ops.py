@@ -1,0 +1,84 @@
+from pyspark.sql import functions as F
+
+from yaetos_spark.operators.rangejoin import band_join, interval_join
+from yaetos_spark.operators.skew import replicated_skew_join, salted_agg, salted_count
+
+
+def test_salted_count_matches_plain(spark):
+    df = spark.createDataFrame([("a",)] * 500 + [("b",)] * 3, "k string")
+    salted = {r.k: r.n for r in salted_count(df, ["k"]).collect()}
+    plain = {r.k: r["count"] for r in df.groupBy("k").count().collect()}
+    assert salted == plain
+
+
+def test_salted_agg_matches_plain(spark):
+    df = spark.createDataFrame([("a", 1.0), ("a", 2.0), ("b", 5.0)], "k string, v double")
+    out = {r.k: r.total for r in salted_agg(df, ["k"], {"v": "total"}).collect()}
+    assert out == {"a": 3.0, "b": 5.0}
+
+
+def test_replicated_skew_join(spark):
+    big = spark.createDataFrame([(1, "x")] * 100 + [(2, "y")], "k int, v string")
+    small = spark.createDataFrame([(1, "dim1"), (2, "dim2")], "k int, d string")
+    out = replicated_skew_join(big, small, "k")
+    assert out.count() == 101
+    assert out.filter("k = 2").collect()[0].d == "dim2"
+
+
+def test_interval_join(spark):
+    points = spark.createDataFrame([(1, 5.0), (2, 15.0), (3, 99.0)], "pid int, x double")
+    intervals = spark.createDataFrame(
+        [(10, 0.0, 10.0), (20, 12.0, 20.0)], "iid int, lo double, hi double"
+    )
+    out = {(r.pid, r.iid) for r in interval_join(points, intervals, "x", "lo", "hi", 10.0).collect()}
+    assert out == {(1, 10), (2, 20)}
+
+
+def test_band_join_matches_naive(spark):
+    left = spark.createDataFrame([(i, float(i)) for i in range(50)], "lid int, lv double")
+    right = spark.createDataFrame([(i, i * 2.5) for i in range(30)], "rid int, rv double")
+    fast = {(r.lid, r.rid) for r in band_join(left, right, "lv", "rv", tolerance=1.0).collect()}
+    naive = {
+        (r.lid, r.rid)
+        for r in left.crossJoin(right).filter(F.abs(F.col("lv") - F.col("rv")) <= 1.0).collect()
+    }
+    assert fast == naive
+
+
+def test_stateful_sessionize_across_batches(spark, tmp_path):
+    """Drive the stateful sessionizer through two real micro-batch
+    runs sharing a checkpoint: the open session from run 1 is closed by
+    a later event arriving in run 2 (state survives the restart)."""
+    from yaetos_spark.streaming.stateful import stateful_sessionize
+
+    path = str(tmp_path / "ev")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "sessions")
+
+    def run_batch():
+        stream = spark.readStream.schema("user_id long, sec long").parquet(path)
+        sessions = stateful_sessionize(stream, gap_seconds=1800)
+        q = (
+            sessions.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    spark.createDataFrame([(1, 1000), (1, 1100), (2, 2000)], "user_id long, sec long") \
+        .coalesce(1).write.mode("append").parquet(path)
+    run_batch()
+    assert spark.read.parquet(out).count() == 0  # all sessions still open
+
+    # batch 2: event past the gap closes user 1's first session
+    spark.createDataFrame([(1, 5000)], "user_id long, sec long") \
+        .coalesce(1).write.mode("append").parquet(path)
+    run_batch()
+    rows = [
+        (r.user_id, r.session_start_sec, r.session_end_sec, r.n_events)
+        for r in spark.read.parquet(out).collect()
+    ]
+    assert rows == [(1, 1000, 1100, 2)]

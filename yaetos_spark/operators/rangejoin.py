@@ -1,0 +1,68 @@
+"""Range / interval joins without a cross join.
+
+Spark has no native range-join optimization (Databricks' range-join
+hint is proprietary); the portable scale pattern is bucketization:
+quantize the range dimension, equi-join on the bucket (candidate
+pairs are adjacent buckets only), then apply the exact predicate.
+Cost: linear in data + true match volume, instead of |L|×|R|.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_width: float | int,
+    how: str = "inner",
+) -> DataFrame:
+    """Join point rows to interval rows with
+    ``start <= point <= end``.
+
+    Intervals are exploded to the buckets they overlap (an interval of
+    width w covers ~w/bucket_width buckets — pick bucket_width near the
+    median interval width); points land in exactly one bucket; the
+    equi-join on the bucket is followed by the exact containment
+    filter. All JVM-side."""
+    p = points.withColumn("_bk", F.floor(F.col(point_col) / F.lit(bucket_width)).cast("long"))
+    iv = intervals.withColumn(
+        "_bk",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_col) / F.lit(bucket_width)).cast("long"),
+                F.floor(F.col(end_col) / F.lit(bucket_width)).cast("long"),
+            )
+        ),
+    )
+    joined = p.join(iv, "_bk", how).filter(
+        (F.col(point_col) >= F.col(start_col)) & (F.col(point_col) <= F.col(end_col))
+    )
+    return joined.drop("_bk")
+
+
+def band_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    tolerance: float | int,
+    bucket_width: float | int | None = None,
+) -> DataFrame:
+    """Join rows where ``|left.left_col - right.right_col| <= tolerance``
+    (a band join). Each side maps to its bucket; left probes its own and
+    both neighbor buckets — with bucket_width >= tolerance a true match
+    can never be further than one bucket away."""
+    w = bucket_width or tolerance
+    l_b = left.withColumn("_bk", F.floor(F.col(left_col) / F.lit(w)).cast("long"))
+    r_b = right.withColumn("_bk0", F.floor(F.col(right_col) / F.lit(w)).cast("long"))
+    l_probe = l_b.withColumn("_bk", F.explode(F.array(F.col("_bk") - 1, F.col("_bk"), F.col("_bk") + 1)))
+    joined = l_probe.join(r_b, l_probe._bk == r_b._bk0).filter(
+        F.abs(F.col(left_col) - F.col(right_col)) <= F.lit(tolerance)
+    )
+    return joined.drop("_bk", "_bk0")
