@@ -38,9 +38,18 @@ def job_factory(registry: Registry):
 
 
 def _find_job_class(mod):
-    for obj in vars(mod).values():
-        if isinstance(obj, type) and issubclass(obj, SparkJob) and obj is not SparkJob:
-            return obj
+    """The job class of a module: a SparkJob subclass DEFINED there
+    (imported base classes like PandasJob must not match)."""
+    candidates = [
+        obj
+        for obj in vars(mod).values()
+        if isinstance(obj, type) and issubclass(obj, SparkJob) and obj is not SparkJob
+    ]
+    local = [c for c in candidates if c.__module__ == mod.__name__]
+    if local:
+        return local[0]
+    if candidates:
+        return candidates[0]
     raise ValueError(f"no SparkJob subclass in {mod.__name__}")
 
 

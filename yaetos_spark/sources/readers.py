@@ -114,6 +114,41 @@ def load_input(spark: SparkSession, spec: dict, loaded_inputs: dict | None = Non
     return df
 
 
+def load_multi_paths(
+    spark: SparkSession,
+    paths: list[str],
+    itype: str = "parquet",
+    spec: dict | None = None,
+    add_source_column: bool = True,
+) -> DataFrame:
+    """Union of several structured path scans (reference's multi-path
+    copy pattern, jobs/examples/ex15_copy_job_multi_path.py:7-57):
+    each path loads with the shared spec and the frames union by name,
+    tolerating schema drift across locations."""
+    base = dict(spec or {})
+    base["type"] = itype
+    out = None
+    for p in paths:
+        one = dict(base)
+        one["path"] = p
+        one["add_source_column"] = add_source_column
+        df = load_input(spark, one)
+        out = df if out is None else out.unionByName(df, allowMissingColumns=True)
+    return out
+
+
+def expand_path_combinations(template: str, **values: list[str]) -> list[str]:
+    """'{category}/{sub}' templating over the cartesian product of the
+    given value lists — the loop that feeds load_multi_paths."""
+    import itertools
+
+    keys = list(values)
+    paths = []
+    for combo in itertools.product(*(values[k] for k in keys)):
+        paths.append(template.format(**dict(zip(keys, combo))))
+    return paths
+
+
 def _load_excel(spark: SparkSession, path: str, schema, kwargs) -> DataFrame:
     try:
         import pandas as pd
