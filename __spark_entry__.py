@@ -206,8 +206,8 @@ def _user_sessions(spark, sf_dir):
         (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))).alias("delta_sec"),
         F.count(F.lit(1)).alias("n_events"),
         F.countDistinct("event_type").alias("n_types"),
-        F.round(F.avg("value"), 4).alias("avg_value"),
-        F.round(F.sum("value"), 2).alias("sum_value"),
+        _davg(F.col("value"), scale=6).alias("avg_value"),
+        _dsum(F.col("value"), scale=6).alias("sum_value"),
     )
 
 
@@ -219,8 +219,8 @@ SELECT user_id,
          - CAST(floor(extract(epoch FROM min(ts))) AS BIGINT) AS delta_sec,
        count(*) AS n_events,
        count(DISTINCT event_type) AS n_types,
-       round(avg(value), 4) AS avg_value,
-       round(sum(value), 2) AS sum_value
+       CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS avg_value,
+       CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
 FROM events
 GROUP BY user_id
 """
@@ -234,9 +234,11 @@ def _conditional_agg(spark, sf_dir):
         n_clicks,
         n_purchases,
         F.count(F.when(F.col("event_type") == "view", 1)).alias("n_views"),
-        F.round(
-            F.sum(F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(F.lit(0.0))), 2
-        ).alias("purchase_value"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.col("value"))
+            .otherwise(F.lit(0.0))
+            .cast("decimal(28,6)")
+        ).cast("double").alias("purchase_value"),
     )
 
 
@@ -245,7 +247,7 @@ SELECT user_id,
        count(CASE WHEN event_type = 'click' THEN 1 END) AS n_clicks,
        count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchases,
        count(CASE WHEN event_type = 'view' THEN 1 END) AS n_views,
-       round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END), 2) AS purchase_value
+       CAST(sum(CAST(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END AS DECIMAL(28,6))) AS DOUBLE) AS purchase_value
 FROM events
 GROUP BY user_id
 """
@@ -1372,6 +1374,107 @@ FROM customer JOIN supplier ON abs(c_acctbal - s_acctbal) <= 10.0
 """
 
 
+def _date_parts(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.year("o_orderdate").alias("yr"),
+            F.quarter("o_orderdate").alias("qtr"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min(F.month("o_orderdate")).alias("first_month"),
+            F.max(F.dayofmonth("o_orderdate")).alias("max_day"),
+        )
+    )
+
+
+_DATE_PARTS_SQL = """
+SELECT CAST(year(o_orderdate) AS INT) AS yr, CAST(quarter(o_orderdate) AS INT) AS qtr,
+       count(*) AS n_orders,
+       CAST(min(month(o_orderdate)) AS INT) AS first_month,
+       CAST(max(day(o_orderdate)) AS INT) AS max_day
+FROM orders GROUP BY 1, 2
+"""
+
+
+def _null_scalars(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg_nonbuilding"),
+        F.greatest(F.col("c_acctbal"), F.lit(0.0)).alias("bal_floor"),
+        F.least(F.col("c_acctbal"), F.lit(1000.0)).alias("bal_cap"),
+        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("OTHER")).alias("seg_or_other"),
+        F.isnull(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING"))).alias("is_building"),
+    )
+
+
+_NULL_SCALARS_SQL = """
+SELECT c_custkey,
+       nullif(c_mktsegment, 'BUILDING') AS seg_nonbuilding,
+       greatest(c_acctbal, 0.0) AS bal_floor,
+       least(c_acctbal, 1000.0) AS bal_cap,
+       coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS seg_or_other,
+       nullif(c_mktsegment, 'BUILDING') IS NULL AS is_building
+FROM customer
+"""
+
+
+def _regexp_extract_brand(spark, sf_dir):
+    part = _t(spark, sf_dir, "part")
+    brand_num = F.regexp_extract("p_brand", r"(\d+)", 1).cast("int")
+    return (
+        part.withColumn("brand_num", brand_num)
+        .groupBy("brand_num")
+        .agg(F.count(F.lit(1)).alias("n_parts"), _davg(F.col("p_retailprice")).alias("avg_price"))
+    )
+
+
+_REGEXP_SQL = r"""
+SELECT CAST(regexp_extract(p_brand, '(\d+)', 1) AS INT) AS brand_num,
+       count(*) AS n_parts,
+       CAST(sum(CAST(p_retailprice AS DECIMAL(28,4))) AS DOUBLE) / count(*) AS avg_price
+FROM part GROUP BY 1
+"""
+
+
+def _posexplode_words(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 5)
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    return docs.select(
+        "doc_id", F.posexplode(words).alias("pos", "word")
+    ).select("doc_id", (F.col("pos") + 1).alias("pos"), "word")
+
+
+# DuckDB lacks WITH ORDINALITY; equal-length unnests zip row-wise
+_POSEXPLODE_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents WHERE doc_id < 5
+)
+SELECT doc_id,
+       CAST(unnest(generate_series(1, len(t))) AS INT) AS pos,
+       unnest(t) AS word
+FROM toks
+"""
+
+
+def _value_histogram(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    bucket = F.floor(F.col("value") / 100).cast("long")
+    return (
+        ev.groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"), _dsum(F.col("value"), scale=6).alias("total"))
+    )
+
+
+_HISTOGRAM_SQL = """
+SELECT CAST(floor(value / 100) AS BIGINT) AS bucket, count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total
+FROM events GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------
@@ -1429,6 +1532,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wordcount_top": _wordcount_top,
         "salted_hot_keys": _salted_hot_keys,
         "range_band_join": _range_band_join,
+        "date_parts": _date_parts,
+        "null_scalars": _null_scalars,
+        "regexp_extract_brand": _regexp_extract_brand,
+        "posexplode_words": _posexplode_words,
+        "value_histogram": _value_histogram,
     }
 
 
@@ -1484,4 +1592,9 @@ def oracle_sql() -> dict[str, str]:
         "wordcount_top": _WORDCOUNT_SQL,
         "salted_hot_keys": _SALTED_SQL,
         "range_band_join": _RANGE_BAND_SQL,
+        "date_parts": _DATE_PARTS_SQL,
+        "null_scalars": _NULL_SCALARS_SQL,
+        "regexp_extract_brand": _REGEXP_SQL,
+        "posexplode_words": _POSEXPLODE_SQL,
+        "value_histogram": _HISTOGRAM_SQL,
     }

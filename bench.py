@@ -26,9 +26,13 @@ HEADLINE = [
     "user_sessions",
     "running_window",
     "asof_join_events",
+    "sessionize_events",
+    "wordcount_top",
+    "range_band_join",
     "minhash_lsh_pairs",
     "simhash_docs",
     "text_stats",
+    "multimodal_decode",
     "ann_cosine_topk",
     "embedding_near_dup",
 ]

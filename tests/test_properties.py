@@ -1,0 +1,127 @@
+"""Property-based tests (hypothesis) — randomized equivalence checks
+against independent naive implementations. The reference has no
+property testing (SURVEY §5); these pin the operator semantics harder
+than example-based tests can.
+
+Spark jobs per example are expensive — example counts are deliberately
+small; the value is in the randomized shapes, not volume.
+"""
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from yaetos_spark.operators.rangejoin import band_join
+from yaetos_spark.operators.windows import asof_join, sessionize
+
+SETTINGS = dict(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+
+@st.composite
+def _asof_case(draw):
+    n_left = draw(st.integers(1, 12))
+    n_right = draw(st.integers(0, 12))
+    keys = [1, 2]
+    left = [
+        (i, draw(st.sampled_from(keys)), draw(st.integers(0, 1000)))
+        for i in range(n_left)
+    ]
+    right = [
+        (100 + i, draw(st.sampled_from(keys)), draw(st.integers(0, 1000)))
+        for i in range(n_right)
+    ]
+    return left, right
+
+
+@given(_asof_case())
+@settings(**SETTINGS)
+def test_asof_join_matches_naive(spark, case):
+    left_rows, right_rows = case
+    # drop duplicate (key, t) on the right: the winner among equal
+    # timestamps is implementation-defined in any as-of join
+    seen = set()
+    right_rows = [
+        r for r in right_rows if (r[1], r[2]) not in seen and not seen.add((r[1], r[2]))
+    ]
+    left = spark.createDataFrame(left_rows, "lid long, k long, t long")
+    right = spark.createDataFrame(
+        right_rows or [(999, -1, -1)], "rid long, k long, rt long"
+    )
+    out = asof_join(left, right, key="k", left_ts="t", right_ts="rt", right_cols=["rid"])
+    got = {r.lid: r.rid for r in out.collect()}
+
+    def naive(lk, lt):
+        cands = [(rt, rid) for rid, rk, rt in right_rows if rk == lk and rt <= lt]
+        return max(cands)[1] if cands else None
+
+    expected = {lid: naive(k, t) for lid, k, t in left_rows}
+    assert got == expected
+
+
+@given(
+    st.lists(st.integers(0, 300), min_size=1, max_size=20),
+    st.lists(st.integers(0, 300), min_size=1, max_size=20),
+    st.integers(1, 40),
+)
+@settings(**SETTINGS)
+def test_band_join_matches_naive(spark, lvals, rvals, tol):
+    left = spark.createDataFrame([(i, float(v)) for i, v in enumerate(lvals)], "lid int, lv double")
+    right = spark.createDataFrame([(i, float(v)) for i, v in enumerate(rvals)], "rid int, rv double")
+    fast = {(r.lid, r.rid) for r in band_join(left, right, "lv", "rv", tolerance=float(tol)).collect()}
+    naive = {
+        (li, ri)
+        for li, lv in enumerate(lvals)
+        for ri, rv in enumerate(rvals)
+        if abs(lv - rv) <= tol
+    }
+    assert fast == naive
+
+
+@given(st.lists(st.integers(0, 50000), min_size=1, max_size=25), st.integers(10, 5000))
+@settings(**SETTINGS)
+def test_sessionize_matches_naive(spark, secs, gap):
+    rows = [(1, s) for s in secs]
+    df = spark.createDataFrame(rows, "user_id long, sec long").withColumn(
+        "ts", F.timestamp_seconds(F.col("sec"))
+    )
+    out = sessionize(df, "user_id", "ts", gap_seconds=gap)
+    got_sessions = out.select("session_seq").distinct().count()
+
+    ordered = sorted(secs)
+    naive_sessions = 1 + sum(
+        1 for a, b in zip(ordered, ordered[1:]) if b - a > gap
+    )
+    assert got_sessions == naive_sessions
+
+
+@given(
+    st.lists(st.text(alphabet="ab ", min_size=5, max_size=40), min_size=2, max_size=6)
+)
+@settings(**SETTINGS)
+def test_jaccard_pairs_match_python_sets(spark, texts):
+    from yaetos_spark.operators.dedup import jaccard_pairs
+
+    texts = [t if t.strip() else "a" for t in texts]
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {(r.id1, r.id2): r.jaccard for r in jaccard_pairs(df, n=2, threshold=0.0).collect()}
+
+    def shingles(t):
+        toks = t.strip().split()
+        if len(toks) < 2:
+            return {" ".join(toks)}
+        return {" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)}
+
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            a, b = shingles(texts[i]), shingles(texts[j])
+            inter = len(a & b)
+            if inter:
+                expect = round(inter / len(a | b), 6)
+                assert got.get((i, j)) == expect, (i, j, texts)
+            else:
+                assert (i, j) not in got
