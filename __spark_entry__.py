@@ -1475,6 +1475,53 @@ FROM events GROUP BY 1
 """
 
 
+def _dedup_clusters(spark, sf_dir):
+    """Iterative connected components over n-gram-Jaccard near-dup
+    pairs → one cluster id (min doc id) per document. The full dedup
+    pipeline shape: pair generation → clustering → canonical pick."""
+    from yaetos_spark.operators.graph import dedup_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(docs, n=_NGRAM_N, threshold=_JACCARD_THRESHOLD).select("id1", "id2")
+    return dedup_clusters(docs, pairs)
+
+
+def _dedup_clusters_oracle() -> str:
+    n, thr = _NGRAM_N, _JACCARD_THRESHOLD
+    return rf"""
+WITH RECURSIVE
+toks AS (
+  SELECT doc_id AS id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+),
+sh AS (
+  SELECT id, unnest(CASE WHEN len(t) < {n} THEN [array_to_string(t, ' ')]
+       ELSE list_distinct(list_transform(generate_series(1, len(t) - {n - 1}),
+            i -> array_to_string(t[i:i+{n - 1}], ' '))) END) AS shingle
+  FROM toks
+),
+sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS id1, b.id AS id2, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY a.id, b.id
+),
+pairs AS (
+  SELECT i.id1, i.id2
+  FROM inter i JOIN sizes z1 ON z1.id = i.id1 JOIN sizes z2 ON z2.id = i.id2
+  WHERE round(i.n_common / (z1.n_sh + z2.n_sh - i.n_common), 6) >= {thr}
+),
+sym AS (SELECT id1 AS a, id2 AS b FROM pairs UNION SELECT id2, id1 FROM pairs),
+reach(node, r) AS (
+  SELECT a, a FROM sym
+  UNION
+  SELECT s.a, r.r FROM sym s JOIN reach r ON r.node = s.b
+),
+comps AS (SELECT node, min(r) AS comp FROM reach GROUP BY node)
+SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS cluster_id
+FROM documents d LEFT JOIN comps c ON c.node = d.doc_id
+"""
+
+
 # ---------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------
@@ -1537,6 +1584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regexp_extract_brand": _regexp_extract_brand,
         "posexplode_words": _posexplode_words,
         "value_histogram": _value_histogram,
+        "dedup_clusters": _dedup_clusters,
     }
 
 
@@ -1597,4 +1645,5 @@ def oracle_sql() -> dict[str, str]:
         "regexp_extract_brand": _REGEXP_SQL,
         "posexplode_words": _POSEXPLODE_SQL,
         "value_histogram": _HISTOGRAM_SQL,
+        "dedup_clusters": _dedup_clusters_oracle(),
     }

@@ -1,0 +1,52 @@
+from pyspark.sql import functions as F
+
+from yaetos_spark.operators.graph import connected_components, dedup_clusters
+from yaetos_spark.operators.merge import latest_snapshot, scd2, upsert
+
+
+def test_connected_components_basic(spark):
+    edges = spark.createDataFrame([(1, 2), (2, 3), (5, 6), (8, 7)], "id1 long, id2 long")
+    comps = {r.node: r.comp for r in connected_components(edges).collect()}
+    assert comps == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 7: 7, 8: 7}
+
+
+def test_connected_components_chain_converges(spark):
+    # a 12-node path graph needs several propagation rounds
+    edges = spark.createDataFrame([(i, i + 1) for i in range(12)], "id1 long, id2 long")
+    comps = {r.node: r.comp for r in connected_components(edges).collect()}
+    assert set(comps.values()) == {0}
+    assert len(comps) == 13
+
+
+def test_dedup_clusters_with_singletons(spark):
+    docs = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    pairs = spark.createDataFrame([(1, 4), (4, 5)], "id1 long, id2 long")
+    out = {r.doc_id: r.cluster_id for r in dedup_clusters(docs, pairs).collect()}
+    assert out == {0: 0, 1: 1, 2: 2, 3: 3, 4: 1, 5: 1}
+
+
+def test_latest_snapshot(spark):
+    df = spark.createDataFrame(
+        [(1, 10, "old"), (1, 20, "new"), (2, 5, "only")], "k long, ts long, v string"
+    )
+    out = {r.k: r.v for r in latest_snapshot(df, ["k"], "ts").collect()}
+    assert out == {1: "new", 2: "only"}
+
+
+def test_upsert(spark):
+    existing = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    updates = spark.createDataFrame([(2, "B"), (3, "C")], "k long, v string")
+    out = {r.k: r.v for r in upsert(existing, updates, ["k"]).collect()}
+    assert out == {1: "a", 2: "B", 3: "C"}
+
+
+def test_scd2_intervals(spark):
+    hist = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", "v1"), (1, "2024-02-01 00:00:00", "v2")],
+        "k long, ts string, v string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    rows = {r.v: r for r in scd2(hist, ["k"], "ts").collect()}
+    assert str(rows["v1"].valid_to) == "2024-02-01 00:00:00"
+    assert not rows["v1"].is_current
+    assert rows["v2"].is_current
+    assert str(rows["v2"].valid_to).startswith("9999-12-31")
