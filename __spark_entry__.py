@@ -1522,6 +1522,138 @@ FROM documents d LEFT JOIN comps c ON c.node = d.doc_id
 """
 
 
+def _forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: tight filter + single sum — the pushdown
+    showcase (every predicate reaches the parquet scan)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_discount").between(0.02, 0.04))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            _dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+_FORECAST_SQL = """
+SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(28,4))) AS DOUBLE) AS revenue,
+       count(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.02 AND 0.04
+  AND l_quantity < 24
+"""
+
+
+def _priority_exists(spark, sf_dir):
+    """TPC-H Q4 shape: EXISTS correlated subquery via SQL."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+          AND EXISTS (
+            SELECT 1 FROM lineitem
+            WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+          )
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+_PRIORITY_EXISTS_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+  )
+GROUP BY o_orderpriority
+"""
+
+
+def _tumbling_window_counts(spark, sf_dir):
+    """Tumbling time-window aggregation — the batch twin of the
+    streaming windowed_counts operator (same F.window semantics)."""
+    ev = _t(spark, sf_dir, "events")
+    win = F.window("ts", "6 hours")
+    return (
+        ev.groupBy(win.alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("win_start_sec"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+_TUMBLING_SQL = """
+SELECT CAST(floor(extract(epoch FROM time_bucket(INTERVAL 6 HOURS, ts))) AS BIGINT) AS win_start_sec,
+       event_type, count(*) AS n
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def _array_hof_stats(spark, sf_dir):
+    """Higher-order array functions over the embedding column:
+    filter/transform/aggregate run inside codegen."""
+    emb = _t(spark, sf_dir, "embeddings")
+    v = F.col("embedding")
+    n_pos = F.size(F.filter(v, lambda x: x > 0))
+    sum_abs = F.aggregate(
+        F.transform(v, lambda x: F.abs(x.cast("double"))), F.lit(0.0), lambda a, x: a + x
+    )
+    return emb.select(
+        "vec_id",
+        "label",
+        F.size(v).alias("dim"),
+        n_pos.alias("n_positive"),
+        F.round(sum_abs, 4).alias("l1_norm"),
+    )
+
+
+_ARRAY_HOF_SQL = """
+SELECT vec_id, label,
+       CAST(len(embedding) AS INT) AS dim,
+       CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_positive,
+       round(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))), 4) AS l1_norm
+FROM embeddings
+"""
+
+
+def _map_functions(spark, sf_dir):
+    """props JSON → typed map column → explode to key rows."""
+    ev = _t(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,int>")
+    exploded = ev.select("event_type", F.explode(m).alias("key", "val"))
+    return exploded.groupBy("event_type", "key").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("val").alias("max_val"),
+        F.min("val").alias("min_val"),
+    )
+
+
+_MAP_FUNCTIONS_SQL = """
+SELECT event_type, 'k' AS key, count(*) AS n,
+       max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_val,
+       min(CAST(json_extract_string(props, '$.k') AS INT)) AS min_val
+FROM events GROUP BY event_type
+"""
+
+
 # ---------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------
@@ -1585,6 +1717,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "posexplode_words": _posexplode_words,
         "value_histogram": _value_histogram,
         "dedup_clusters": _dedup_clusters,
+        "forecast_revenue": _forecast_revenue,
+        "priority_exists": _priority_exists,
+        "tumbling_window_counts": _tumbling_window_counts,
+        "array_hof_stats": _array_hof_stats,
+        "map_functions": _map_functions,
     }
 
 
@@ -1646,4 +1783,9 @@ def oracle_sql() -> dict[str, str]:
         "posexplode_words": _POSEXPLODE_SQL,
         "value_histogram": _HISTOGRAM_SQL,
         "dedup_clusters": _dedup_clusters_oracle(),
+        "forecast_revenue": _FORECAST_SQL,
+        "priority_exists": _PRIORITY_EXISTS_SQL,
+        "tumbling_window_counts": _TUMBLING_SQL,
+        "array_hof_stats": _ARRAY_HOF_SQL,
+        "map_functions": _MAP_FUNCTIONS_SQL,
     }

@@ -69,6 +69,7 @@ def load_input(spark: SparkSession, spec: dict, loaded_inputs: dict | None = Non
         if schema:
             reader = reader.schema(schema)
         df = reader.parquet(path)
+        df = _normalize_nano_timestamps(df, path)
     elif itype == "orc":
         df = spark.read.orc(path)
     elif itype == "csv":
@@ -111,6 +112,35 @@ def load_input(spark: SparkSession, spec: dict, loaded_inputs: dict | None = Non
         # parity with pandas loaders' _source column
         # (reference: yaetos/pandas_utils.py:35-36)
         df = df.withColumn("_source", F.input_file_name())
+    return df
+
+
+def _normalize_nano_timestamps(df: DataFrame, path: str) -> DataFrame:
+    """Spark has no nanosecond timestamp: TIMESTAMP(NANOS) parquet
+    columns arrive as raw longs (via spark.sql.legacy.parquet.nanosAsLong,
+    set in the session factory — without it the scan fails outright).
+    Probe the parquet footer with pyarrow and convert such columns to
+    microsecond timestamps with exact integer division. Remote
+    filesystems pyarrow can't reach are skipped (columns stay long)."""
+    if "://" in path:  # local-fs probe only in v1
+        return df
+    try:
+        import pyarrow.dataset as ds
+        import pyarrow.types as pat
+
+        schema = ds.dataset(path, format="parquet").schema
+    except Exception:
+        return df
+    dtypes = dict(df.dtypes)
+    for field in schema:
+        if (
+            pat.is_timestamp(field.type)
+            and field.type.unit == "ns"
+            and dtypes.get(field.name) == "bigint"
+        ):
+            df = df.withColumn(
+                field.name, F.timestamp_micros(F.expr(f"`{field.name}` div 1000"))
+            )
     return df
 
 
