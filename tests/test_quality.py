@@ -39,3 +39,51 @@ def test_compare_fuzzy(spark):
     assert by_id[4]._in_2 and not by_id[4]._in_1
     summary = compare_summary(diff, ["amt", "v"])
     assert summary["only_in_1"] == 1 and summary["only_in_2"] == 1
+
+
+def test_run_expectations(spark):
+    from yaetos_spark.operators.quality import run_expectations
+
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, None, 300.0)], "id int, name string, v double"
+    )
+    ok, report = run_expectations(
+        df,
+        [
+            {"check": "not_null", "column": "id"},
+            {"check": "not_null", "column": "name"},
+            {"check": "unique", "columns": ["id"]},
+            {"check": "in_range", "column": "v", "min": 0, "max": 100},
+            {"check": "in_set", "column": "id", "values": [1, 2, 3]},
+            {"check": "min_rows", "n": 2},
+        ],
+    )
+    rep = {(r.check, r.column): (r.failed_count, r.passed) for r in report.collect()}
+    assert not ok
+    assert rep[("not_null", "id")] == (0, True)
+    assert rep[("not_null", "name")] == (1, False)
+    assert rep[("unique", "id")] == (0, True)
+    assert rep[("in_range", "v")] == (1, False)
+    assert rep[("min_rows", "")] == (0, True)
+
+
+def test_expectations_job_gate(spark, tmp_path):
+    import pytest as _pytest
+
+    from yaetos_spark.job import SparkJob
+
+    class J(SparkJob):
+        def transform(self, src):
+            return src
+
+    spark.createDataFrame([(1,), (None,)], "id int").write.parquet(str(tmp_path / "src"))
+    job = J(
+        {
+            "inputs": {"src": {"path": str(tmp_path / "src"), "type": "parquet"}},
+            "expectations": [{"check": "not_null", "column": "id"}],
+            "output": {"type": "None"},
+            "add_created_at": False,
+        }
+    )
+    with _pytest.raises(AssertionError, match="expectations failed"):
+        job.etl(spark)

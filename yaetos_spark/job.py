@@ -140,6 +140,14 @@ class SparkJob:
         pks = self.output_pks()
         if pks:
             assert check_pk(output, pks), f"primary key {pks} not unique in {self.job_name} output"
+        rules = self.params.get("expectations")
+        if rules:
+            from yaetos_spark.operators.quality import run_expectations
+
+            ok, report = run_expectations(output, rules)
+            if not ok:
+                failed = [r.asDict() for r in report.filter(~report.passed).collect()]
+                raise AssertionError(f"expectations failed in {self.job_name}: {failed}")
         out_spec = dict(self.output_spec())
         if out_spec.get("path"):
             out_spec["path"] = expand_path(out_spec["path"], self.params, self._now, self.spark)

@@ -80,6 +80,67 @@ def compare_fuzzy(
     return joined
 
 
+def run_expectations(df: DataFrame, rules: list[dict]) -> tuple[bool, DataFrame]:
+    """Declarative data-quality gate — one aggregation pass for any
+    number of rules (beyond the reference, which only had check_pk).
+
+    Each rule is a dict with ``check`` and its params:
+
+    - {"check": "not_null", "column": c}
+    - {"check": "unique", "columns": [c, ...]}
+    - {"check": "in_range", "column": c, "min": x, "max": y}
+    - {"check": "in_set", "column": c, "values": [...]}
+    - {"check": "matches", "column": c, "pattern": regex}
+    - {"check": "min_rows", "n": k}
+
+    Returns (all_passed, report_df) where report_df has one row per
+    rule: (check, column, failed_count, passed). Everything evaluates
+    in ONE job — rules become conditional-count aggregate columns.
+    """
+    aggs = []
+    meta = []
+    for i, rule in enumerate(rules):
+        kind = rule["check"]
+        col = rule.get("column") or ",".join(rule.get("columns", []) or [])
+        if kind == "not_null":
+            bad = F.sum(F.when(F.col(rule["column"]).isNull(), 1).otherwise(0))
+        elif kind == "in_range":
+            c = F.col(rule["column"])
+            cond = c.isNull()
+            if "min" in rule:
+                cond = cond | (c < rule["min"])
+            if "max" in rule:
+                cond = cond | (c > rule["max"])
+            bad = F.sum(F.when(cond, 1).otherwise(0))
+        elif kind == "in_set":
+            bad = F.sum(F.when(~F.col(rule["column"]).isin(rule["values"]), 1).otherwise(0))
+        elif kind == "matches":
+            bad = F.sum(
+                F.when(~F.col(rule["column"]).rlike(rule["pattern"]), 1).otherwise(0)
+            )
+        elif kind == "min_rows":
+            bad = F.when(F.count(F.lit(1)) < rule["n"], 1).otherwise(0)
+        elif kind == "unique":
+            # distinct-count needs its own aggregate shape
+            bad = (F.count(F.lit(1)) - F.count_distinct(
+                F.concat_ws("\x00", *[F.col(c).cast("string") for c in rule["columns"]])
+            ))
+        else:
+            raise ValueError(f"unknown expectation '{kind}'")
+        aggs.append(bad.cast("long").alias(f"_r{i}"))
+        meta.append((kind, col))
+    row = df.agg(*aggs).collect()[0]
+    spark = df.sparkSession
+    report_rows = [
+        (kind, col, int(row[f"_r{i}"]), int(row[f"_r{i}"]) == 0)
+        for i, (kind, col) in enumerate(meta)
+    ]
+    report = spark.createDataFrame(
+        report_rows, "check string, column string, failed_count long, passed boolean"
+    )
+    return all(r[3] for r in report_rows), report
+
+
 def compare_summary(diff: DataFrame, shared_cols: list[str]) -> dict:
     """Aggregate a compare_fuzzy report into counts (driver-side dict)."""
     aggs = [
