@@ -1,0 +1,86 @@
+import yaml
+
+import yaetos_spark.cli as cli
+
+
+def _write_registry(tmp_path, spark):
+    spark.createDataFrame([(1, "click"), (2, "view"), (3, "click")], "id int, et string") \
+        .write.parquet(str(tmp_path / "events_src"))
+    sql_file = tmp_path / "agg.sql"
+    sql_file.write_text("SELECT et, count(*) AS n FROM ev GROUP BY et\n")
+    manifest = {
+        "common_params": {"all_mode_params": {"base_path": str(tmp_path / "out"), "mode": "dev"}},
+        "jobs": {
+            "agg_job": {
+                "sql_file": str(sql_file),
+                "inputs": {"ev": {"path": str(tmp_path / "events_src"), "type": "parquet"}},
+                "output": {"path": "{{base_path}}/agg/{{now}}", "type": "parquet"},
+            },
+            "downstream": {
+                "py_job": "jobs.generic.copy_job",
+                "dependencies": ["agg_job"],
+                "inputs": {"src": {"path": "{{base_path}}/agg/{{latest}}", "type": "parquet", "from": "agg_job"}},
+                "output": {"path": "{{base_path}}/copy/{{now}}", "type": "parquet"},
+            },
+        },
+    }
+    reg = tmp_path / "jobs.yml"
+    reg.write_text(yaml.safe_dump(manifest))
+    return str(reg)
+
+
+def test_cli_single_job(spark, tmp_path, capsys):
+    reg = _write_registry(tmp_path, spark)
+    assert cli.main(["--job_name=agg_job", f"--registry={reg}"]) == 0
+    out_dirs = list((tmp_path / "out" / "agg").iterdir())
+    assert len(out_dirs) == 1
+    assert spark.read.parquet(str(out_dirs[0])).count() == 2
+
+
+def test_cli_dependencies_chain(spark, tmp_path):
+    reg = _write_registry(tmp_path, spark)
+    assert cli.main(["--job_name=downstream", "--dependencies", f"--registry={reg}"]) == 0
+    copy_dirs = list((tmp_path / "out" / "copy").iterdir())
+    assert spark.read.parquet(str(copy_dirs[0])).count() == 2
+
+
+def test_cli_unknown_args_become_params(spark, tmp_path):
+    reg = _write_registry(tmp_path, spark)
+    # --repartition=1 flows into the job params via cmd_args
+    assert cli.main(["--job_name=agg_job", f"--registry={reg}", "--repartition=1"]) == 0
+
+
+def test_cli_sql_file_direct(spark, tmp_path, monkeypatch):
+    sql = tmp_path / "direct.sql"
+    sql.write_text("SELECT 1 AS one\n")
+    assert cli.main([f"--sql_file={sql}"]) == 0
+
+
+def test_cli_failure_alert_hook(spark, tmp_path, monkeypatch):
+    reg_path = tmp_path / "bad.yml"
+    reg_path.write_text(yaml.safe_dump({
+        "jobs": {
+            "bad_job": {
+                "py_job": "jobs.generic.copy_job",
+                "inputs": {"src": {"path": str(tmp_path / "missing"), "type": "parquet"}},
+                "output": {"type": "None"},
+                "owners": ["oncall@example.com"],
+                "smtp_host": "smtp.example.com",
+            }
+        }
+    }))
+    sent = {}
+
+    def fake_send(job_name, error, owners, smtp_host, smtp_port=25, sender=None):
+        sent.update(job=job_name, owners=owners, host=smtp_host)
+
+    import yaetos_spark.alerts as alerts
+
+    monkeypatch.setattr(alerts, "send_failure_email", fake_send)
+    try:
+        cli.main(["--job_name=bad_job", f"--registry={reg_path}"])
+        raised = False
+    except Exception:
+        raised = True
+    assert raised
+    assert sent == {"job": "bad_job", "owners": ["oncall@example.com"], "host": "smtp.example.com"}

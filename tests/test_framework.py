@@ -163,3 +163,47 @@ def test_failure_email_build():
     assert "job_x" in msg["Subject"]
     assert msg["To"] == "a@b.c, d@e.f"
     assert "boom" in msg.get_content()
+
+
+def test_bucketed_join_has_no_shuffle(spark):
+    """save_as_table(bucket_by) co-locates later joins: the physical
+    plan for a join of two tables bucketed on the key contains NO
+    shuffle exchange on either side — the property that saves the
+    repeated-join shuffle at 100 TB."""
+    import contextlib
+    import io
+
+    a = spark.createDataFrame([(i, f"a{i}") for i in range(100)], "k int, va string")
+    b = spark.createDataFrame([(i, f"b{i}") for i in range(100)], "k int, vb string")
+    save_as_table(a, "bkt_a", bucket_by=(4, ["k"]))
+    save_as_table(b, "bkt_b", bucket_by=(4, ["k"]))
+    try:
+        joined = spark.table("bkt_a").join(spark.table("bkt_b"), "k")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain("formatted")
+        plan = buf.getvalue()
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert joined.count() == 100
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_a")
+        spark.sql("DROP TABLE IF EXISTS bkt_b")
+
+
+def test_merge_schema_passthrough(spark, tmp_path):
+    """read_kwargs flow through to the Spark reader (mergeSchema for
+    evolving parquet layouts)."""
+    from yaetos_spark.sources.readers import load_input
+
+    spark.createDataFrame([(1,)], "a int").write.parquet(str(tmp_path / "ms" / "p1"))
+    spark.createDataFrame([(2, "x")], "a int, b string").write.parquet(str(tmp_path / "ms" / "p2"))
+    df = load_input(
+        spark,
+        {
+            "path": str(tmp_path / "ms" / "*"),
+            "type": "parquet",
+            "read_kwargs": {"mergeSchema": "true"},
+        },
+    )
+    assert set(df.columns) == {"a", "b"}
+    assert df.count() == 2

@@ -76,16 +76,35 @@ def main(argv=None):
         return 0
 
     registry = Registry.from_file(known.registry)
-    if known.dependencies:
-        flow = Flow(registry)
-        out = flow.run_pipeline(spark, known.job_name, job_factory(registry), mode=known.mode, cmd_args=cmd_args)
-    else:
-        params = registry.job_params(known.job_name, mode=known.mode, cmd_args=cmd_args)
-        job = job_factory(registry)(known.job_name, params)
-        out = job.etl(spark)
+    params = registry.job_params(known.job_name, mode=known.mode, cmd_args=cmd_args)
+    try:
+        if known.dependencies:
+            flow = Flow(registry)
+            out = flow.run_pipeline(spark, known.job_name, job_factory(registry), mode=known.mode, cmd_args=cmd_args)
+        else:
+            job = job_factory(registry)(known.job_name, params)
+            out = job.etl(spark)
+    except Exception as exc:
+        _notify_failure(known.job_name, params, exc)
+        raise
     if out is not None:
         out.show(20, truncate=False)
     return 0
+
+
+def _notify_failure(job_name: str, params: dict, exc: Exception) -> None:
+    """Email the job owners on failure when SMTP is configured
+    (reference: yaetos/etl_utils.py:732-755)."""
+    owners = params.get("owners")
+    smtp_host = params.get("smtp_host")
+    if not owners or not smtp_host:
+        return
+    try:
+        from yaetos_spark.alerts import send_failure_email
+
+        send_failure_email(job_name, repr(exc), owners, smtp_host, int(params.get("smtp_port", 25)))
+    except Exception:
+        pass  # alerting must never mask the real failure
 
 
 if __name__ == "__main__":

@@ -68,6 +68,8 @@ def load_input(spark: SparkSession, spec: dict, loaded_inputs: dict | None = Non
         reader = spark.read
         if schema:
             reader = reader.schema(schema)
+        if kwargs:
+            reader = reader.options(**kwargs)
         df = reader.parquet(path)
         df = _normalize_nano_timestamps(df, path)
     elif itype == "orc":
