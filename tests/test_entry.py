@@ -27,3 +27,31 @@ def test_each_query_runs(spark, sf_dir):
     for name, fn in entrymod.queries().items():
         df = fn(spark, sf_dir)
         assert df.columns, name
+
+
+def _plan_of(df):
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filters_push_down_to_scan(spark):
+    """Scale guarantee: predicates reach the parquet scan (PushedFilters)
+    and unused columns are pruned from ReadSchema."""
+    qs = entrymod.queries()
+    plan = _plan_of(qs["pricing_summary"](spark, "/root/testdata/sf0.001"))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    assert "l_orderkey" not in plan.split("ReadSchema")[1].splitlines()[0]  # pruned
+
+
+def test_dimension_joins_broadcast(spark):
+    qs = entrymod.queries()
+    plan = _plan_of(qs["region_revenue"](spark, "/root/testdata/sf0.001"))
+    # formatted explain lists each node in the tree AND the detail
+    # section — 5 joins appear ≥5 times; none may fall back to SMJ
+    assert plan.count("BroadcastHashJoin") >= 5
+    assert "SortMergeJoin" not in plan

@@ -218,3 +218,29 @@ def test_frame_sample_plan(spark):
     )
     frames = MM.frame_sample_plan(df, every_n=30).collect()
     assert [r.frame_idx for r in frames] == [0, 30, 60]
+
+
+def test_ivf_train_and_search(spark):
+    """k-means-trained IVF cells + probe search recover the true
+    nearest neighbor for clustered vectors."""
+    import numpy as np
+
+    from yaetos_spark.operators import similarity as S2
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for label, center in enumerate([np.array([10.0, 0, 0]), np.array([0, 10.0, 0])]):
+        for i in range(20):
+            v = center + rng.normal(0, 0.5, 3)
+            rows.append((label * 100 + i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    cents = S2.train_ivf_centroids(emb, n_cells=2)
+    assert len(cents) == 2 and len(cents[0]) == 3
+    queries = emb.filter("vec_id = 0")
+    got = S2.ivf_topk(emb, queries, cents, k=3, n_probe=1).collect()
+    assert len(got) == 3
+    # all neighbors of a cluster-0 query come from cluster 0
+    assert all(r.neighbor_id < 100 for r in got)
+    # and they match brute force exactly within the probed cell
+    brute = S2.cosine_topk(emb.filter("vec_id < 100"), queries, k=3).collect()
+    assert {(r.neighbor_id, r.rank) for r in got} == {(r.neighbor_id, r.rank) for r in brute}
