@@ -1654,6 +1654,56 @@ FROM events GROUP BY event_type
 """
 
 
+def _unpivot_counts(spark, sf_dir):
+    """Unpivot via stack(): wide per-nation metrics → long
+    (nationkey, metric, value) rows."""
+    wide = _full_outer_coalesce(spark, sf_dir)
+    return wide.selectExpr(
+        "nationkey",
+        "stack(2, 'n_cust', n_cust, 'n_supp', n_supp) AS (metric, value)",
+    )
+
+
+_UNPIVOT_SQL = """
+WITH c AS (SELECT c_nationkey, count(*) AS n_cust FROM customer GROUP BY c_nationkey),
+     s AS (SELECT s_nationkey, count(*) AS n_supp FROM supplier GROUP BY s_nationkey),
+     wide AS (
+       SELECT coalesce(c_nationkey, s_nationkey) AS nationkey,
+              coalesce(n_cust, 0) AS n_cust, coalesce(n_supp, 0) AS n_supp
+       FROM c FULL OUTER JOIN s ON c_nationkey = s_nationkey
+     )
+SELECT nationkey, 'n_cust' AS metric, n_cust AS value FROM wide
+UNION ALL
+SELECT nationkey, 'n_supp' AS metric, n_supp AS value FROM wide
+"""
+
+
+def _correlated_scalar(spark, sf_dir):
+    """Correlated scalar subquery in the SELECT list."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderkey,
+               (SELECT count(*) FROM lineitem WHERE l_orderkey = o_orderkey) AS n_items,
+               (SELECT unix_timestamp(max(l_shipdate)) FROM lineitem
+                WHERE l_orderkey = o_orderkey) AS last_ship_sec
+        FROM orders
+        WHERE o_orderkey % 10 = 0
+        """
+    )
+
+
+_CORRELATED_SQL = """
+SELECT o_orderkey,
+       (SELECT count(*) FROM lineitem WHERE l_orderkey = o_orderkey) AS n_items,
+       (SELECT CAST(floor(extract(epoch FROM max(l_shipdate))) AS BIGINT) FROM lineitem
+        WHERE l_orderkey = o_orderkey) AS last_ship_sec
+FROM orders
+WHERE o_orderkey % 10 = 0
+"""
+
+
 # ---------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------
@@ -1722,6 +1772,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tumbling_window_counts": _tumbling_window_counts,
         "array_hof_stats": _array_hof_stats,
         "map_functions": _map_functions,
+        "unpivot_counts": _unpivot_counts,
+        "correlated_scalar": _correlated_scalar,
     }
 
 
@@ -1788,4 +1840,6 @@ def oracle_sql() -> dict[str, str]:
         "tumbling_window_counts": _TUMBLING_SQL,
         "array_hof_stats": _ARRAY_HOF_SQL,
         "map_functions": _MAP_FUNCTIONS_SQL,
+        "unpivot_counts": _UNPIVOT_SQL,
+        "correlated_scalar": _CORRELATED_SQL,
     }
