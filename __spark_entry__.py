@@ -1704,6 +1704,53 @@ WHERE o_orderkey % 10 = 0
 """
 
 
+def _winnow_overlap(spark, sf_dir):
+    """Winnowing (MOSS) fingerprint near-dup pairs: k-gram md5 hashes,
+    window-min selection, boilerplate-capped fingerprint self-join.
+    See yaetos_spark/operators/text.py:winnow_fingerprints."""
+    docs = _t(spark, sf_dir, "documents")
+    fps = TX.winnow_fingerprints(docs, k=8, window=4)
+    return TX.winnow_overlap_pairs(fps, min_shared=4, max_doc_freq=5)
+
+
+_WINNOW_SQL = f"""
+WITH norm AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'),
+                             '\\s+', ' ', 'g')) AS t
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, t, unnest(range(1, len(t) - 8 + 2)) AS i
+  FROM norm WHERE len(t) >= 8
+),
+kg AS (
+  SELECT doc_id, i, {_hex_long_sql("md5(substr(t, i, 8))", 1)} AS h FROM pos
+),
+win AS (
+  SELECT doc_id, i,
+         min(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wh,
+         max(i) OVER (PARTITION BY doc_id) AS maxi
+  FROM kg
+),
+fp AS (
+  SELECT DISTINCT doc_id, wh AS fingerprint
+  FROM win WHERE i <= greatest(maxi - 4 + 1, 1)
+),
+rare AS (
+  SELECT doc_id, fingerprint FROM (
+    SELECT doc_id, fingerprint, count(*) OVER (PARTITION BY fingerprint) AS dfreq
+    FROM fp
+  ) WHERE dfreq <= 5
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+FROM rare a JOIN rare b ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= 4
+"""
+
+
 # ---------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------
@@ -1774,6 +1821,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "map_functions": _map_functions,
         "unpivot_counts": _unpivot_counts,
         "correlated_scalar": _correlated_scalar,
+        "winnow_overlap_pairs": _winnow_overlap,
     }
 
 
@@ -1842,4 +1890,5 @@ def oracle_sql() -> dict[str, str]:
         "map_functions": _MAP_FUNCTIONS_SQL,
         "unpivot_counts": _UNPIVOT_SQL,
         "correlated_scalar": _CORRELATED_SQL,
+        "winnow_overlap_pairs": _WINNOW_SQL,
     }

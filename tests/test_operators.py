@@ -68,6 +68,38 @@ def test_simhash_pairs_hamming(spark):
 # -- text -------------------------------------------------------------
 
 
+def test_winnow_guarantee(spark):
+    """Winnowing guarantee: docs sharing a substring of length
+    >= k + window - 1 share at least one fingerprint; identical docs
+    share all of them."""
+    fps = TX.winnow_fingerprints(_docs(spark), k=8, window=4)
+    by_doc = {
+        r.doc_id: set(r.fps)
+        for r in fps.groupBy("doc_id").agg(F.collect_set("fingerprint").alias("fps")).collect()
+    }
+    assert by_doc[1] == by_doc[4]  # identical docs -> identical fingerprint sets
+    assert by_doc[1] & by_doc[2]  # long shared prefix -> shared fingerprint
+    assert not (by_doc[1] & by_doc[3])  # unrelated docs -> disjoint
+
+
+def test_winnow_overlap_pairs(spark):
+    fps = TX.winnow_fingerprints(_docs(spark), k=8, window=4)
+    pairs = {(r.id_a, r.id_b): r.n_shared for r in TX.winnow_overlap_pairs(fps, min_shared=1).collect()}
+    assert (1, 4) in pairs
+    assert (1, 2) in pairs and pairs[(1, 2)] <= pairs[(1, 4)]
+    assert all(3 not in p for p in pairs)
+
+
+def test_winnow_short_doc_single_window(spark):
+    # fewer than `window` k-grams -> exactly one fingerprint (min of all)
+    df = spark.createDataFrame([(1, "abcdefghi")], "doc_id bigint, text string")
+    rows = TX.winnow_fingerprints(df, k=8, window=4).collect()
+    assert len(rows) == 1
+    # and below k chars -> no fingerprints at all
+    tiny = spark.createDataFrame([(1, "abc")], "doc_id bigint, text string")
+    assert TX.winnow_fingerprints(tiny, k=8, window=4).count() == 0
+
+
 def test_text_profile(spark):
     df = spark.createDataFrame([(1, "The cat and the dog!")], "doc_id bigint, text string")
     row = TX.text_profile(df).collect()[0]

@@ -9,7 +9,7 @@ documents: every operator is a narrow projection — zero shuffles.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from yaetos_spark.functions.hashing import normalize_text, stable_fingerprint
@@ -100,6 +100,117 @@ def lang_id(col: str) -> Column:
     for lang, s in reversed(scores):
         result = F.when((s == best) & (best > 0), F.lit(lang)).otherwise(result)
     return result
+
+
+def _let(value: Column, body) -> Column:
+    """Single-evaluation let-binding for expensive sub-expressions.
+
+    ``transform()`` evaluates its input array exactly once and binds
+    each element to the lambda variable, so wrapping ``value`` in a
+    one-element array gives ``body`` a reference Catalyst cannot
+    inline. Without this, CollapseProject merges chained projections
+    and re-evaluates the producing expression at EVERY use site —
+    referencing a regex-normalized string inside a transform() over
+    its ~N character positions turns O(N) work into O(N^2), and a
+    second HOF layer into O(N^3) (measured: 9s -> 45min at sf0.001).
+    """
+    return F.element_at(F.transform(F.array(value), body), 1)
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every k-char gram of the
+    normalized text, then keep the minimum hash of each sliding window
+    of ``window`` consecutive k-gram hashes. Guarantees any shared
+    substring of length >= k + window - 1 yields a shared fingerprint.
+
+    Returns (id_col, fingerprint: long) rows, distinct per document.
+
+    Scale: the whole computation is per-document array work
+    (sequence/transform/slice/array_min HOFs) followed by a narrow
+    explode — ZERO shuffles, so it runs embarrassingly parallel over
+    any corpus size. The normalized text and the k-gram hash array are
+    ``_let``-bound so each is computed once per document regardless of
+    how Catalyst collapses the projections. Hashes are md5-based
+    (engine-portable, see functions/hashing.py) rather than a literal
+    Rabin-Karp rolling recurrence: the JVM evaluates md5(substr) per
+    position, and the fingerprint semantics (k-gram hash + window-min
+    selection) are identical.
+    """
+
+    def kgrams_of(nrm: Column) -> Column:
+        # explicit +1 step: sequence() defaults to step -1 when
+        # start > stop, and the where-guard below runs in a separate
+        # Filter node, so keep the expression itself total
+        n_kgrams = F.greatest(F.length(nrm) - k + 1, F.lit(1))
+        return F.transform(
+            F.sequence(F.lit(1), n_kgrams, F.lit(1)),
+            lambda i: F.conv(
+                F.substring(F.md5(nrm.substr(i, F.lit(k))), 1, 8), 16, 10
+            ).cast("long"),
+        )
+
+    def windows_of(raw: Column) -> Column:
+        # a doc with fewer than ``window`` k-grams contributes
+        # min-of-all (one window; slice tolerates running past the end)
+        n_windows = F.greatest(F.size(raw) - window + 1, F.lit(1))
+        return F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n_windows, F.lit(1)),
+                lambda j: F.array_min(F.slice(raw, j, window)),
+            )
+        )
+
+    fps = _let(normalize_text(text_col), lambda nrm: _let(kgrams_of(nrm), windows_of))
+    return (
+        df.where(F.length(normalize_text(text_col)) >= k)
+        .select(F.col(id_col), F.explode(fps).alias("fingerprint"))
+    )
+
+
+def winnow_overlap_pairs(
+    fps: DataFrame,
+    id_col: str = "doc_id",
+    min_shared: int = 2,
+    max_doc_freq: int = 50,
+) -> DataFrame:
+    """Document pairs sharing >= ``min_shared`` winnowing fingerprints
+    (id_a < id_b, n_shared). The near-dup detector built on
+    winnow_fingerprints.
+
+    Scale: fingerprints occurring in more than ``max_doc_freq``
+    documents (boilerplate phrases) are dropped BEFORE the self-join —
+    this bounds the per-key fan-out to max_doc_freq^2 and removes the
+    join skew that common substrings would otherwise cause at corpus
+    scale. One window count + one equi-join shuffle on fingerprint +
+    one pair aggregation.
+    """
+    w = Window.partitionBy("fingerprint")
+    rare = (
+        fps.withColumn("_dfreq", F.count("*").over(w))
+        .where(F.col("_dfreq") <= max_doc_freq)
+        .drop("_dfreq")
+    )
+    a, b = rare.alias("a"), rare.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fingerprint") == F.col("b.fingerprint"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
 
 
 def text_profile(df: DataFrame, col: str = "text", id_col: str = "doc_id") -> DataFrame:
