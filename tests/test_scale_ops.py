@@ -82,3 +82,46 @@ def test_stateful_sessionize_across_batches(spark, tmp_path):
         for r in spark.read.parquet(out).collect()
     ]
     assert rows == [(1, 1000, 1100, 2)]
+
+
+def test_event_time_timeout_closes_idle_sessions(spark, tmp_path):
+    """Close-on-idle: quiet keys' sessions close when the global
+    event-time watermark passes last_event + gap — no later event for
+    the key itself needed. Run 2's sentinel (a different user) pushes
+    the watermark; users 1 and 2 time out and emit."""
+    from yaetos_spark.streaming.stateful import stateful_sessionize_event_time
+
+    path = str(tmp_path / "ev")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "sessions")
+
+    def run_batch():
+        stream = spark.readStream.schema("user_id long, sec long").parquet(path)
+        sessions = stateful_sessionize_event_time(stream, gap_seconds=1800)
+        q = (
+            sessions.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout=120)
+        assert not q.isActive, "availableNow run did not terminate"
+
+    spark.createDataFrame(
+        [(1, 1000), (1, 1100), (2, 2000)], "user_id long, sec long"
+    ).coalesce(1).write.mode("append").parquet(path)
+    run_batch()
+    assert spark.read.parquet(out).count() == 0  # watermark still behind timeouts
+
+    # sentinel from another user far in the future -> watermark jumps,
+    # expired timeouts fire in the no-data batch after it
+    spark.createDataFrame([(99, 100000)], "user_id long, sec long") \
+        .coalesce(1).write.mode("append").parquet(path)
+    run_batch()
+    rows = {
+        (r.user_id, r.session_start_sec, r.session_end_sec, r.n_events)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert rows == {(1, 1000, 1100, 2), (2, 2000, 2000, 1)}
