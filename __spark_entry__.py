@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from yaetos_spark.functions.vectors import cosine
+from yaetos_spark.operators import curation as CU
 from yaetos_spark.operators import dedup as D
 from yaetos_spark.operators import similarity as S
 from yaetos_spark.operators import text as TX
@@ -1751,6 +1752,125 @@ HAVING count(*) >= 4
 """
 
 
+def _ngram_contamination(spark, sf_dir):
+    """Benchmark-contamination scan: docs with doc_id % 20 == 0 play
+    the eval set; every other doc is scored by how many of its token
+    bigrams appear in the eval set. See
+    yaetos_spark/operators/curation.py:ngram_contamination."""
+    docs = _t(spark, sf_dir, "documents")
+    eval_df = docs.where(F.col("doc_id") % 20 == 0)
+    train = docs.where(F.col("doc_id") % 20 != 0)
+    return CU.ngram_contamination(train, eval_df, n=2)
+
+
+_CONTAMINATION_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+),
+grams AS (
+  SELECT doc_id, t[i] || ' ' || t[i + 1] AS gram, len(t) - 1 AS n_ngrams
+  FROM toks, unnest(range(1, len(t))) AS r(i)
+  WHERE len(t) >= 2
+),
+eval_grams AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 20 = 0),
+train AS (SELECT * FROM grams WHERE doc_id % 20 != 0)
+SELECT train.doc_id,
+       any_value(train.n_ngrams) AS n_ngrams,
+       count(*) AS n_hits,
+       count(*) / any_value(train.n_ngrams) AS contamination_ratio
+FROM train JOIN eval_grams USING (gram)
+GROUP BY train.doc_id
+"""
+
+
+def _stratified_sample(spark, sf_dir):
+    """Deterministic stratified sample: 5 docs per (lang, source)
+    stratum, ranked by md5(doc_id) — identical subset on every engine
+    and every run. See curation.py:deterministic_sample."""
+    docs = _t(spark, sf_dir, "documents")
+    return CU.deterministic_sample(docs, ["lang", "source"], 5).select(
+        "lang", "source", "doc_id", "sample_rank"
+    )
+
+
+_STRATIFIED_SQL = """
+SELECT lang, source, doc_id, sample_rank
+FROM (
+  SELECT lang, source, doc_id,
+         row_number() OVER (PARTITION BY lang, source ORDER BY md5(CAST(doc_id AS VARCHAR))) AS sample_rank
+  FROM documents
+)
+WHERE sample_rank <= 5
+"""
+
+
+def _repetition_profile(spark, sf_dir):
+    """Gopher-style repetition quality signals (top-word fraction,
+    duplicate-bigram fraction) — zero-shuffle per-doc HOFs. See
+    curation.py:repetition_profile."""
+    docs = _t(spark, sf_dir, "documents")
+    return CU.repetition_profile(docs)
+
+
+_REPETITION_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+),
+wc AS (
+  SELECT doc_id, max(cnt) AS max_cnt FROM (
+    SELECT doc_id, w, count(*) AS cnt
+    FROM (SELECT doc_id, unnest(t) AS w FROM toks)
+    GROUP BY doc_id, w
+  ) GROUP BY doc_id
+),
+bg AS (
+  SELECT doc_id,
+         count(*) AS n_bigrams,
+         count(DISTINCT gram) AS n_distinct
+  FROM (
+    SELECT doc_id, t[i] || ' ' || t[i + 1] AS gram
+    FROM toks, unnest(range(1, len(t))) AS r(i)
+    WHERE len(t) >= 2
+  ) GROUP BY doc_id
+)
+SELECT toks.doc_id,
+       len(toks.t) AS n_words,
+       wc.max_cnt / len(toks.t) AS top_word_frac,
+       1 - bg.n_distinct / bg.n_bigrams AS dup_bigram_frac
+FROM toks
+JOIN wc USING (doc_id)
+LEFT JOIN bg USING (doc_id)
+"""
+
+
+def _pack_sequences(spark, sf_dir):
+    """Sequence packing: per-source running token count folded into
+    2048-token context windows (split-at-boundary semantics). See
+    curation.py:pack_sequences."""
+    docs = _t(spark, sf_dir, "documents")
+    return CU.pack_sequences(docs, budget_tokens=2048)
+
+
+_PACK_SQL = r"""
+WITH toks AS (
+  SELECT source, doc_id, len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+  FROM documents
+),
+binned AS (
+  SELECT source,
+         floor(coalesce(sum(n_tokens) OVER (
+             PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2048) AS bin_id,
+         n_tokens
+  FROM toks
+)
+SELECT source, CAST(bin_id AS BIGINT) AS bin_id,
+       count(*) AS n_docs, sum(n_tokens) AS total_tokens
+FROM binned
+GROUP BY source, bin_id
+"""
+
+
 # ---------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------
@@ -1822,6 +1942,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unpivot_counts": _unpivot_counts,
         "correlated_scalar": _correlated_scalar,
         "winnow_overlap_pairs": _winnow_overlap,
+        "ngram_contamination": _ngram_contamination,
+        "stratified_sample": _stratified_sample,
+        "repetition_profile": _repetition_profile,
+        "pack_sequences": _pack_sequences,
     }
 
 
@@ -1891,4 +2015,8 @@ def oracle_sql() -> dict[str, str]:
         "unpivot_counts": _UNPIVOT_SQL,
         "correlated_scalar": _CORRELATED_SQL,
         "winnow_overlap_pairs": _WINNOW_SQL,
+        "ngram_contamination": _CONTAMINATION_SQL,
+        "stratified_sample": _STRATIFIED_SQL,
+        "repetition_profile": _REPETITION_SQL,
+        "pack_sequences": _PACK_SQL,
     }

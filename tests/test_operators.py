@@ -2,6 +2,7 @@ import math
 
 from pyspark.sql import functions as F
 
+from yaetos_spark.operators import curation as CU
 from yaetos_spark.operators import dedup as D
 from yaetos_spark.operators import multimodal as MM
 from yaetos_spark.operators import similarity as S
@@ -63,6 +64,56 @@ def test_simhash_pairs_hamming(spark):
     sim = D.simhash(_docs(spark))
     pairs = {(r.id1, r.id2): r.hamming for r in D.simhash_pairs(sim, max_hamming=5).collect()}
     assert pairs.get((1, 4)) == 0
+
+
+# -- curation ---------------------------------------------------------
+
+
+def test_ngram_contamination(spark):
+    eval_df = spark.createDataFrame([(100, "alpha beta gamma")], "doc_id bigint, text string")
+    train = spark.createDataFrame(
+        [
+            (1, "alpha beta delta epsilon"),  # 1 of 3 bigrams contaminated
+            (2, "zeta eta theta iota"),  # clean -> not in output
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = {r.doc_id: r for r in CU.ngram_contamination(train, eval_df, n=2).collect()}
+    assert set(rows) == {1}
+    assert rows[1].n_ngrams == 3 and rows[1].n_hits == 1
+    assert abs(rows[1].contamination_ratio - 1 / 3) < 1e-12
+
+
+def test_deterministic_sample_reproducible(spark):
+    df = spark.createDataFrame(
+        [(i, "g" + str(i % 2)) for i in range(40)], "doc_id bigint, grp string"
+    )
+    s1 = {(r.grp, r.doc_id) for r in CU.deterministic_sample(df, ["grp"], 3).collect()}
+    s2 = {(r.grp, r.doc_id) for r in CU.deterministic_sample(df, ["grp"], 3).collect()}
+    assert s1 == s2 and len(s1) == 6
+    assert len({g for g, _ in s1}) == 2
+
+
+def test_repetition_profile(spark):
+    df = spark.createDataFrame(
+        [(1, "spam spam spam eggs"), (2, "one"), (3, "a b a b")],
+        "doc_id bigint, text string",
+    )
+    rows = {r.doc_id: r for r in CU.repetition_profile(df).collect()}
+    assert rows[1].n_words == 4 and abs(rows[1].top_word_frac - 0.75) < 1e-12
+    assert rows[2].dup_bigram_frac is None  # single word -> no bigrams
+    # "a b","b a","a b": 3 bigrams, 2 distinct -> 1/3 duplicated
+    assert abs(rows[3].dup_bigram_frac - 1 / 3) < 1e-12
+
+
+def test_pack_sequences_respects_order_and_budget(spark):
+    df = spark.createDataFrame(
+        [(i, "s", " ".join(["w"] * 60)) for i in range(10)],
+        "doc_id bigint, source string, text string",
+    )
+    # doc i starts at token 60*i; bin = floor(60i/100) -> 0,0,1,1,2,3,3,4,4,5
+    rows = {r.bin_id: (r.n_docs, r.total_tokens) for r in CU.pack_sequences(df, 100).collect()}
+    assert rows == {0: (2, 120), 1: (2, 120), 2: (1, 60), 3: (2, 120), 4: (2, 120), 5: (1, 60)}
 
 
 # -- text -------------------------------------------------------------

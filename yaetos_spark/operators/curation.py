@@ -1,0 +1,185 @@
+"""Training-data curation operators: benchmark-contamination checks,
+deterministic sampling, repetition/boilerplate profiling, and sequence
+packing.
+
+These are the dataset-curation steps a large-scale training pipeline
+runs between raw ingestion and tokenization (no analog in the
+reference, which stops at generic ETL — SURVEY §2 extension). Every
+operator is expressed as narrow projections + the single shuffle its
+semantics require, and every per-document computation let-binds its
+token array (see operators/text.py:_let) so Catalyst cannot
+re-evaluate the tokenizer per array element.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from yaetos_spark.operators.text import _let
+
+
+def _tokens(text_col: str) -> Column:
+    """Whitespace tokens of a trimmed text column."""
+    return F.split(F.trim(F.col(text_col)), r"\s+")
+
+
+def _ngram_strings(tokens: Column, n: int) -> Column:
+    """All space-joined n-grams of a token array (empty if < n tokens)."""
+    n_grams = F.size(tokens) - n + 1
+    return F.when(
+        n_grams >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n_grams, F.lit(1)), F.lit(1)),
+            lambda i: F.concat_ws(" ", F.slice(tokens, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def ngram_contamination(
+    train: DataFrame,
+    eval_df: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark-contamination check: for each training document, how
+    many of its token n-grams appear anywhere in the evaluation set.
+
+    Returns (id_col, n_ngrams, n_hits, contamination_ratio) for
+    documents with at least one hit.
+
+    Scale: the eval set's distinct n-grams are broadcast (benchmark
+    suites are MBs, the training corpus is the 100 TB side), so the
+    match is a map-side broadcast join — the only shuffle is the
+    per-document hit count AFTER the join has filtered to the rare
+    contaminated grams, i.e. the shuffle moves hits, not the corpus.
+    """
+    eval_grams = (
+        eval_df.select(F.explode(_ngram_strings(_tokens(text_col), n)).alias("gram"))
+        .distinct()
+    )
+    doc_grams = train.select(
+        F.col(id_col),
+        _let(_tokens(text_col), lambda t: _ngram_strings(t, n)).alias("_grams"),
+    )
+    totals = doc_grams.select(F.col(id_col), F.size("_grams").alias("n_ngrams"))
+    hits = (
+        doc_grams.select(F.col(id_col), F.explode("_grams").alias("gram"))
+        .join(F.broadcast(eval_grams), "gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        totals.join(hits, id_col)
+        .select(
+            id_col,
+            "n_ngrams",
+            "n_hits",
+            (F.col("n_hits") / F.col("n_ngrams")).alias("contamination_ratio"),
+        )
+    )
+
+
+def deterministic_sample(
+    df: DataFrame,
+    strata_cols: list[str],
+    n_per_stratum: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact stratified sample: the same ``n_per_stratum`` rows per
+    stratum on every run and every engine — rank rows inside each
+    stratum by md5 of their id and keep the first n.
+
+    Hash-ordering (not rand()) is what makes training-data sampling
+    reproducible: re-running the pipeline, or running it on a different
+    cluster, selects the identical subset. One shuffle on the strata
+    columns; each stratum sorts independently.
+    """
+    w = Window.partitionBy(*strata_cols).orderBy(F.md5(F.col(id_col).cast("string")))
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= n_per_stratum)
+    )
+
+
+def repetition_profile(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition signals per document: the fraction of
+    the doc that is its single most frequent word, and the fraction of
+    duplicated bigrams.
+
+    Returns (id_col, n_words, top_word_frac, dup_bigram_frac) —
+    dup_bigram_frac is NULL for single-word docs.
+
+    Scale: pure per-document array work (let-bound token array +
+    filter/transform/array_distinct HOFs) in one narrow projection —
+    ZERO shuffles, embarrassingly parallel. Per-doc cost is
+    O(distinct_words x words), fine for natural documents where
+    distinct_words ~ hundreds.
+    """
+
+    def profile(t: Column) -> Column:
+        n_words = F.size(t)
+        max_count = F.array_max(
+            F.transform(
+                F.array_distinct(t), lambda w: F.size(F.filter(t, lambda x: x == w))
+            )
+        )
+        return _let(
+            _ngram_strings(t, 2),
+            lambda bg: F.struct(
+                n_words.alias("n_words"),
+                (max_count / n_words).alias("top_word_frac"),
+                F.when(
+                    F.size(bg) >= 1,
+                    1 - F.size(F.array_distinct(bg)) / F.size(bg),
+                ).alias("dup_bigram_frac"),
+            ),
+        )
+
+    return df.select(
+        F.col(id_col), _let(_tokens(text_col), profile).alias("_p")
+    ).select(id_col, "_p.n_words", "_p.top_word_frac", "_p.dup_bigram_frac")
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget_tokens: int,
+    order_col: str = "doc_id",
+    partition_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Assign documents to fixed token-budget context windows ("bins")
+    in a deterministic order: a document belongs to the bin its first
+    token lands in under a running token count, i.e. streaming packing
+    with split-at-boundary semantics (a straddling document spills into
+    the next window, as sequence packing with attention-mask reset
+    does).
+
+    Returns one row per (partition_col, bin_id) with n_docs and
+    total_tokens.
+
+    Scale: the running sum is windowed PER partition_col (shard), not
+    globally — a global cumsum would serialize onto one task. Shards
+    pack independently and in parallel; one shuffle on partition_col.
+    """
+    w = (
+        Window.partitionBy(partition_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    toks = df.select(
+        F.col(partition_col),
+        F.col(order_col),
+        F.size(_tokens(text_col)).alias("n_tokens"),
+    )
+    binned = toks.withColumn(
+        "bin_id",
+        F.floor(F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / budget_tokens),
+    )
+    return binned.groupBy(partition_col, "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
