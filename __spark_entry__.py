@@ -1871,6 +1871,96 @@ GROUP BY source, bin_id
 """
 
 
+def _pii_redaction(spark, sf_dir):
+    """PII scrub over documents with synthetic identifiers injected
+    deterministically (the testdata has none), so the redaction +
+    counting machinery is value-checked end-to-end. See
+    curation.py:redact_pii."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    injected = F.concat(
+        F.lit("reach me at user"), d.cast("string"),
+        F.lit("@mail"), (d % 7).cast("string"),
+        F.lit(".example or +1 555 "), F.lpad((d % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10.0."), (d % 256).cast("string"),
+        F.lit("."), ((d * 7) % 256).cast("string"),
+        F.lit(" -- "), F.substring("text", 1, 50),
+    )
+    return CU.redact_pii(docs.select("doc_id", injected.alias("text")))
+
+
+_PII_SQL = r"""
+WITH inj AS (
+  SELECT doc_id,
+         'reach me at user' || CAST(doc_id AS VARCHAR) || '@mail' ||
+         CAST(doc_id % 7 AS VARCHAR) || '.example or +1 555 ' ||
+         lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' from 10.0.' ||
+         CAST(doc_id % 256 AS VARCHAR) || '.' || CAST((doc_id * 7) % 256 AS VARCHAR) ||
+         ' -- ' || substr(text, 1, 50) AS t
+  FROM documents
+),
+r1 AS (
+  SELECT doc_id,
+         len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+         regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g') AS t
+  FROM inj
+),
+r2 AS (
+  SELECT doc_id, n_email,
+         len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ip,
+         regexp_replace(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g') AS t
+  FROM r1
+),
+r3 AS (
+  SELECT doc_id, n_email, n_ip,
+         len(regexp_extract_all(t, '\+?\d[\d ().-]{6,}\d')) AS n_phone,
+         regexp_replace(t, '\+?\d[\d ().-]{6,}\d', '[PHONE]', 'g') AS t
+  FROM r2
+)
+SELECT doc_id, n_email, n_ip, n_phone, t AS redacted FROM r3
+"""
+
+
+def _vocab_coverage(spark, sf_dir):
+    """Top-25 vocabulary with cumulative corpus coverage share. See
+    curation.py:vocab_coverage."""
+    return CU.vocab_coverage(_t(spark, sf_dir, "documents"), top_n=25)
+
+
+_VOCAB_SQL = r"""
+WITH counts AS (
+  SELECT word, count(*) AS n
+  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word FROM documents)
+  GROUP BY word
+)
+SELECT rank, word, n, cum_share FROM (
+  SELECT row_number() OVER (ORDER BY n DESC, word) AS rank, word, n,
+         sum(n) OVER (ORDER BY n DESC, word ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           / sum(n) OVER () AS cum_share
+  FROM counts
+)
+WHERE rank <= 25
+"""
+
+
+def _hash_sample(spark, sf_dir):
+    """Deterministic Bernoulli 25% sample of documents — md5-uniform
+    per id, reproducible across engines/partitionings. See
+    curation.py:bernoulli_sample."""
+    docs = _t(spark, sf_dir, "documents")
+    return CU.bernoulli_sample(docs, p=0.25).select("doc_id", "u")
+
+
+_HASH_SAMPLE_SQL = f"""
+SELECT doc_id, u FROM (
+  SELECT doc_id,
+         {_hex_long_sql("md5(CAST(doc_id AS VARCHAR))", 1)} / 4294967296.0 AS u
+  FROM documents
+)
+WHERE u < 0.25
+"""
+
+
 # ---------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------
@@ -1946,6 +2036,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _stratified_sample,
         "repetition_profile": _repetition_profile,
         "pack_sequences": _pack_sequences,
+        "pii_redaction": _pii_redaction,
+        "vocab_coverage": _vocab_coverage,
+        "hash_sample": _hash_sample,
     }
 
 
@@ -2019,4 +2112,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": _STRATIFIED_SQL,
         "repetition_profile": _REPETITION_SQL,
         "pack_sequences": _PACK_SQL,
+        "pii_redaction": _PII_SQL,
+        "vocab_coverage": _VOCAB_SQL,
+        "hash_sample": _HASH_SAMPLE_SQL,
     }

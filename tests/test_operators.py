@@ -116,6 +116,40 @@ def test_pack_sequences_respects_order_and_budget(spark):
     assert rows == {0: (2, 120), 1: (2, 120), 2: (1, 60), 3: (2, 120), 4: (2, 120), 5: (1, 60)}
 
 
+def test_redact_pii(spark):
+    df = spark.createDataFrame(
+        [(1, "mail a.b+c@x.io or call +1 555 123-4567 from 192.168.0.1 ok")],
+        "doc_id bigint, text string",
+    )
+    row = CU.redact_pii(df).collect()[0]
+    assert (row.n_email, row.n_ip, row.n_phone) == (1, 1, 1)
+    assert row.redacted == "mail [EMAIL] or call [PHONE] from [IP] ok"
+
+
+def test_redact_pii_ip_not_double_counted_as_phone(spark):
+    df = spark.createDataFrame([(1, "just 10.0.3.21 here")], "doc_id bigint, text string")
+    row = CU.redact_pii(df).collect()[0]
+    assert (row.n_email, row.n_ip, row.n_phone) == (0, 1, 0)
+
+
+def test_bernoulli_sample_deterministic_and_partition_invariant(spark):
+    df = spark.createDataFrame([(i,) for i in range(400)], "doc_id bigint")
+    s1 = {r.doc_id for r in CU.bernoulli_sample(df, 0.3).collect()}
+    s2 = {r.doc_id for r in CU.bernoulli_sample(df.repartition(7), 0.3).collect()}
+    assert s1 == s2  # unlike df.sample(), layout doesn't change the subset
+    assert 0.2 < len(s1) / 400 < 0.4
+
+
+def test_vocab_coverage(spark):
+    df = spark.createDataFrame(
+        [(1, "a a a b b c")], "doc_id bigint, text string"
+    )
+    rows = {r.rank: r for r in CU.vocab_coverage(df, top_n=3).collect()}
+    assert [rows[i].word for i in (1, 2, 3)] == ["a", "b", "c"]
+    assert abs(rows[1].cum_share - 0.5) < 1e-12
+    assert abs(rows[3].cum_share - 1.0) < 1e-12
+
+
 # -- text -------------------------------------------------------------
 
 

@@ -144,6 +144,95 @@ def repetition_profile(
     ).select(id_col, "_p.n_words", "_p.top_word_frac", "_p.dup_bigram_frac")
 
 
+_PII_PATTERNS = {
+    # order matters: emails contain digit runs, so redact them first
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ip": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\+?\d[\d ().-]{6,}\d",
+}
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Redact emails / IPv4s / phone-number-shaped digit runs,
+    replacing each with a ``[TYPE]`` tag, and count what was removed.
+
+    Returns (id_col, n_email, n_ip, n_phone, redacted).
+
+    The patterns are deliberately simple character-class regexes that
+    behave identically under Java regex and RE2 (so a DuckDB oracle
+    reproduces them exactly); a production pipeline would extend the
+    pattern table, not the plumbing. Scale: a narrow projection — one
+    regexp_extract_all + one regexp_replace per pattern, zero shuffles,
+    all JVM-side codegen.
+    """
+    out = df.select(F.col(id_col), F.col(text_col).alias("redacted"))
+    counts = []
+    for name, pat in _PII_PATTERNS.items():
+        out = out.select(
+            F.col(id_col),
+            *counts,
+            F.size(F.regexp_extract_all("redacted", F.lit(pat), 0)).alias(f"n_{name}"),
+            F.regexp_replace("redacted", pat, f"[{name.upper()}]").alias("redacted"),
+        )
+        counts.append(F.col(f"n_{name}"))
+    return out.select(id_col, "n_email", "n_ip", "n_phone", "redacted")
+
+
+def bernoulli_sample(
+    df: DataFrame, p: float, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic Bernoulli sample: keep a row iff the md5-derived
+    uniform of its id is below ``p``. Unlike ``df.sample()`` (seeded
+    per-partition, so the subset changes with partitioning) the
+    selection depends only on row identity — stable across runs,
+    engines, and cluster layouts, which is what makes training subsets
+    reproducible. Zero shuffles: a filter on a hash of the id.
+    """
+    uniform = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast(
+            "long"
+        )
+        / F.lit(float(2**32))
+    )
+    return df.withColumn("u", uniform).where(F.col("u") < p)
+
+
+def vocab_coverage(
+    df: DataFrame, text_col: str = "text", top_n: int = 25
+) -> DataFrame:
+    """Vocabulary frequency table with cumulative corpus coverage: the
+    tokenizer-design question "how much of the corpus do the top-N
+    words cover?". Returns (rank, word, n, cum_share) for the top_n
+    words, ties broken alphabetically.
+
+    Scale: explode + map-side-combined groupBy (one shuffle), then the
+    rank/cumsum window runs over ONLY the aggregated vocabulary — tiny
+    vs the corpus — so the single-partition window is safe: vocab size,
+    not corpus size, bounds it.
+    """
+    counts = (
+        df.select(F.explode(_tokens(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("word"))
+    total = Window.partitionBy()
+    return (
+        counts.select(
+            F.row_number().over(w).alias("rank"),
+            "word",
+            "n",
+            (
+                F.sum("n").over(w.rowsBetween(Window.unboundedPreceding, 0))
+                / F.sum("n").over(total)
+            ).alias("cum_share"),
+        )
+        .where(F.col("rank") <= top_n)
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     budget_tokens: int,
