@@ -131,3 +131,24 @@ def test_flow_chained_pipeline(spark, tmp_path):
     out = flow.run_pipeline(spark, "dep2", lambda name, params: classes[name](params))
     rows = {r.session_id: (r.session_length, r.doubled_length) for r in out.collect()}
     assert rows == {"ab": (2, 4), "abcd": (4, 8)}
+
+
+def test_register_udtf_in_job_sql(spark):
+    """Python UDTF registered on a job is callable from job SQL as a
+    table function (SELECT * FROM fn(...))."""
+
+    class SplitWords(SparkJob):
+        def transform(self):
+            class Words:
+                def eval(self, text: str):
+                    for i, w in enumerate(text.split()):
+                        yield (i, w)
+
+            self.register_udtf("split_words", Words, "pos int, word string")
+            return self.query("SELECT * FROM split_words('alpha beta gamma')")
+
+    job = SplitWords({"add_created_at": False})
+    out = job.etl_no_io(spark, {})
+    assert [(r.pos, r.word) for r in out.collect()] == [
+        (0, "alpha"), (1, "beta"), (2, "gamma"),
+    ]

@@ -62,6 +62,19 @@ class SparkJob:
         jobs/examples/ex2_frameworked_job.py:26)."""
         return self.spark.udf.register(name, fn, returnType)
 
+    def register_udtf(self, name: str, cls, returnType: str):
+        """SQL-visible Python UDTF (table function) registration —
+        rows out per row in, usable as ``SELECT * FROM name(...)`` in
+        job SQL. The Spark-4 analog of the reference's row-expanding
+        pandas .apply edges; prefer built-in explode/inline where
+        semantics allow (JVM-side), a UDTF only for genuinely
+        imperative fan-out."""
+        from pyspark.sql.functions import udtf
+
+        fn = udtf(cls, returnType=returnType)
+        self.spark.udtf.register(name, fn)
+        return fn
+
     # -- orchestration -------------------------------------------------
     def input_specs(self) -> dict:
         return self.params.get("inputs") or self.INPUTS
