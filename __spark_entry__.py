@@ -24,6 +24,7 @@ from yaetos_spark.operators import curation as CU
 from yaetos_spark.operators import dedup as D
 from yaetos_spark.operators import similarity as S
 from yaetos_spark.operators import text as TX
+from yaetos_spark.operators import timeseries as TS
 from yaetos_spark.operators import windows as WOP
 from yaetos_spark.operators.quality import compare_fuzzy, identify_non_unique_pks
 from yaetos_spark.sources.tables import load_table
@@ -1961,6 +1962,62 @@ WHERE u < 0.25
 """
 
 
+def _quantiles_summary(spark, sf_dir):
+    """Exact interpolated quantiles per group — Spark percentile()
+    and DuckDB quantile_cont() share the lo + (hi-lo)*frac definition,
+    so values match bit-for-bit. (percentile_approx is the 100 TB path;
+    it's engine-specific by design so the oracle pins the exact one.)"""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
+        F.expr("percentile(l_extendedprice, 0.9)").alias("p90"),
+        F.expr("percentile(l_extendedprice, 0.99)").alias("p99"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+_QUANTILES_SQL = """
+SELECT l_returnflag,
+       quantile_cont(l_extendedprice, 0.5) AS p50,
+       quantile_cont(l_extendedprice, 0.9) AS p90,
+       quantile_cont(l_extendedprice, 0.99) AS p99,
+       count(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+def _resample_locf(spark, sf_dir):
+    """Per-user 6-hour-grid resampling with last-observation-carried-
+    forward gap fill. See yaetos_spark/operators/timeseries.py."""
+    ev = _t(spark, sf_dir, "events")
+    return TS.resample_locf(ev, interval_sec=21600)
+
+
+_RESAMPLE_LOCF_SQL = """
+WITH cells AS (
+  SELECT user_id,
+         CAST(floor(extract(epoch FROM ts) / 21600) AS BIGINT) * 21600 AS bucket_sec,
+         arg_max(value, ts) AS obs
+  FROM events GROUP BY 1, 2
+),
+grids AS (
+  SELECT user_id, unnest(range(lo, hi + 1, 21600)) AS bucket_sec
+  FROM (SELECT user_id, min(bucket_sec) AS lo, max(bucket_sec) AS hi FROM cells GROUP BY 1)
+),
+joined AS (
+  SELECT g.user_id, g.bucket_sec, c.obs
+  FROM grids g LEFT JOIN cells c USING (user_id, bucket_sec)
+)
+SELECT user_id, bucket_sec,
+       last_value(obs IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY bucket_sec
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_locf,
+       obs IS NOT NULL AS is_observed
+FROM joined
+"""
+
+
 # ---------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------
@@ -2039,6 +2096,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redaction": _pii_redaction,
         "vocab_coverage": _vocab_coverage,
         "hash_sample": _hash_sample,
+        "quantiles_summary": _quantiles_summary,
+        "resample_locf": _resample_locf,
     }
 
 
@@ -2115,4 +2174,6 @@ def oracle_sql() -> dict[str, str]:
         "pii_redaction": _PII_SQL,
         "vocab_coverage": _VOCAB_SQL,
         "hash_sample": _HASH_SAMPLE_SQL,
+        "quantiles_summary": _QUANTILES_SQL,
+        "resample_locf": _RESAMPLE_LOCF_SQL,
     }

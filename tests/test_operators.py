@@ -361,3 +361,31 @@ def test_ivf_train_and_search(spark):
     # and they match brute force exactly within the probed cell
     brute = S2.cosine_topk(emb.filter("vec_id < 100"), queries, k=3).collect()
     assert {(r.neighbor_id, r.rank) for r in got} == {(r.neighbor_id, r.rank) for r in brute}
+
+
+# -- timeseries -------------------------------------------------------
+
+
+def test_resample_locf(spark):
+    from yaetos_spark.operators.timeseries import resample_locf
+
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:05", 10.0),
+            (1, "2024-01-01 00:00:40", 11.0),  # same bucket: latest wins
+            (1, "2024-01-01 00:03:10", 12.0),  # 2-bucket gap before this
+            (2, "2024-01-01 00:00:59", 5.0),
+        ],
+        "user_id bigint, ts_s string, value double",
+    ).select("user_id", F.to_timestamp("ts_s").alias("ts"), "value")
+    rows = {
+        (r.user_id, r.bucket_sec): (r.value_locf, r.is_observed)
+        for r in resample_locf(df, interval_sec=60).collect()
+    }
+    base = 1704067200  # 2024-01-01 00:00:00 UTC
+    assert rows[(1, base)] == (11.0, True)
+    assert rows[(1, base + 60)] == (11.0, False)  # gap carried forward
+    assert rows[(1, base + 120)] == (11.0, False)
+    assert rows[(1, base + 180)] == (12.0, True)
+    assert rows[(2, base)] == (5.0, True)
+    assert len(rows) == 5

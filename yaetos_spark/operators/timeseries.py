@@ -1,0 +1,67 @@
+"""Time-series regularization operators: resampling onto a fixed grid
+and gap filling (last observation carried forward).
+
+The ops a metrics/telemetry pipeline runs before feature extraction —
+no analog in the reference (it stops at generic SQL; SURVEY §2
+extension alongside the curation operators).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def resample_locf(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+    interval_sec: int = 21600,
+) -> DataFrame:
+    """Resample each key's series onto a fixed ``interval_sec`` grid
+    spanning its own [min, max] bucket range, carrying the last
+    observed value forward across empty buckets.
+
+    Returns (key_col, bucket_sec, value_locf, is_observed).
+
+    Scale: one shuffle aggregates events into (key, bucket) cells —
+    the grid explode and the forward-fill window then run on the
+    CELLS, whose size is keys x buckets regardless of raw event volume,
+    so a 100 TB event table collapses before the expensive steps. The
+    fill is last(ignorenulls) over a per-key ordered window — linear,
+    no self-join. Dense grids per key are generated with
+    sequence+explode, not a cross join against a calendar table.
+    """
+    bucket = (F.unix_timestamp(F.col(ts_col)).cast("long") / interval_sec).cast(
+        "long"
+    ) * interval_sec
+    cells = (
+        df.select(F.col(key_col), bucket.alias("bucket_sec"), F.col(value_col), F.col(ts_col))
+        .groupBy(key_col, "bucket_sec")
+        .agg(F.max_by(value_col, ts_col).alias("_obs"))
+    )
+    grids = (
+        cells.groupBy(key_col)
+        .agg(F.min("bucket_sec").alias("_lo"), F.max("bucket_sec").alias("_hi"))
+        .select(
+            F.col(key_col),
+            F.explode(
+                F.sequence(F.col("_lo"), F.col("_hi"), F.lit(interval_sec))
+            ).alias("bucket_sec"),
+        )
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("bucket_sec")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        grids.join(cells, [key_col, "bucket_sec"], "left")
+        .select(
+            key_col,
+            "bucket_sec",
+            F.last("_obs", ignorenulls=True).over(w).alias("value_locf"),
+            F.col("_obs").isNotNull().alias("is_observed"),
+        )
+    )
