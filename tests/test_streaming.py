@@ -48,3 +48,56 @@ def test_available_now_incremental(spark, events_dir, tmp_path):
     stream2 = incremental_file_stream(spark, path, schema).filter(F.col("event_type") == "click")
     run_available_now(stream2, ckpt, out_path)
     assert spark.read.parquet(out_path).count() == n1
+
+
+def test_streaming_upsert_rewrites_only_touched_buckets(spark, tmp_path):
+    """CDC upsert via foreachBatch + dynamic partition overwrite: run 2
+    updates one key and inserts another; untouched buckets' files are
+    byte-identical (not rewritten), and the snapshot reads back as the
+    merged current state."""
+    import os
+
+    from yaetos_spark.streaming.upsert import read_snapshot, streaming_upsert
+
+    src = str(tmp_path / "cdc")
+    snap = str(tmp_path / "snap")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        stream = spark.readStream.schema("id long, v string, seq long").parquet(src)
+        q = streaming_upsert(stream, snap, ["id"], "seq", ckpt, n_buckets=8)
+        q.awaitTermination(timeout=120)
+        assert not q.isActive
+
+    spark.createDataFrame(
+        [(1, "a0", 0), (1, "a1", 1), (2, "b0", 0), (3, "c0", 0)], "id long, v string, seq long"
+    ).coalesce(1).write.mode("append").parquet(src)
+    run()
+    state = {r.id: (r.v, r.seq) for r in read_snapshot(spark, snap).collect()}
+    assert state == {1: ("a1", 1), 2: ("b0", 0), 3: ("c0", 0)}  # per-key compaction
+
+    # snapshot of on-disk files per bucket before run 2
+    def bucket_files():
+        out = {}
+        for d in os.listdir(snap):
+            if d.startswith("_bucket="):
+                full = os.path.join(snap, d)
+                out[d] = {(f, os.path.getmtime(os.path.join(full, f)))
+                          for f in os.listdir(full) if f.endswith(".parquet")}
+        return out
+
+    before = bucket_files()
+
+    spark.createDataFrame([(1, "a2", 2), (9, "z0", 0)], "id long, v string, seq long") \
+        .coalesce(1).write.mode("append").parquet(src)
+    run()
+    state = {r.id: (r.v, r.seq) for r in read_snapshot(spark, snap).collect()}
+    assert state == {1: ("a2", 2), 2: ("b0", 0), 3: ("c0", 0), 9: ("z0", 0)}
+
+    after = bucket_files()
+    from yaetos_spark.streaming.upsert import _bucket
+    probe = spark.createDataFrame([(1,), (9,)], "id long").select(_bucket(["id"], 8).alias("b"))
+    touched = {f"_bucket={r.b}" for r in probe.collect()}
+    untouched_before = {k: v for k, v in before.items() if k not in touched}
+    for d, files in untouched_before.items():
+        assert after[d] == files, f"untouched bucket {d} was rewritten"
