@@ -2018,6 +2018,53 @@ FROM joined
 """
 
 
+def _pagerank_customers(spark, sf_dir):
+    """Fixed-point PageRank (3 iterations, damping 17/20) over the
+    customer<->supplier trade graph — integer arithmetic makes ranks
+    bit-identical across engines and runs. See
+    yaetos_spark/operators/graph.py:pagerank_fixed_point."""
+    from yaetos_spark.operators.graph import pagerank_fixed_point
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    edges = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    return pagerank_fixed_point(edges, iters=3)
+
+
+def _pagerank_iter_sql(prev: str) -> str:
+    return f"""
+  SELECT n.node, 150000000000 + ((coalesce(s.t, 0) * 17) // 20) AS r
+  FROM n LEFT JOIN (
+    SELECT e.dst AS node, sum({prev}.r // deg.outdeg) AS t
+    FROM e JOIN {prev} ON e.src = {prev}.node JOIN deg ON e.src = deg.src
+    GROUP BY e.dst
+  ) s ON n.node = s.node"""
+
+
+_PAGERANK_SQL = f"""
+WITH eraw AS (
+  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS a,
+                  's' || CAST(l_suppkey AS VARCHAR) AS b
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+e AS (SELECT a AS src, b AS dst FROM eraw UNION SELECT b, a FROM eraw),
+deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+n AS (SELECT DISTINCT src AS node FROM e),
+r0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS r FROM n),
+r1 AS ({_pagerank_iter_sql("r0")}),
+r2 AS ({_pagerank_iter_sql("r1")}),
+r3 AS ({_pagerank_iter_sql("r2")})
+SELECT node, CAST(r AS DOUBLE) / 1000000000000.0 AS rank FROM r3
+"""
+
+
 # ---------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------
@@ -2098,6 +2145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_sample": _hash_sample,
         "quantiles_summary": _quantiles_summary,
         "resample_locf": _resample_locf,
+        "pagerank_trade_graph": _pagerank_customers,
     }
 
 
@@ -2176,4 +2224,5 @@ def oracle_sql() -> dict[str, str]:
         "hash_sample": _HASH_SAMPLE_SQL,
         "quantiles_summary": _QUANTILES_SQL,
         "resample_locf": _RESAMPLE_LOCF_SQL,
+        "pagerank_trade_graph": _PAGERANK_SQL,
     }

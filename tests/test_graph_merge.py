@@ -50,3 +50,28 @@ def test_scd2_intervals(spark):
     assert not rows["v1"].is_current
     assert rows["v2"].is_current
     assert str(rows["v2"].valid_to).startswith("9999-12-31")
+
+
+def test_pagerank_fixed_point_path_graph(spark):
+    """Path graph a-b-c, one iteration, hand-computed in fixed point:
+    contribs -> a: r(b)//2, b: r(a)+r(c), c: r(b)//2;
+    r1 = 0.15 + 0.85 * contrib."""
+    from yaetos_spark.operators.graph import pagerank_fixed_point
+
+    edges = spark.createDataFrame([("a", "b"), ("b", "c")], "src string, dst string")
+    ranks = {r.node: r.rank for r in pagerank_fixed_point(edges, iters=1).collect()}
+    assert ranks == {"a": 0.575, "b": 1.85, "c": 0.575}
+
+
+def test_pagerank_deterministic_across_partitionings(spark):
+    from yaetos_spark.operators.graph import pagerank_fixed_point
+
+    edges = spark.createDataFrame(
+        [(f"n{i}", f"n{(i * 7) % 40}") for i in range(200)], "src string, dst string"
+    ).where("src != dst")
+    r1 = {r.node: r.rank for r in pagerank_fixed_point(edges, iters=3).collect()}
+    r2 = {
+        r.node: r.rank
+        for r in pagerank_fixed_point(edges.repartition(13), iters=3).collect()
+    }
+    assert r1 == r2  # bit-identical, not approximately equal

@@ -92,3 +92,68 @@ def dedup_clusters(
             F.coalesce("comp", F.col(id_col)).alias("cluster_id"),
         )
     )
+
+
+def pagerank_fixed_point(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+    damping_num: int = 17,
+    damping_den: int = 20,
+    scale: int = 10**12,
+) -> DataFrame:
+    """Fixed-iteration PageRank over an undirected edge list, computed
+    entirely in scaled INTEGER arithmetic (ranks in units of
+    1/``scale``, damping as the rational ``damping_num/damping_den``,
+    default 17/20 = 0.85).
+
+    Why fixed-point: float PageRank sums contributions in whatever
+    order the shuffle delivers them, so two runs (or two engines)
+    disagree in the low bits and results aren't reproducible. Integer
+    ops are associative — every engine, partitioning, and run produces
+    the IDENTICAL ranks, which makes the operator regression-testable
+    value-for-value (the DuckDB oracle unrolls the same iterations).
+
+    Returns (node, rank: double), rank = integer rank / scale (exact:
+    all intermediates stay far below 2^53).
+
+    Scale: each iteration is one equi-join of edges to ranks + one
+    aggregation — both shuffle on node id, the classic Pregel-as-
+    DataFrame pattern. Ranks are re-derived from the node list each
+    round (no growing lineage; persist() per round, O(diameter)
+    rounds).
+    """
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .unionByName(edges.select(F.col(dst).alias("src"), F.col(src).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    nodes = e.select(F.col("src").alias("node")).distinct().persist()
+    base = scale * (damping_den - damping_num) // damping_den
+    ranks = nodes.withColumn("r", F.lit(scale).cast("long"))
+    for _ in range(iters):
+        contribs = (
+            e.join(ranks, e.src == ranks.node)
+            .join(deg, "src")
+            .select(F.col("dst"), F.expr("r div outdeg").alias("c"))
+        )
+        sums = contribs.groupBy("dst").agg(F.sum("c").alias("t"))
+        new_ranks = (
+            nodes.join(sums, nodes.node == sums.dst, "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(f"(coalesce(t, 0L) * {damping_num}) div {damping_den}")
+                ).alias("r"),
+            )
+            .persist()
+        )
+        new_ranks.count()  # materialize before dropping the old generation
+        ranks.unpersist()
+        ranks = new_ranks
+    out = ranks.select("node", (F.col("r").cast("double") / scale).alias("rank"))
+    return out
