@@ -2065,6 +2065,84 @@ SELECT node, CAST(r AS DOUBLE) / 1000000000000.0 AS rank FROM r3
 """
 
 
+def _big_orders(spark, sf_dir):
+    """TPC-H Q18 analog: customers with orders whose total quantity
+    exceeds a threshold. l_quantity is integer-valued, so the double
+    sum is exact and order-independent — safe to value-check and to
+    threshold."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    totals = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .where(F.col("total_qty") > 150)
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(totals, o.o_orderkey == totals.l_orderkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.unix_timestamp("o_orderdate").alias("orderdate_sec"),
+            "total_qty",
+        )
+    )
+
+
+_BIG_ORDERS_SQL = """
+SELECT c_name, o_orderkey,
+       CAST(floor(extract(epoch FROM o_orderdate)) AS BIGINT) AS orderdate_sec,
+       total_qty
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN (
+  SELECT l_orderkey, sum(l_quantity) AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150
+) t ON o_orderkey = t.l_orderkey
+"""
+
+
+def _idle_rich_customers(spark, sf_dir):
+    """TPC-H Q22 analog: per-nation count/balance of customers with
+    above-average balance and no URGENT orders (every synthetic
+    customer has some order, so the anti-join is on the filtered
+    subset). The average threshold is applied as the cross-multiplied
+    DECIMAL predicate acctbal * n > sum (exact in both engines)
+    instead of acctbal > sum/n, whose float division would put
+    boundary rows at the mercy of engine rounding."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderpriority") == "1-URGENT")
+    dec = F.col("c_acctbal").cast("decimal(18,2)")
+    stats = (
+        c.where(F.col("c_acctbal") > 0)
+        .agg(F.count(F.lit(1)).alias("_n"), F.sum(dec).alias("_s"))
+    )
+    rich = (
+        c.crossJoin(F.broadcast(stats))
+        .where(dec * F.col("_n") > F.col("_s"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+    )
+    return rich.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.sum(dec).cast("double").alias("totacctbal"),
+    )
+
+
+_IDLE_RICH_SQL = """
+SELECT c_nationkey, count(*) AS numcust,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM customer c
+WHERE CAST(c_acctbal AS DECIMAL(18,2)) *
+        (SELECT count(*) FROM customer WHERE c_acctbal > 0) >
+      (SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+GROUP BY c_nationkey
+"""
+
+
 # ---------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------
@@ -2146,6 +2224,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantiles_summary": _quantiles_summary,
         "resample_locf": _resample_locf,
         "pagerank_trade_graph": _pagerank_customers,
+        "big_orders": _big_orders,
+        "idle_rich_customers": _idle_rich_customers,
     }
 
 
@@ -2225,4 +2305,6 @@ def oracle_sql() -> dict[str, str]:
         "quantiles_summary": _QUANTILES_SQL,
         "resample_locf": _RESAMPLE_LOCF_SQL,
         "pagerank_trade_graph": _PAGERANK_SQL,
+        "big_orders": _BIG_ORDERS_SQL,
+        "idle_rich_customers": _IDLE_RICH_SQL,
     }
