@@ -2143,6 +2143,54 @@ GROUP BY c_nationkey
 """
 
 
+def _fuzzy_customer_pairs(spark, sf_dir):
+    """Entity-resolution fuzzy matching: customer-name pairs within a
+    prefix block at Levenshtein distance <= 1. The 15-char prefix
+    block bounds every block at 1000 names regardless of scale factor,
+    so the within-block self-join cost stays linear in customers. See
+    yaetos_spark/operators/dedup.py:blocked_fuzzy_pairs."""
+    c = _t(spark, sf_dir, "customer")
+    return D.blocked_fuzzy_pairs(
+        c, "c_name", "c_custkey", block=F.substring("c_name", 1, 15), max_dist=1
+    )
+
+
+_FUZZY_SQL = """
+WITH s AS (
+  SELECT c_custkey AS id, c_name AS name, substr(c_name, 1, 15) AS blk FROM customer
+)
+SELECT a.id AS id_a, b.id AS id_b, a.name AS name_a, b.name AS name_b,
+       levenshtein(a.name, b.name) AS dist
+FROM s a JOIN s b ON a.blk = b.blk AND a.id < b.id
+WHERE levenshtein(a.name, b.name) <= 1
+"""
+
+
+def _rank_functions(spark, sf_dir):
+    """percent_rank / cume_dist / dense_rank over order totals per
+    priority — the remaining ranking-window family members."""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") % 100 == 0)
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    return o.select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.dense_rank().over(w).alias("drank"),
+    )
+
+
+_RANK_FUNCS_SQL = """
+SELECT o_orderpriority, o_orderkey,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume,
+       dense_rank() OVER w AS drank
+FROM orders
+WHERE o_orderkey % 100 = 0
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice)
+"""
+
+
 # ---------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------
@@ -2226,6 +2274,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_trade_graph": _pagerank_customers,
         "big_orders": _big_orders,
         "idle_rich_customers": _idle_rich_customers,
+        "fuzzy_customer_pairs": _fuzzy_customer_pairs,
+        "rank_functions": _rank_functions,
     }
 
 
@@ -2307,4 +2357,6 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_trade_graph": _PAGERANK_SQL,
         "big_orders": _BIG_ORDERS_SQL,
         "idle_rich_customers": _IDLE_RICH_SQL,
+        "fuzzy_customer_pairs": _FUZZY_SQL,
+        "rank_functions": _RANK_FUNCS_SQL,
     }

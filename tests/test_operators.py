@@ -389,3 +389,13 @@ def test_resample_locf(spark):
     assert rows[(1, base + 180)] == (12.0, True)
     assert rows[(2, base)] == (5.0, True)
     assert len(rows) == 5
+
+
+def test_blocked_fuzzy_pairs(spark):
+    df = spark.createDataFrame(
+        [(1, "smith"), (2, "smyth"), (3, "smith"), (4, "jones"), (5, "walsh")],
+        "id bigint, name string",
+    )
+    pairs = {(r.id_a, r.id_b): r.dist for r in D.blocked_fuzzy_pairs(df, "name", "id").collect()}
+    # same block (len 5, 's'): smith/smyth dist 1, smith/smith dist 0; walsh differs by >1
+    assert pairs == {(1, 2): 1, (1, 3): 0, (2, 3): 1}

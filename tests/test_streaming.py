@@ -101,3 +101,43 @@ def test_streaming_upsert_rewrites_only_touched_buckets(spark, tmp_path):
     untouched_before = {k: v for k, v in before.items() if k not in touched}
     for d, files in untouched_before.items():
         assert after[d] == files, f"untouched bucket {d} was rewritten"
+
+
+def test_dedup_stream_drops_replays_across_batches(spark, tmp_path):
+    """dropDuplicatesWithinWatermark state survives the checkpoint:
+    a replay of event 2 in run 2 is dropped, the new event 3 passes."""
+    from yaetos_spark.streaming.jobs import dedup_stream
+
+    src = str(tmp_path / "ev")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def run():
+        stream = spark.readStream.schema("event_id long, ts timestamp, v string").parquet(src)
+        q = (
+            dedup_stream(stream, ["event_id"], "ts", delay="1 hour")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout=120)
+        assert not q.isActive
+
+    spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", "a"), (2, "2024-01-01 10:01:00", "b"),
+         (2, "2024-01-01 10:01:00", "b")],  # in-batch dup
+        "event_id long, ts_s string, v string",
+    ).selectExpr("event_id", "CAST(ts_s AS TIMESTAMP) AS ts", "v") \
+        .coalesce(1).write.mode("append").parquet(src)
+    run()
+    spark.createDataFrame(
+        [(2, "2024-01-01 10:05:00", "b"), (3, "2024-01-01 10:06:00", "c")],  # cross-batch replay + new
+        "event_id long, ts_s string, v string",
+    ).selectExpr("event_id", "CAST(ts_s AS TIMESTAMP) AS ts", "v") \
+        .coalesce(1).write.mode("append").parquet(src)
+    run()
+    ids = sorted(r.event_id for r in spark.read.parquet(out).collect())
+    assert ids == [1, 2, 3]

@@ -301,3 +301,47 @@ def simhash_pairs(sim: DataFrame, max_hamming: int = 3, bits: int = 32, bands: i
     return pairs.withColumn("hamming", ham).filter(F.col("hamming") <= max_hamming).select(
         "id1", "id2", "hamming"
     )
+
+
+def blocked_fuzzy_pairs(
+    df: DataFrame,
+    col: str,
+    id_col: str,
+    block: "F.Column | None" = None,
+    max_dist: int = 1,
+) -> DataFrame:
+    """Entity-resolution candidate pairs: strings within the same
+    block whose Levenshtein distance is <= ``max_dist``.
+
+    Returns (id_a, id_b, name_a, name_b, dist), id_a < id_b.
+
+    Blocking is what makes fuzzy matching feasible at scale: the
+    quadratic self-join runs only WITHIN blocks (one equi-join shuffle
+    on the block key), so cost is sum(block_size^2), not corpus^2 —
+    the same fan-out-bounding idea as LSH banding. Default block:
+    string length + first character. levenshtein() runs JVM-side per
+    candidate pair; integer distances make the operator exactly
+    oracle-checkable."""
+    if block is None:
+        block = F.concat(
+            F.length(F.col(col)).cast("string"), F.lit("|"), F.substring(F.col(col), 1, 1)
+        )
+    side = df.select(
+        F.col(id_col).alias("_id"), F.col(col).alias("_name"), block.alias("_block")
+    )
+    a, b = side.alias("a"), side.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a._block") == F.col("b._block"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .where(F.levenshtein(F.col("a._name"), F.col("b._name")) <= max_dist)
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._name").alias("name_a"),
+            F.col("b._name").alias("name_b"),
+            F.levenshtein(F.col("a._name"), F.col("b._name")).alias("dist"),
+        )
+    )

@@ -75,3 +75,15 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete"
     q.processAllAvailable()
     q.stop()
     return name
+
+
+def dedup_stream(events: DataFrame, key_cols: list[str], ts_col: str, delay: str = "1 hour") -> DataFrame:
+    """Streaming exact deduplication: the first event per key passes,
+    replays/retries arriving within ``delay`` of it are dropped, and
+    the per-key state is evicted once the watermark moves past —
+    bounded state, unlike dropDuplicates() whose key set grows forever
+    on an unbounded stream. The dedup guarantee a CDC/event ingest
+    needs at 100 TB: at-least-once upstream becomes exactly-once-
+    per-key downstream with O(keys-in-flight) state, not O(all keys
+    ever seen)."""
+    return events.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(key_cols)
