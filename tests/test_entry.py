@@ -55,3 +55,34 @@ def test_dimension_joins_broadcast(spark):
     # section — 5 joins appear ≥5 times; none may fall back to SMJ
     assert plan.count("BroadcastHashJoin") >= 5
     assert "SortMergeJoin" not in plan
+
+
+def test_curation_narrow_ops_have_no_exchange(spark):
+    """pii_redaction and repetition_profile are per-row/per-doc work —
+    any Exchange in their plans would be an accidental shuffle."""
+    qs = entrymod.queries()
+    for name in ("pii_redaction", "repetition_profile"):
+        plan = _plan_of(qs[name](spark, "/root/testdata/sf0.001"))
+        assert "Exchange" not in plan, name
+
+
+def test_contamination_broadcasts_eval_side(spark):
+    """The corpus side must never shuffle for the eval-gram match."""
+    qs = entrymod.queries()
+    plan = _plan_of(qs["ngram_contamination"](spark, "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_no_nested_loop_joins_anywhere(spark):
+    """No corpus query may fall back to a cartesian/nested-loop join —
+    at 100 TB that's a non-starter. (Broadcasts of single-row
+    aggregate frames are the sanctioned exceptions.)"""
+    qs = entrymod.queries()
+    single_row_broadcasts = {"idle_rich_customers", "semi_anti_counts"}
+    for name, fn in qs.items():
+        if name in single_row_broadcasts:
+            continue  # 1-row aggregate broadcast, intentional
+        plan = _plan_of(fn(spark, "/root/testdata/sf0.001"))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
