@@ -1712,7 +1712,7 @@ def _winnow_overlap(spark, sf_dir):
     See yaetos_spark/operators/text.py:winnow_fingerprints."""
     docs = _t(spark, sf_dir, "documents")
     fps = TX.winnow_fingerprints(docs, k=8, window=4)
-    return TX.winnow_overlap_pairs(fps, min_shared=4, max_doc_freq=5)
+    return TX.winnow_overlap_pairs(fps, min_shared=4, max_doc_freq=20)
 
 
 _WINNOW_SQL = f"""
@@ -1744,7 +1744,7 @@ rare AS (
   SELECT doc_id, fingerprint FROM (
     SELECT doc_id, fingerprint, count(*) OVER (PARTITION BY fingerprint) AS dfreq
     FROM fp
-  ) WHERE dfreq <= 5
+  ) WHERE dfreq <= 20
 )
 SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
 FROM rare a JOIN rare b ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id

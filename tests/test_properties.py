@@ -125,3 +125,78 @@ def test_jaccard_pairs_match_python_sets(spark, texts):
                 assert got.get((i, j)) == expect, (i, j, texts)
             else:
                 assert (i, j) not in got
+
+
+@st.composite
+def _doc_corpus(draw):
+    n = draw(st.integers(1, 10))
+    words = st.sampled_from(["aa", "bb", "cc", "dd"])
+    return [
+        (i, draw(st.sampled_from(["s0", "s1"])), " ".join(draw(st.lists(words, min_size=1, max_size=8))))
+        for i in range(n)
+    ]
+
+
+@given(_doc_corpus())
+@settings(**SETTINGS)
+def test_pack_sequences_conserves_tokens(spark, docs):
+    """Packing never loses or duplicates documents or tokens, and
+    bin ids per shard are a contiguous 0..max range."""
+    from yaetos_spark.operators.curation import pack_sequences
+
+    df = spark.createDataFrame(docs, "doc_id bigint, source string, text string")
+    out = pack_sequences(df, budget_tokens=5).collect()
+    expected_tokens = sum(len(t.split()) for _, _, t in docs)
+    assert sum(r.total_tokens for r in out) == expected_tokens
+    assert sum(r.n_docs for r in out) == len(docs)
+    # independently recompute each doc's bin: floor(tokens-before / budget)
+    naive = {}
+    for src in {s for _, s, _ in docs}:
+        cum = 0
+        for _, s, t in sorted(d for d in docs if d[1] == src):
+            naive.setdefault((src, cum // 5), [0, 0])
+            naive[(src, cum // 5)][0] += 1
+            naive[(src, cum // 5)][1] += len(t.split())
+            cum += len(t.split())
+    got = {(r.source, r.bin_id): [r.n_docs, r.total_tokens] for r in out}
+    assert got == naive
+
+
+@given(st.lists(st.integers(0, 10**6), min_size=1, max_size=60, unique=True),
+       st.floats(0.05, 0.95))
+@settings(**SETTINGS)
+def test_bernoulli_sample_matches_naive(spark, ids, p):
+    """The kept set equals an independently computed md5-uniform
+    filter — the sample is a pure function of row identity."""
+    import hashlib
+
+    from yaetos_spark.operators.curation import bernoulli_sample
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id bigint")
+    got = {r.doc_id for r in bernoulli_sample(df, p).collect()}
+    naive = {
+        i for i in ids
+        if int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) / 2**32 < p
+    }
+    assert got == naive
+
+
+@given(st.text(alphabet="abc ", min_size=0, max_size=60), st.integers(0, 20))
+@settings(**SETTINGS)
+def test_winnow_guarantee_property(spark, shared, seed):
+    """Two docs sharing a >= k+window-1 char normalized substring share
+    >= 1 fingerprint (the winnowing guarantee, SIGMOD'03 Thm)."""
+    from yaetos_spark.operators.text import winnow_fingerprints
+
+    k, w = 4, 3
+    pre = "x" * (seed % 5)
+    d1 = pre + shared
+    d2 = shared + "y" * (seed % 7)
+    df = spark.createDataFrame([(1, d1), (2, d2)], "doc_id bigint, text string")
+    fps = winnow_fingerprints(df, k=k, window=w)
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r.doc_id, set()).add(r.fingerprint)
+    norm_shared = " ".join(shared.split())
+    if len(norm_shared) >= k + w - 1:
+        assert by_doc.get(1, set()) & by_doc.get(2, set()), (d1, d2)
