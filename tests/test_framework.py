@@ -207,3 +207,36 @@ def test_merge_schema_passthrough(spark, tmp_path):
     )
     assert set(df.columns) == {"a", "b"}
     assert df.count() == 2
+
+
+def test_curation_pipeline_job(spark):
+    """The curation example job gates, redacts, samples, and (in
+    manifest mode) packs — end-to-end through the SparkJob contract."""
+    import importlib
+
+    mod = importlib.import_module("jobs.examples.curation_pipeline_job")
+    docs = spark.createDataFrame(
+        [
+            (1, "s", "spam spam spam spam"),        # repetition-gated
+            (20, "s", "held out eval document"),    # eval slice (id % 20 == 0)
+            (2, "s", "held out eval document"),     # 100% contaminated vs eval
+            (3, "s", "good clean text with healthy variety"),
+            (7, "s", "other fine document with plenty of words"),
+        ],
+        "doc_id bigint, source string, text string",
+    )
+    job = mod.CurationPipelineJob(
+        {"add_created_at": False, "eval_mod": 20, "max_top_word_frac": 0.6,
+         "max_contamination": 0.9, "sample_p": 1.0}
+    )
+    out = job.etl_no_io(spark, {"documents": docs, "eval_set": docs})
+    ids = sorted(r.doc_id for r in out.collect())
+    assert ids == [3, 7]  # 1 repetition-gated, 2 contaminated, 20 held out
+    manifest_job = mod.CurationPipelineJob(
+        {"add_created_at": False, "eval_mod": 20, "max_top_word_frac": 0.6,
+         "max_contamination": 0.9, "sample_p": 1.0, "emit": "manifest",
+         "budget_tokens": 8}
+    )
+    m = manifest_job.etl_no_io(spark, {"documents": docs, "eval_set": docs})
+    rows = m.collect()
+    assert sum(r.n_docs for r in rows) == 2
