@@ -2191,6 +2191,64 @@ WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice)
 """
 
 
+def _latest_events(spark, sf_dir):
+    """CDC compaction: latest event per user (merge.py:
+    latest_snapshot — row_number over ts desc). Event timestamps are
+    unique per user in the testdata, so the pick is deterministic."""
+    from yaetos_spark.operators.merge import latest_snapshot
+
+    ev = _t(spark, sf_dir, "events")
+    out = latest_snapshot(ev, ["user_id"], "ts")
+    return out.select(
+        "user_id",
+        "event_id",
+        F.unix_timestamp("ts").alias("ts_sec"),
+        "event_type",
+        "value",
+    )
+
+
+_LATEST_EVENTS_SQL = """
+SELECT user_id, event_id,
+       CAST(floor(extract(epoch FROM ts)) AS BIGINT) AS ts_sec,
+       event_type, value
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC) AS rn
+  FROM events
+)
+WHERE rn = 1
+"""
+
+
+def _scd2_user_types(spark, sf_dir):
+    """SCD2 interval construction (merge.py:scd2) over each user's
+    event-type change stream: valid_from/valid_to from consecutive
+    timestamps, open interval on the current row."""
+    from yaetos_spark.operators.merge import scd2
+
+    ev = _t(spark, sf_dir, "events").where(F.col("event_id") % 20 == 0)
+    out = scd2(ev.select("user_id", "event_type", "ts"), ["user_id"], "ts")
+    return out.select(
+        "user_id",
+        "event_type",
+        F.unix_timestamp("valid_from").alias("from_sec"),
+        F.unix_timestamp("valid_to").alias("to_sec"),
+        "is_current",
+    )
+
+
+_SCD2_SQL = """
+SELECT user_id, event_type,
+       CAST(floor(extract(epoch FROM ts)) AS BIGINT) AS from_sec,
+       CAST(floor(extract(epoch FROM coalesce(
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts),
+           TIMESTAMP '9999-12-31 00:00:00'))) AS BIGINT) AS to_sec,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL AS is_current
+FROM events
+WHERE event_id % 20 = 0
+"""
+
+
 # ---------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------
@@ -2276,6 +2334,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "idle_rich_customers": _idle_rich_customers,
         "fuzzy_customer_pairs": _fuzzy_customer_pairs,
         "rank_functions": _rank_functions,
+        "latest_events": _latest_events,
+        "scd2_user_types": _scd2_user_types,
     }
 
 
@@ -2359,4 +2419,6 @@ def oracle_sql() -> dict[str, str]:
         "idle_rich_customers": _IDLE_RICH_SQL,
         "fuzzy_customer_pairs": _FUZZY_SQL,
         "rank_functions": _RANK_FUNCS_SQL,
+        "latest_events": _LATEST_EVENTS_SQL,
+        "scd2_user_types": _SCD2_SQL,
     }
