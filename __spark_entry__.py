@@ -2145,19 +2145,19 @@ GROUP BY c_nationkey
 
 def _fuzzy_customer_pairs(spark, sf_dir):
     """Entity-resolution fuzzy matching: customer-name pairs within a
-    prefix block at Levenshtein distance <= 1. The 15-char prefix
-    block bounds every block at 1000 names regardless of scale factor,
+    prefix block at Levenshtein distance <= 1. The 16-char prefix
+    block bounds every block at 100 names regardless of scale factor,
     so the within-block self-join cost stays linear in customers. See
     yaetos_spark/operators/dedup.py:blocked_fuzzy_pairs."""
     c = _t(spark, sf_dir, "customer")
     return D.blocked_fuzzy_pairs(
-        c, "c_name", "c_custkey", block=F.substring("c_name", 1, 15), max_dist=1
+        c, "c_name", "c_custkey", block=F.substring("c_name", 1, 16), max_dist=1
     )
 
 
 _FUZZY_SQL = """
 WITH s AS (
-  SELECT c_custkey AS id, c_name AS name, substr(c_name, 1, 15) AS blk FROM customer
+  SELECT c_custkey AS id, c_name AS name, substr(c_name, 1, 16) AS blk FROM customer
 )
 SELECT a.id AS id_a, b.id AS id_b, a.name AS name_a, b.name AS name_b,
        levenshtein(a.name, b.name) AS dist

@@ -336,7 +336,6 @@ def blocked_fuzzy_pairs(
             (F.col("a._block") == F.col("b._block"))
             & (F.col("a._id") < F.col("b._id")),
         )
-        .where(F.levenshtein(F.col("a._name"), F.col("b._name")) <= max_dist)
         .select(
             F.col("a._id").alias("id_a"),
             F.col("b._id").alias("id_b"),
@@ -344,4 +343,5 @@ def blocked_fuzzy_pairs(
             F.col("b._name").alias("name_b"),
             F.levenshtein(F.col("a._name"), F.col("b._name")).alias("dist"),
         )
+        .where(F.col("dist") <= max_dist)
     )
