@@ -7,7 +7,7 @@ runs between raw ingestion and tokenization (no analog in the
 reference, which stops at generic ETL — SURVEY §2 extension). Every
 operator is expressed as narrow projections + the single shuffle its
 semantics require, and every per-document computation let-binds its
-token array (see operators/text.py:_let) so Catalyst cannot
+token array (see functions/hof.py:let) so Catalyst cannot
 re-evaluate the tokenizer per array element.
 """
 
@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from yaetos_spark.operators.text import _let
+from yaetos_spark.functions.hof import let as _let
 
 
 def _tokens(text_col: str) -> Column:

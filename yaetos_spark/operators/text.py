@@ -13,6 +13,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from yaetos_spark.functions.hashing import normalize_text, stable_fingerprint
+from yaetos_spark.functions.hof import let as _let
 
 # Marker stopwords per language for the n-gram-free heuristic language
 # ID. Real pipelines use a trained model; the heuristic is the always-
@@ -101,20 +102,6 @@ def lang_id(col: str) -> Column:
         result = F.when((s == best) & (best > 0), F.lit(lang)).otherwise(result)
     return result
 
-
-def _let(value: Column, body) -> Column:
-    """Single-evaluation let-binding for expensive sub-expressions.
-
-    ``transform()`` evaluates its input array exactly once and binds
-    each element to the lambda variable, so wrapping ``value`` in a
-    one-element array gives ``body`` a reference Catalyst cannot
-    inline. Without this, CollapseProject merges chained projections
-    and re-evaluates the producing expression at EVERY use site —
-    referencing a regex-normalized string inside a transform() over
-    its ~N character positions turns O(N) work into O(N^2), and a
-    second HOF layer into O(N^3) (measured: 9s -> 45min at sf0.001).
-    """
-    return F.element_at(F.transform(F.array(value), body), 1)
 
 
 def winnow_fingerprints(
