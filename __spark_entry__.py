@@ -2249,6 +2249,43 @@ WHERE event_id % 20 = 0
 """
 
 
+def _value_drift(spark, sf_dir):
+    """Per-event-type value drift: exact OLS slope/intercept of value
+    (cents) on seconds since 2024-01-01, sufficient statistics summed
+    in DECIMAL so results are bit-identical across engines. See
+    yaetos_spark/operators/stats.py:ols_per_group."""
+    from yaetos_spark.operators.stats import ols_per_group
+
+    ev = _t(spark, sf_dir, "events")
+    x = F.unix_timestamp("ts") - F.lit(1704067200)
+    y = F.round(F.col("value") * 100).cast("long")
+    return ols_per_group(ev, ["event_type"], x, y)
+
+
+_VALUE_DRIFT_SQL = """
+WITH b AS (
+  SELECT event_type,
+         CAST(floor(extract(epoch FROM ts)) AS BIGINT) - 1704067200 AS x,
+         CAST(round(value * 100) AS BIGINT) AS y
+  FROM events
+),
+s AS (
+  SELECT event_type, count(*) AS n,
+         sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx
+  FROM b GROUP BY 1
+)
+SELECT event_type, n,
+       CASE WHEN (n * sxx - sx * sx) != 0
+            THEN CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+       END AS slope,
+       (CAST(sy AS DOUBLE) -
+        (CASE WHEN (n * sxx - sx * sx) != 0
+              THEN CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+         END) * CAST(sx AS DOUBLE)) / n AS intercept
+FROM s
+"""
+
+
 # ---------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------
@@ -2336,6 +2373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_functions": _rank_functions,
         "latest_events": _latest_events,
         "scd2_user_types": _scd2_user_types,
+        "value_drift": _value_drift,
     }
 
 
@@ -2421,4 +2459,5 @@ def oracle_sql() -> dict[str, str]:
         "rank_functions": _RANK_FUNCS_SQL,
         "latest_events": _LATEST_EVENTS_SQL,
         "scd2_user_types": _SCD2_SQL,
+        "value_drift": _VALUE_DRIFT_SQL,
     }

@@ -399,3 +399,33 @@ def test_blocked_fuzzy_pairs(spark):
     pairs = {(r.id_a, r.id_b): r.dist for r in D.blocked_fuzzy_pairs(df, "name", "id").collect()}
     # same block (len 5, 's'): smith/smyth dist 1, smith/smith dist 0; walsh differs by >1
     assert pairs == {(1, 2): 1, (1, 3): 0, (2, 3): 1}
+
+
+# -- stats ------------------------------------------------------------
+
+
+def test_ols_per_group_matches_numpy(spark):
+    import numpy as np
+
+    from yaetos_spark.operators.stats import ols_per_group
+
+    pts = [(1, 0, 10), (1, 1, 12), (1, 2, 14), (1, 3, 16),  # slope 2
+           (2, 0, 5), (2, 10, 5),                             # slope 0
+           (3, 7, 9)]                                         # 1 point -> NULL
+    df = spark.createDataFrame(pts, "g int, x bigint, y bigint")
+    out = {r.g: r for r in ols_per_group(df, ["g"], F.col("x"), F.col("y")).collect()}
+    s, i = np.polyfit([0, 1, 2, 3], [10, 12, 14, 16], 1)
+    assert abs(out[1].slope - s) < 1e-9 and abs(out[1].intercept - i) < 1e-9
+    assert out[2].slope == 0.0 and out[2].intercept == 5.0
+    assert out[3].slope is None
+
+
+def test_ols_bit_identical_across_partitionings(spark):
+    from yaetos_spark.operators.stats import ols_per_group
+
+    rows = [(i % 3, i, (i * 17) % 101) for i in range(500)]
+    df = spark.createDataFrame(rows, "g int, x bigint, y bigint")
+    r1 = {r.g: (r.slope, r.intercept) for r in ols_per_group(df, ["g"], F.col("x"), F.col("y")).collect()}
+    r2 = {r.g: (r.slope, r.intercept)
+          for r in ols_per_group(df.repartition(17), ["g"], F.col("x"), F.col("y")).collect()}
+    assert r1 == r2  # decimal sufficient statistics -> no shuffle-order noise
