@@ -2286,6 +2286,26 @@ FROM s
 """
 
 
+def _weighted_sample(spark, sf_dir):
+    """Quality-weighted reproducible sampling: longer documents keep a
+    proportionally higher chance (p = min(n_chars/600, 0.9)), selection
+    still a pure function of doc_id. See curation.py:bernoulli_sample
+    with a Column probability."""
+    docs = _t(spark, sf_dir, "documents")
+    p = F.least(F.col("n_chars") / 600.0, F.lit(0.9))
+    return CU.bernoulli_sample(docs, p).select("doc_id", "n_chars", "u")
+
+
+_WEIGHTED_SAMPLE_SQL = f"""
+SELECT doc_id, n_chars, u FROM (
+  SELECT doc_id, n_chars,
+         {_hex_long_sql("md5(CAST(doc_id AS VARCHAR))", 1)} / 4294967296.0 AS u
+  FROM documents
+)
+WHERE u < least(n_chars / 600.0, 0.9)
+"""
+
+
 # ---------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------
@@ -2374,6 +2394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_events": _latest_events,
         "scd2_user_types": _scd2_user_types,
         "value_drift": _value_drift,
+        "weighted_sample": _weighted_sample,
     }
 
 
@@ -2460,4 +2481,5 @@ def oracle_sql() -> dict[str, str]:
         "latest_events": _LATEST_EVENTS_SQL,
         "scd2_user_types": _SCD2_SQL,
         "value_drift": _VALUE_DRIFT_SQL,
+        "weighted_sample": _WEIGHTED_SAMPLE_SQL,
     }

@@ -181,7 +181,7 @@ def redact_pii(
 
 
 def bernoulli_sample(
-    df: DataFrame, p: float, id_col: str = "doc_id"
+    df: DataFrame, p: "float | Column", id_col: str = "doc_id"
 ) -> DataFrame:
     """Deterministic Bernoulli sample: keep a row iff the md5-derived
     uniform of its id is below ``p``. Unlike ``df.sample()`` (seeded
@@ -189,14 +189,18 @@ def bernoulli_sample(
     selection depends only on row identity — stable across runs,
     engines, and cluster layouts, which is what makes training subsets
     reproducible. Zero shuffles: a filter on a hash of the id.
+
+    ``p`` may be a Column for per-row keep probability — e.g. a quality
+    score, giving reproducible quality-weighted corpus sampling.
     """
+    thresh = F.lit(float(p)) if isinstance(p, (int, float)) else p
     uniform = (
         F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast(
             "long"
         )
         / F.lit(float(2**32))
     )
-    return df.withColumn("u", uniform).where(F.col("u") < p)
+    return df.withColumn("u", uniform).where(F.col("u") < thresh)
 
 
 def vocab_coverage(
