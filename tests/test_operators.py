@@ -429,3 +429,46 @@ def test_ols_bit_identical_across_partitionings(spark):
     r2 = {r.g: (r.slope, r.intercept)
           for r in ols_per_group(df.repartition(17), ["g"], F.col("x"), F.col("y")).collect()}
     assert r1 == r2  # decimal sufficient statistics -> no shuffle-order noise
+
+
+def test_ols_survives_epoch_scale_inputs(spark):
+    # epoch-seconds x large cents overflows a LONG product; sums must
+    # stay exact in decimal (regression: wraparound/ANSI failure)
+    from yaetos_spark.operators.stats import ols_per_group
+
+    base = 1_700_000_000
+    rows = [(1, base + i, 6_000_000_000 + 2 * i) for i in range(10)]
+    df = spark.createDataFrame(rows, "g int, x long, y long")
+    out = ols_per_group(df, ["g"], F.col("x"), F.col("y")).collect()[0]
+    assert abs(out.slope - 2.0) < 1e-6
+
+
+def test_resample_locf_negative_epoch_buckets(spark):
+    from yaetos_spark.operators.timeseries import resample_locf
+
+    df = spark.createDataFrame(
+        [(1, "1969-12-31 23:30:00", 7.0)], "user_id bigint, ts_s string, value double"
+    ).select("user_id", F.to_timestamp("ts_s").alias("ts"), "value")
+    row = resample_locf(df, interval_sec=3600).collect()[0]
+    assert row.bucket_sec == -3600  # floor, not truncate-toward-zero
+
+
+def test_empty_doc_has_no_phantom_token(spark):
+    df = spark.createDataFrame([(1, "   "), (2, "a b")], "doc_id bigint, text string")
+    rows = {r.doc_id: r for r in CU.repetition_profile(df).collect()}
+    assert rows[1].n_words == 0 and rows[1].top_word_frac is None
+    assert rows[2].n_words == 2
+    vocab = {r.word for r in CU.vocab_coverage(df, top_n=5).collect()}
+    assert "" not in vocab
+
+
+def test_latest_snapshot_tie_break_deterministic(spark):
+    from yaetos_spark.operators.merge import latest_snapshot
+
+    rows = [(1, 5, f"v{i}") for i in range(8)]  # all tied on order col
+    df = spark.createDataFrame(rows, "k int, seq int, payload string")
+    picks = {
+        latest_snapshot(df.repartition(p), ["k"], "seq").collect()[0].payload
+        for p in (1, 3, 7)
+    }
+    assert len(picks) == 1  # same winner under any partitioning

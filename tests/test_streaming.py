@@ -141,3 +141,15 @@ def test_dedup_stream_drops_replays_across_batches(spark, tmp_path):
     run()
     ids = sorted(r.event_id for r in spark.read.parquet(out).collect())
     assert ids == [1, 2, 3]
+
+
+def test_streaming_upsert_rejects_bucket_count_change(spark, tmp_path):
+    from yaetos_spark.streaming.upsert import merge_batch_into_snapshot
+
+    snap = str(tmp_path / "snap")
+    df = spark.createDataFrame([(1, "a", 0)], "id long, v string, seq long")
+    merge_batch_into_snapshot(df, snap, ["id"], "seq", n_buckets=8)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n_buckets=8"):
+        merge_batch_into_snapshot(df, snap, ["id"], "seq", n_buckets=16)

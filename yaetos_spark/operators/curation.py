@@ -20,8 +20,10 @@ from yaetos_spark.functions.hof import let as _let
 
 
 def _tokens(text_col: str) -> Column:
-    """Whitespace tokens of a trimmed text column."""
-    return F.split(F.trim(F.col(text_col)), r"\s+")
+    """Whitespace tokens of a trimmed text column. Spark's split("")
+    yields [""], so empty/whitespace-only docs would otherwise carry a
+    phantom token into every downstream count."""
+    return F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != "")
 
 
 def _ngram_strings(tokens: Column, n: int) -> Column:
@@ -59,19 +61,30 @@ def ngram_contamination(
         eval_df.select(F.explode(_ngram_strings(_tokens(text_col), n)).alias("gram"))
         .distinct()
     )
-    doc_grams = train.select(
+    # carry the per-doc total through the explode so the corpus is
+    # scanned and tokenized ONCE (a totals/hits branch pair would scan
+    # the 100 TB side twice)
+    exploded = train.select(
         F.col(id_col),
-        _let(_tokens(text_col), lambda t: _ngram_strings(t, n)).alias("_grams"),
-    )
-    totals = doc_grams.select(F.col(id_col), F.size("_grams").alias("n_ngrams"))
-    hits = (
-        doc_grams.select(F.col(id_col), F.explode("_grams").alias("gram"))
-        .join(F.broadcast(eval_grams), "gram")
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_hits"))
+        F.inline(
+            _let(
+                _tokens(text_col),
+                lambda t: _let(
+                    _ngram_strings(t, n),
+                    lambda g: F.transform(
+                        g, lambda gram: F.struct(F.size(g).alias("n_ngrams"), gram.alias("gram"))
+                    ),
+                ),
+            )
+        ),
     )
     return (
-        totals.join(hits, id_col)
+        exploded.join(F.broadcast(eval_grams), "gram")
+        .groupBy(id_col)
+        .agg(
+            F.first("n_ngrams").alias("n_ngrams"),
+            F.count(F.lit(1)).alias("n_hits"),
+        )
         .select(
             id_col,
             "n_ngrams",

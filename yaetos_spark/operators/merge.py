@@ -14,10 +14,15 @@ from pyspark.sql import functions as F
 
 
 def latest_snapshot(df: DataFrame, keys: list[str], order_col: str) -> DataFrame:
-    """One row per key — the one with the greatest ``order_col``
-    (ties broken arbitrarily-but-deterministically by the remaining
-    columns' sort). The classic CDC-compaction step."""
-    w = Window.partitionBy(*keys).orderBy(F.desc(order_col))
+    """One row per key — the one with the greatest ``order_col``. Ties
+    on order_col break by xxhash64 of the full row, which is a pure
+    function of the row's values: the same winner on every run and
+    every partitioning (a bare desc(order_col) row_number would pick
+    whichever tied row the shuffle delivered first, breaking batch-
+    replay idempotence downstream). The classic CDC-compaction step."""
+    w = Window.partitionBy(*keys).orderBy(
+        F.desc(order_col), F.desc(F.xxhash64(*[F.col(c) for c in df.columns]))
+    )
     return (
         df.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)

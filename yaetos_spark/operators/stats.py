@@ -37,8 +37,11 @@ def ols_per_group(
     one-pass sufficient-statistics pattern; no second scan, no window.
     Groups with < 2 points or zero x-variance yield NULL slope.
     """
-    x = x_int.cast("long")
-    y = y_int.cast("long")
+    # cross-products in DECIMAL from the start: epoch-seconds x cents
+    # already overflows a LONG product (1.7e9 * 6e9 > 2^63), which
+    # would throw under ANSI mode or silently wrap without it
+    x = x_int.cast("long").cast(DEC)
+    y = y_int.cast("long").cast(DEC)
     agg = df.select(
         *[F.col(k) for k in keys],
         x.alias("_x"),

@@ -33,13 +33,21 @@ def resample_locf(
     no self-join. Dense grids per key are generated with
     sequence+explode, not a cross join against a calendar table.
     """
-    bucket = (F.unix_timestamp(F.col(ts_col)).cast("long") / interval_sec).cast(
-        "long"
-    ) * interval_sec
+    # floor, not cast: cast('long') truncates toward zero, putting
+    # pre-1970 (negative-epoch) timestamps in the wrong bucket
+    bucket = (
+        F.floor(F.unix_timestamp(F.col(ts_col)).cast("long") / interval_sec)
+        * interval_sec
+    ).cast("long")
     cells = (
         df.select(F.col(key_col), bucket.alias("bucket_sec"), F.col(value_col), F.col(ts_col))
         .groupBy(key_col, "bucket_sec")
-        .agg(F.max_by(value_col, ts_col).alias("_obs"))
+        .agg(
+            # struct ordering key: ties on ts break by value, so the
+            # pick is deterministic across runs and partitionings
+            F.max_by(value_col, F.struct(ts_col, value_col)).alias("_obs"),
+            F.count(F.lit(1)).alias("_n_obs"),
+        )
     )
     grids = (
         cells.groupBy(key_col)
@@ -62,6 +70,8 @@ def resample_locf(
             key_col,
             "bucket_sec",
             F.last("_obs", ignorenulls=True).over(w).alias("value_locf"),
-            F.col("_obs").isNotNull().alias("is_observed"),
+            # presence-based, so a bucket whose observed value is NULL
+            # still reports observed
+            F.col("_n_obs").isNotNull().alias("is_observed"),
         )
     )

@@ -26,6 +26,29 @@ def _bucket(keys: list[str], n_buckets: int):
     return F.pmod(F.hash(*[F.col(k) for k in keys]), F.lit(n_buckets))
 
 
+def _check_bucket_layout(spark, snapshot_dir: str, n_buckets: int) -> None:
+    """The bucket count is baked into the persisted layout: merging
+    with a different n_buckets would read the wrong buckets and leave
+    stale duplicate keys behind. A `_meta` sidecar (underscore prefix:
+    invisible to parquet directory readers) records the layout on first
+    write; later calls must match."""
+    from pyspark.sql.utils import AnalysisException
+
+    meta_path = f"{snapshot_dir}/_meta"
+    try:
+        recorded = spark.read.parquet(meta_path).first()["n_buckets"]
+    except AnalysisException:
+        spark.createDataFrame([(n_buckets,)], "n_buckets int").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(meta_path)
+        return
+    if recorded != n_buckets:
+        raise ValueError(
+            f"snapshot at {snapshot_dir} was bucketed with n_buckets={recorded}; "
+            f"got n_buckets={n_buckets} — merging would strand stale keys"
+        )
+
+
 def merge_batch_into_snapshot(
     batch_df: DataFrame,
     snapshot_dir: str,
@@ -37,18 +60,26 @@ def merge_batch_into_snapshot(
     batch CDC too). Compact → read touched buckets → merge →
     dynamically overwrite those buckets."""
     spark = batch_df.sparkSession
+    _check_bucket_layout(spark, snapshot_dir, n_buckets)
     compacted = latest_snapshot(batch_df, keys, order_col).withColumn(
         BUCKET_COL, _bucket(keys, n_buckets)
     )
     touched = [r[BUCKET_COL] for r in compacted.select(BUCKET_COL).distinct().collect()]
     if not touched:
         return
+    # the try guards ONLY the read: a failure inside the merge itself
+    # (schema drift, bad keys) must surface, not be misread as "first
+    # batch" — that would overwrite touched buckets with batch-only
+    # rows and silently drop the existing data
     try:
-        existing = spark.read.parquet(snapshot_dir).where(
-            F.col(BUCKET_COL).isin(touched)
-        )
-        merged = upsert(existing, compacted, keys)
+        existing = spark.read.parquet(snapshot_dir)
     except AnalysisException:  # first batch: snapshot doesn't exist yet
+        existing = None
+    if existing is not None:
+        merged = upsert(
+            existing.where(F.col(BUCKET_COL).isin(touched)), compacted, keys
+        )
+    else:
         merged = compacted
     # materialize before writing: the merge reads the very files the
     # dynamic overwrite below replaces, so the lineage must be cut
