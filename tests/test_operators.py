@@ -472,3 +472,34 @@ def test_latest_snapshot_tie_break_deterministic(spark):
         for p in (1, 3, 7)
     }
     assert len(picks) == 1  # same winner under any partitioning
+
+
+def test_extract_audio_features_stub(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(b"\x00\x01riff-ish")), (2, None)], "media_id bigint, content binary"
+    )
+    rows = {r.media_id: r for r in MM.extract_audio_features(df, fake=True).collect()}
+    assert rows[1].sample_rate in (8000, 16000, 44100, 48000)
+    assert 1000 <= rows[1].duration_ms <= 601000 and 0 <= rows[1].rms < 1
+    assert len(rows[2].sha256) == 64  # null content -> empty-bytes hash, no crash
+    again = {r.media_id: r for r in MM.extract_audio_features(df, fake=True).collect()}
+    assert rows[1] == again[1]  # deterministic fake
+
+
+def test_extract_audio_features_real_path_gated(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1, bytearray(b"x"))], "media_id bigint, content binary")
+    with _pytest.raises(NotImplementedError):
+        MM.extract_audio_features(df, fake=False)
+
+
+def test_resize_plan_aspect_ratio(spark):
+    decoded = spark.createDataFrame(
+        [(1, 1024, 512), (2, 100, 200), (3, 256, 256)],
+        "media_id bigint, width int, height int",
+    )
+    rows = {r.media_id: r for r in MM.resize_plan(decoded, max_side=256).collect()}
+    assert (rows[1].target_width, rows[1].target_height) == (256, 128)
+    assert (rows[2].target_width, rows[2].target_height) == (100, 200)  # under cap: untouched
+    assert rows[3].scale == 1.0

@@ -116,3 +116,75 @@ def frame_sample_plan(df: DataFrame, every_n: int = 30) -> DataFrame:
         .withColumn("frame_idx", F.explode(F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0)), F.lit(every_n))))
         .select("media_id", "frame_idx")
     )
+
+
+_AUDIO_FEATURE_SCHEMA = (
+    "media_id long, duration_ms long, sample_rate int, rms double, sha256 string"
+)
+
+
+def extract_audio_features(df: DataFrame, fake: bool = False) -> DataFrame:
+    """Audio bytes → (media_id, duration_ms, sample_rate, rms, sha256).
+
+    Same contract as decode_image: real decode needs soundfile/librosa
+    (absent here) so ``fake=True`` derives deterministic features from
+    the byte content; the mapInPandas signature, Arrow batching, and
+    column pruning are the real production shape.
+    """
+    try:
+        import soundfile  # noqa: F401
+
+        have_sf = True
+    except ImportError:
+        have_sf = False
+    if not fake and not have_sf:
+        raise NotImplementedError(
+            "real audio decode needs soundfile/librosa (not in this image); "
+            "use fake=True for plumbing tests"
+        )
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                data = bytes(content) if content is not None else b""
+                digest = hashlib.sha256(data).hexdigest()
+                h = int(digest[:12], 16)
+                out.append(
+                    (
+                        mid,
+                        1000 + h % 600_000,                     # 1s..10min
+                        (8000, 16000, 44100, 48000)[h % 4],
+                        (h % 10_000) / 10_000.0,
+                        digest,
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["media_id", "duration_ms", "sample_rate", "rms", "sha256"],
+            )
+
+    return df.select("media_id", "content").mapInPandas(
+        _extract, schema=_AUDIO_FEATURE_SCHEMA
+    )
+
+
+def resize_plan(
+    decoded: DataFrame, max_side: int = 256
+) -> DataFrame:
+    """Resize *plan* over decoded image metadata: target dims that fit
+    ``max_side`` preserving aspect ratio, plus the scale factor — the
+    pure-column arithmetic stage a real resizer (mapInPandas over
+    content) would consume. Zero shuffles; integer dims via floor.
+    """
+    w, h = F.col("width"), F.col("height")
+    longest = F.greatest(w, h)
+    scale = F.when(longest > max_side, max_side / longest).otherwise(F.lit(1.0))
+    return decoded.select(
+        "media_id",
+        "width",
+        "height",
+        F.floor(w * scale).cast("int").alias("target_width"),
+        F.floor(h * scale).cast("int").alias("target_height"),
+        scale.alias("scale"),
+    )
