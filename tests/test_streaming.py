@@ -153,3 +153,46 @@ def test_streaming_upsert_rejects_bucket_count_change(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="n_buckets=8"):
         merge_batch_into_snapshot(df, snap, ["id"], "seq", n_buckets=16)
+
+
+def test_interval_join_streams(spark, tmp_path):
+    """Impression x conversion attribution join: matches only within
+    the gap window, state evictable via the two-sided time bound."""
+    from yaetos_spark.streaming.jobs import interval_join_streams
+
+    imp_p = str(tmp_path / "imp")
+    conv_p = str(tmp_path / "conv")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", "ad1"), (2, "2024-01-01 10:00:00", "ad2")],
+        "uid long, its_s string, ad string",
+    ).selectExpr("uid", "CAST(its_s AS TIMESTAMP) AS its", "ad") \
+        .coalesce(1).write.parquet(imp_p)
+    spark.createDataFrame(
+        [(1, "2024-01-01 10:04:00", 9.99),   # within 5 min of ad1 -> match
+         (2, "2024-01-01 11:00:00", 5.00),   # 60 min later -> no match
+         (1, "2024-01-01 09:59:00", 1.00)],  # before impression -> no match
+        "cuid long, cts_s string, amount double",
+    ).selectExpr("cuid", "CAST(cts_s AS TIMESTAMP) AS cts", "amount") \
+        .coalesce(1).write.parquet(conv_p)
+
+    imp = spark.readStream.schema("uid long, its timestamp, ad string").parquet(imp_p)
+    conv = spark.readStream.schema("cuid long, cts timestamp, amount double").parquet(conv_p)
+    joined = interval_join_streams(
+        imp, conv, left_key="uid", right_key="cuid",
+        left_ts="its", right_ts="cts", max_gap_sec=300,
+    ).select("uid", "ad", "amount")
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=120)
+    assert not q.isActive
+    rows = [(r.uid, r.ad, r.amount) for r in spark.read.parquet(out).collect()]
+    assert rows == [(1, "ad1", 9.99)]

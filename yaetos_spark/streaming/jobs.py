@@ -87,3 +87,35 @@ def dedup_stream(events: DataFrame, key_cols: list[str], ts_col: str, delay: str
     per-key downstream with O(keys-in-flight) state, not O(all keys
     ever seen)."""
     return events.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(key_cols)
+
+
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    max_gap_sec: int,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join: rows match when left_key == right_key
+    and the right event lands within [0, max_gap_sec] after the left
+    one. Key/timestamp column names must be distinct across the two
+    sides (rename upstream), as in any self-describing join output.
+
+    Both sides carry watermarks and the join condition bounds event
+    time in BOTH directions, which is what lets Spark evict join state:
+    without the time bound each side would buffer forever waiting for
+    arbitrarily-late matches. State per key is O(events inside the
+    watermark + gap window) — the join a clickstream attribution
+    pipeline (impression stream x conversion stream) runs at 100 TB.
+    """
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = (
+        (lw[left_key] == rw[right_key])
+        & (rw[right_ts] >= lw[left_ts])
+        & (rw[right_ts] <= lw[left_ts] + F.expr(f"INTERVAL {max_gap_sec} SECONDS"))
+    )
+    return lw.join(rw, cond)
