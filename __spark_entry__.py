@@ -2306,6 +2306,71 @@ WHERE u < least(n_chars / 600.0, 0.9)
 """
 
 
+def _trailing_range_window(spark, sf_dir):
+    """Time-based RANGE frame: per-supplier 30-day trailing revenue —
+    RANGE BETWEEN over a day number includes all rows whose ORDER-BY
+    value falls in the interval, unlike a ROWS frame which counts
+    physical rows (wrong when days are missing or duplicated)."""
+    li = _t(spark, sf_dir, "lineitem")
+    daily = (
+        li.where(F.col("l_suppkey") % 10 == 0)
+        .groupBy("l_suppkey", F.datediff("l_shipdate", F.lit("1992-01-01")).alias("day_no"))
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_rev"))
+    )
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("day_no")
+        .rangeBetween(-29, 0)
+    )
+    return daily.select(
+        "l_suppkey",
+        "day_no",
+        F.sum(F.col("_rev").cast("decimal(28,4)")).over(w).cast("double").alias("rev_30d"),
+    )
+
+
+_TRAILING_RANGE_SQL = """
+WITH daily AS (
+  SELECT l_suppkey,
+         date_diff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE)) AS day_no,
+         CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS _rev
+  FROM lineitem
+  WHERE l_suppkey % 10 = 0
+  GROUP BY 1, 2
+)
+SELECT l_suppkey, day_no,
+       CAST(sum(CAST(_rev AS DECIMAL(28,4))) OVER (
+         PARTITION BY l_suppkey ORDER BY day_no
+         RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rev_30d
+FROM daily
+"""
+
+
+def _null_safe_join(spark, sf_dir):
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+    match each other, unlike plain = which drops them — the semantics a
+    dimension join on optional attributes needs."""
+    docs = _t(spark, sf_dir, "documents")
+    a = docs.select("doc_id", F.nullif(F.col("lang"), F.lit("de")).alias("k"))
+    b = (
+        docs.select(F.nullif(F.col("lang"), F.lit("de")).alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("k_count"))
+    )
+    return (
+        a.join(b, a["k"].eqNullSafe(b["k"]))
+        .select("doc_id", a["k"].alias("k"), "k_count")
+    )
+
+
+_NULL_SAFE_SQL = """
+WITH a AS (SELECT doc_id, nullif(lang, 'de') AS k FROM documents),
+b AS (SELECT nullif(lang, 'de') AS k, count(*) AS k_count FROM documents GROUP BY 1)
+SELECT a.doc_id, a.k, b.k_count
+FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+"""
+
+
 # ---------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------
@@ -2395,6 +2460,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_user_types": _scd2_user_types,
         "value_drift": _value_drift,
         "weighted_sample": _weighted_sample,
+        "trailing_range_window": _trailing_range_window,
+        "null_safe_join": _null_safe_join,
     }
 
 
@@ -2482,4 +2549,6 @@ def oracle_sql() -> dict[str, str]:
         "scd2_user_types": _SCD2_SQL,
         "value_drift": _VALUE_DRIFT_SQL,
         "weighted_sample": _WEIGHTED_SAMPLE_SQL,
+        "trailing_range_window": _TRAILING_RANGE_SQL,
+        "null_safe_join": _NULL_SAFE_SQL,
     }
