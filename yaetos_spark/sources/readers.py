@@ -65,6 +65,9 @@ def load_input(spark: SparkSession, spec: dict, loaded_inputs: dict | None = Non
     kwargs = dict(spec.get("read_kwargs") or {})
 
     if itype == "parquet":
+        from yaetos_spark.sources.tables import _ensure_nanos_conf
+
+        _ensure_nanos_conf(spark)
         reader = spark.read
         if schema:
             reader = reader.schema(schema)

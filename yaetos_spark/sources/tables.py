@@ -31,7 +31,21 @@ TABLE_NAMES = [
 _NANO_TS_COLS = {"events": ["ts"]}
 
 
+def _ensure_nanos_conf(spark: SparkSession) -> None:
+    """Make the session able to scan TIMESTAMP(NANOS) parquet.
+
+    ``spark.sql.legacy.parquet.nanosAsLong`` is a runtime-settable SQL
+    conf; setting it here means any caller's vanilla SparkSession (not
+    just ones built by our session factory) can read events.parquet —
+    the scan otherwise fails with PARQUET_TYPE_ILLEGAL."""
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # conf locked down (e.g. Spark Connect policy) — scan may still work
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _ensure_nanos_conf(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for col in _NANO_TS_COLS.get(name, []):
         if col in df.columns and dict(df.dtypes).get(col) == "bigint":
