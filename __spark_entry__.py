@@ -969,10 +969,43 @@ WHERE list_dot_product(a.v, b.v)
 
 
 def _lsh_ann_pairs(spark, sf_dir):
-    # scale path: hyperplane-LSH bucketed near-dup (no SQL oracle —
-    # numpy-seeded hyperplanes; driver records rows-only check)
+    """Hyperplane-LSH near-dup recall contract.
+
+    The LSH pair set itself depends on the seeded hyperplanes, so it has
+    no SQL twin — instead the query returns a checkable report row: the
+    exact brute-force pair count (oracle-computable) and whether the LSH
+    path recovered >= 80% of those true pairs. Table parameters follow
+    the collision-probability math for the target threshold: at
+    cos >= 0.4 (theta ~ 66 deg) a pair agrees on one hyperplane with
+    p = 1 - theta/pi ~ 0.63, so 2 planes/table and 8 tables give
+    expected worst-case recall 1 - (1 - 0.63^2)^8 ~ 0.98. Higher
+    thresholds (real near-dup, cos >= 0.9) would use more planes per
+    table and fewer tables."""
     emb = _t(spark, sf_dir, "embeddings")
-    return S.lsh_near_dup_pairs(emb, dim=64, threshold=_NEAR_DUP_COS, n_planes=8, n_tables=2)
+    lsh = S.lsh_near_dup_pairs(
+        emb, dim=64, threshold=_NEAR_DUP_COS, n_planes=2, n_tables=8
+    ).select("id1", "id2")
+    brute = S.embedding_near_dup_pairs(emb, threshold=_NEAR_DUP_COS).select("id1", "id2")
+    found = brute.join(lsh, ["id1", "id2"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_found")
+    )
+    total = brute.agg(F.count(F.lit(1)).alias("n_true_pairs"))
+    return total.crossJoin(found).select(
+        "n_true_pairs",
+        (F.col("n_found") >= 0.8 * F.col("n_true_pairs")).alias("recall_ok"),
+    )
+
+
+_LSH_RECALL_SQL = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+brute AS (
+  SELECT a.vec_id AS id1, b.vec_id AS id2
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+  WHERE list_dot_product(a.v, b.v)
+        / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= {_NEAR_DUP_COS}
+)
+SELECT count(*) AS n_true_pairs, TRUE AS recall_ok FROM brute
+"""
 
 
 # ---------------------------------------------------------------------
@@ -1180,10 +1213,14 @@ FROM g GROUP BY o_custkey
 
 
 def _ntile_price_bands(spark, sf_dir):
+    """Quartile bands WITHOUT the single-partition global window the
+    built-in ``ntile(4) OVER (ORDER BY ...)`` would plan: two-phase
+    range-repartitioned ranking (operators/windows.py:distributed_ntile)
+    keeps every sort partition-local. Oracle is the built-in ntile —
+    aggregate results are identical."""
     orders = _t(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice")
     return (
-        orders.withColumn("band", F.ntile(4).over(w))
+        WOP.distributed_ntile(orders, "o_totalprice", 4, band_name="band", num_partitions=32)
         .groupBy("band")
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -1283,14 +1320,33 @@ FROM events GROUP BY 1
 
 
 def _approx_distinct_parts(spark, sf_dir):
-    # HLL sketch — engine-specific estimates, so no value oracle; the
-    # driver records a rows-only check. Kept because approximate
-    # distinct is a first-class operator at 100 TB.
+    """HLL error-bound contract. The HLL estimate itself is
+    engine-specific, so the query returns the exact distinct count
+    (oracle-computable) plus whether the sketch landed within 5%
+    relative error — approx_count_distinct's default rsd is 0.05, so
+    this is the operator's own advertised contract, made checkable."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.countDistinct("l_partkey").alias("exact_parts"),
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey").alias("approx_parts"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_parts",
+            (
+                F.abs(F.col("approx_parts") - F.col("exact_parts"))
+                <= 0.05 * F.col("exact_parts")
+            ).alias("est_ok"),
+        )
     )
+
+
+_APPROX_DISTINCT_SQL = """
+SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts, TRUE AS est_ok
+FROM lineitem GROUP BY l_returnflag
+"""
 
 
 def _multimodal_decode(spark, sf_dir):
@@ -2511,7 +2567,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_docs": _simhash_oracle(),
         "ann_cosine_topk": _ANN_SQL,
         "embedding_near_dup": _NEAR_DUP_SQL,
-        # lsh_ann_pairs: intentionally no oracle (seeded hyperplanes)
+        "lsh_ann_pairs": _LSH_RECALL_SQL,
         "pivot_status": _PIVOT_SQL,
         "cube_counts": _CUBE_SQL,
         "grouping_sets_rev": _GROUPING_SETS_SQL,
@@ -2524,7 +2580,7 @@ def oracle_sql() -> dict[str, str]:
         "revenue_share": _REVENUE_SHARE_SQL,
         "in_subquery_parts": _IN_SUBQUERY_SQL,
         "distinct_users_daily": _DISTINCT_DAILY_SQL,
-        # approx_distinct_parts: no oracle (HLL estimates are engine-specific)
+        "approx_distinct_parts": _APPROX_DISTINCT_SQL,
         "multimodal_decode": _multimodal_oracle(),
         "wordcount_top": _WORDCOUNT_SQL,
         "salted_hot_keys": _SALTED_SQL,

@@ -76,13 +76,42 @@ def test_contamination_broadcasts_eval_side(spark):
 
 def test_no_nested_loop_joins_anywhere(spark):
     """No corpus query may fall back to a cartesian/nested-loop join —
-    at 100 TB that's a non-starter. (Broadcasts of single-row
+    at 100 TB that's a non-star­ter. (Broadcasts of single-row
     aggregate frames are the sanctioned exceptions.)"""
     qs = entrymod.queries()
-    single_row_broadcasts = {"idle_rich_customers", "semi_anti_counts"}
+    single_row_broadcasts = {
+        "idle_rich_customers",
+        "semi_anti_counts",
+        "lsh_ann_pairs",  # recall report: crossJoin of two 1-row aggs
+        "ntile_price_bands",  # distributed_ntile joins a 1-row total
+    }
     for name, fn in qs.items():
         if name in single_row_broadcasts:
             continue  # 1-row aggregate broadcast, intentional
         plan = _plan_of(fn(spark, "/root/testdata/sf0.001"))
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_no_global_windows_anywhere(spark):
+    """No corpus query may plan a window over an empty partitionSpec —
+    that funnels the whole input through ONE partition. In a formatted
+    plan a global window's Arguments line has only [functions], [order]
+    (no [partitionSpec] group); partitioned windows have three groups.
+    vocab_coverage is exempt: its window runs over an already-aggregated
+    bounded vocabulary (documented in operators/curation.py)."""
+    import re
+
+    qs = entrymod.queries()
+    for name, fn in qs.items():
+        if name == "vocab_coverage":
+            continue
+        plan = _plan_of(fn(spark, "/root/testdata/sf0.001"))
+        for line in plan.splitlines():
+            if "windowspecdefinition" in line and "Arguments:" in line:
+                groups = re.split(r"\], \[", line)
+                # two groups + sort keys in the last one = ordered window
+                # with NO partition columns (partition-only windows also
+                # have two groups, but no ASC/DESC in the second)
+                is_global = len(groups) == 2 and re.search(r" (ASC|DESC)", groups[-1])
+                assert not is_global, f"{name}: global (unpartitioned) window: {line[:160]}"

@@ -271,6 +271,51 @@ def test_asof_join_backward(spark):
     assert got == {1: 77, 2: 88, 3: None}
 
 
+def test_asof_join_carries_columns_from_same_row(spark):
+    """When the as-of matched right row has a NULL in one column, that
+    NULL must be kept — not back-filled from an older right row."""
+    left = spark.createDataFrame(
+        [(1, 100, "2024-01-01 10:15:00")], "event_id bigint, user_id bigint, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [
+            (100, "2024-01-01 10:00:00", 77, "old"),
+            (100, "2024-01-01 10:10:00", None, "new"),  # as-of row, NULL id
+        ],
+        "user_id bigint, click_ts string, click_id bigint, tag string",
+    ).withColumn("click_ts", F.col("click_ts").cast("timestamp"))
+    out = W.asof_join(left, right, "user_id", "ts", "click_ts", right_cols=["click_id", "tag"]).collect()[0]
+    assert out.tag == "new"
+    assert out.click_id is None  # NOT 77 from the older row
+
+
+def test_global_rank_matches_row_number(spark):
+    df = spark.createDataFrame([(i, float((i * 37) % 101)) for i in range(500)], "id int, v double")
+    got = {r.id: r.global_rank for r in W.global_rank(df, "v", num_partitions=8).collect()}
+    want = {
+        r.id: r.rn
+        for r in df.selectExpr("id", "row_number() OVER (ORDER BY v) AS rn").collect()
+    }
+    assert got == want
+
+
+def test_distributed_ntile_matches_builtin(spark):
+    # 503 rows: ntile(4) sizes are 126,126,126,125 — exercises the
+    # uneven-bucket arithmetic; duplicate values exercise tie handling
+    df = spark.createDataFrame([(i, float((i * 7) % 50)) for i in range(503)], "id int, v double")
+    mine = (
+        W.distributed_ntile(df, "v", 4, num_partitions=8)
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("v").alias("lo"), F.max("v").alias("hi"))
+    )
+    builtin = (
+        df.selectExpr("v", "CAST(ntile(4) OVER (ORDER BY v) AS INT) AS band")
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("v").alias("lo"), F.max("v").alias("hi"))
+    )
+    assert sorted(map(tuple, mine.collect())) == sorted(map(tuple, builtin.collect()))
+
+
 # -- similarity -------------------------------------------------------
 
 
@@ -302,6 +347,17 @@ def test_lsh_near_dup_recall(spark):
     pairs = {(r.id1, r.id2) for r in S.lsh_near_dup_pairs(_emb(spark), dim=3, threshold=0.9, n_planes=4, n_tables=4).collect()}
     # multi-table LSH must recover the one true near-dup pair
     assert (1, 2) in pairs
+
+
+def test_brute_force_guard_raises_on_big_corpus(spark):
+    """The brute-force paths must refuse to collect an over-sized
+    corpus to the driver (pointer to the LSH scale path) instead of
+    OOMing it."""
+    import pytest
+
+    big = spark.range(30).selectExpr("id AS vec_id", "array(CAST(id AS FLOAT)) AS embedding")
+    with pytest.raises(ValueError, match="lsh_near_dup_pairs"):
+        S._collect_matrix(big, "vec_id", "embedding", max_rows=10)
 
 
 def test_ivf_assign(spark):

@@ -67,6 +67,25 @@ def test_run_expectations(spark):
     assert rep[("min_rows", "")] == (0, True)
 
 
+def test_run_expectations_nulls_fail_set_and_pattern(spark):
+    """NULL must count as a failure for in_set/matches by default
+    (NULL slips through a bare ~isin/~rlike) — allow_null opts out."""
+    from yaetos_spark.operators.quality import run_expectations
+
+    df = spark.createDataFrame([("a",), ("z",), (None,)], "name string")
+    ok, report = run_expectations(
+        df,
+        [
+            {"check": "in_set", "column": "name", "values": ["a", "z"]},
+            {"check": "in_set", "column": "name", "values": ["a", "z"], "allow_null": True},
+            {"check": "matches", "column": "name", "pattern": "^[a-z]$"},
+            {"check": "matches", "column": "name", "pattern": "^[a-z]$", "allow_null": True},
+        ],
+    )
+    counts = [r.failed_count for r in report.collect()]
+    assert counts == [1, 0, 1, 0]
+
+
 def test_expectations_job_gate(spark, tmp_path):
     import pytest as _pytest
 

@@ -45,6 +45,31 @@ def test_band_join_matches_naive(spark):
     assert fast == naive
 
 
+def test_band_join_narrow_buckets_still_complete(spark):
+    """bucket_width < tolerance must widen the probe fan-out (a match
+    can be several buckets away) — not silently drop pairs."""
+    left = spark.createDataFrame([(i, float(i)) for i in range(40)], "lid int, lv double")
+    right = spark.createDataFrame([(i, i * 1.7) for i in range(25)], "rid int, rv double")
+    fast = {
+        (r.lid, r.rid)
+        for r in band_join(left, right, "lv", "rv", tolerance=3.0, bucket_width=1.0).collect()
+    }
+    naive = {
+        (r.lid, r.rid)
+        for r in left.crossJoin(right).filter(F.abs(F.col("lv") - F.col("rv")) <= 3.0).collect()
+    }
+    assert fast == naive
+
+
+def test_interval_join_rejects_outer(spark):
+    import pytest
+
+    points = spark.createDataFrame([(1, 5.0)], "pid int, x double")
+    intervals = spark.createDataFrame([(10, 0.0, 10.0)], "iid int, lo double, hi double")
+    with pytest.raises(ValueError, match="inner"):
+        interval_join(points, intervals, "x", "lo", "hi", 10.0, how="left")
+
+
 def test_stateful_sessionize_across_batches(spark, tmp_path):
     """Drive the stateful sessionizer through two real micro-batch
     runs sharing a checkpoint: the open session from run 1 is closed by

@@ -113,11 +113,18 @@ def run_expectations(df: DataFrame, rules: list[dict]) -> tuple[bool, DataFrame]
                 cond = cond | (c > rule["max"])
             bad = F.sum(F.when(cond, 1).otherwise(0))
         elif kind == "in_set":
-            bad = F.sum(F.when(~F.col(rule["column"]).isin(rule["values"]), 1).otherwise(0))
+            # NULL fails by default (NULL ~isin(...) is NULL, which
+            # F.when treats as false — count it explicitly); set
+            # allow_null: true to let NULLs pass
+            cond = ~F.col(rule["column"]).isin(rule["values"])
+            if not rule.get("allow_null"):
+                cond = cond | F.col(rule["column"]).isNull()
+            bad = F.sum(F.when(cond, 1).otherwise(0))
         elif kind == "matches":
-            bad = F.sum(
-                F.when(~F.col(rule["column"]).rlike(rule["pattern"]), 1).otherwise(0)
-            )
+            cond = ~F.col(rule["column"]).rlike(rule["pattern"])
+            if not rule.get("allow_null"):
+                cond = cond | F.col(rule["column"]).isNull()
+            bad = F.sum(F.when(cond, 1).otherwise(0))
         elif kind == "min_rows":
             bad = F.when(F.count(F.lit(1)) < rule["n"], 1).otherwise(0)
         elif kind == "unique":

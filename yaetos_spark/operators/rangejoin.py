@@ -9,6 +9,8 @@ Cost: linear in data + true match volume, instead of |L|×|R|.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -30,6 +32,12 @@ def interval_join(
     median interval width); points land in exactly one bucket; the
     equi-join on the bucket is followed by the exact containment
     filter. All JVM-side."""
+    if how != "inner":
+        # the containment filter runs AFTER the join, so outer-join
+        # unmatched rows (NULL start/end) would be silently dropped and
+        # bucket-exploded intervals would duplicate outer-side rows —
+        # refuse rather than return wrong outer semantics
+        raise ValueError("interval_join supports how='inner' only")
     p = points.withColumn("_bk", F.floor(F.col(point_col) / F.lit(bucket_width)).cast("long"))
     iv = intervals.withColumn(
         "_bk",
@@ -56,12 +64,17 @@ def band_join(
 ) -> DataFrame:
     """Join rows where ``|left.left_col - right.right_col| <= tolerance``
     (a band join). Each side maps to its bucket; left probes its own and
-    both neighbor buckets — with bucket_width >= tolerance a true match
-    can never be further than one bucket away."""
+    neighbor buckets — the probe fan-out is ceil(tolerance/bucket_width)
+    buckets each way, so any bucket_width stays correct (narrower
+    buckets trade a wider fan-out for tighter candidate sets)."""
     w = bucket_width or tolerance
+    reach = int(math.ceil(tolerance / w))
     l_b = left.withColumn("_bk", F.floor(F.col(left_col) / F.lit(w)).cast("long"))
     r_b = right.withColumn("_bk0", F.floor(F.col(right_col) / F.lit(w)).cast("long"))
-    l_probe = l_b.withColumn("_bk", F.explode(F.array(F.col("_bk") - 1, F.col("_bk"), F.col("_bk") + 1)))
+    l_probe = l_b.withColumn(
+        "_bk",
+        F.explode(F.array(*[F.col("_bk") + d for d in range(-int(reach), int(reach) + 1)])),
+    )
     joined = l_probe.join(r_b, l_probe._bk == r_b._bk0).filter(
         F.abs(F.col(left_col) - F.col(right_col)) <= F.lit(tolerance)
     )

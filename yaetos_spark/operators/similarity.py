@@ -25,10 +25,25 @@ from pyspark.sql import functions as F
 from yaetos_spark.functions.vectors import cosine, dot, norm
 
 
-def _collect_matrix(df: DataFrame, id_col: str, vec_col: str):
+# Hard cap on rows collected to the driver by the brute-force paths.
+# ~4M rows × 64 float64 dims ≈ 2 GiB — beyond that the caller must use
+# the bucketed scale paths instead of silently OOMing the driver.
+MAX_COLLECT_ROWS = 4_000_000
+
+
+def _collect_matrix(df: DataFrame, id_col: str, vec_col: str, max_rows: int = MAX_COLLECT_ROWS):
     """Small-side (id array, row-normalized matrix) for broadcasting.
     The caller guarantees this side fits on one node (same contract as
-    ``F.broadcast``)."""
+    ``F.broadcast``); the guard enforces it with a bounded count (the
+    probe stops scanning at ``max_rows + 1`` rows, it never counts the
+    full corpus)."""
+    probe = df.select(id_col).limit(max_rows + 1).count()
+    if probe > max_rows:
+        raise ValueError(
+            f"brute-force similarity would collect >{max_rows:,} rows to the "
+            "driver; use the bucketed scale paths instead "
+            "(lsh_near_dup_pairs / ivf_topk)"
+        )
     pdf = df.select(id_col, vec_col).toPandas()
     ids = pdf[id_col].to_numpy()
     mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])

@@ -112,10 +112,107 @@ def asof_join(
     else:
         w = Window.partitionBy(key).orderBy(F.col("_t").desc(), F.col("_side").asc()) \
             .rowsBetween(Window.unboundedPreceding, 0)
-    filled = unioned
-    for c in right_cols:
-        filled = filled.withColumn(c, F.last(F.col(c), ignorenulls=True).over(w))
+    # Carry ONE struct of all right columns (not each column
+    # independently): if the as-of right row has a NULL in some column,
+    # that NULL is kept rather than back-filled from an older right row
+    # — every carried value comes from the same matched row.
+    rstruct = F.when(F.col("_side") == 0, F.struct(*[F.col(c) for c in right_cols]))
+    filled = unioned.withColumn("_rfill", F.last(rstruct, ignorenulls=True).over(w))
     asof_ts = F.last(F.when(F.col("_side") == 0, F.col("_t")), ignorenulls=True).over(w)
     filled = filled.withColumn("_asof_ts", asof_ts)
-    out = filled.filter(F.col("_side") == 1).drop("_side", "_t")
+    for c in right_cols:
+        filled = filled.withColumn(c, F.col("_rfill").getField(c))
+    out = filled.filter(F.col("_side") == 1).drop("_side", "_t", "_rfill")
     return out.withColumnRenamed("_asof_ts", f"asof_{right_ts}")
+
+
+def global_rank(
+    df: DataFrame,
+    order_col: str,
+    rank_name: str = "global_rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global dense row numbering WITHOUT a single-partition sort.
+
+    The classic two-phase distributed ranking: range-repartition on the
+    order column (each partition holds a contiguous key range), count
+    rows per partition, bring back only the per-partition counts (one
+    tiny row per partition — bounded by the partition count, never by
+    the data), and add each partition's cumulative offset to its local
+    row_number. Equivalent to ``row_number() OVER (ORDER BY order_col)``
+    up to permutation of ties, but every sort stays partition-local.
+    """
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    # Range boundaries must be a pure function of the DATA, not of a
+    # per-job sample (repartitionByRange re-samples every job, so the
+    # count pass and the rank pass could disagree on bucket membership).
+    qs = [i / num_partitions for i in range(1, num_partitions)]
+    bounds = df.agg(
+        F.percentile_approx(order_col, qs, 10_000).alias("b")
+    ).collect()[0]["b"] or []
+    # strictly increasing boundary list (duplicates collapse — a hot
+    # value always maps to one bucket)
+    uniq = []
+    for b in bounds:
+        if not uniq or b > uniq[-1]:
+            uniq.append(b)
+    if uniq:
+        barr = F.array(*[F.lit(b) for b in uniq])
+        bucket = F.size(F.filter(barr, lambda b: F.col(order_col) > b))
+    else:
+        bucket = F.lit(0)
+    parts = df.withColumn("_bucket", bucket)
+    sizes = {
+        r["_bucket"]: r["n"]
+        for r in parts.groupBy("_bucket").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    offsets, acc = {}, 0
+    for b in sorted(sizes):
+        offsets[b] = acc
+        acc += sizes[b]
+    offset_col = F.element_at(
+        F.create_map(*[F.lit(x) for b in sorted(offsets) for x in (b, offsets[b])]),
+        F.col("_bucket"),
+    )
+    w = Window.partitionBy("_bucket").orderBy(order_col)
+    return parts.withColumn(rank_name, F.row_number().over(w) + offset_col).drop("_bucket")
+
+
+def distributed_ntile(
+    df: DataFrame,
+    order_col: str,
+    n: int,
+    band_name: str = "band",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """``ntile(n) OVER (ORDER BY order_col)`` without the global
+    single-partition window Spark would otherwise plan.
+
+    Exact ntile bucket sizes: with N rows, the first ``N % n`` buckets
+    get ``N // n + 1`` rows. Band assignment is a closed-form expression
+    over the two-phase :func:`global_rank`, so the only data movement is
+    one range repartition; aggregate results are identical to the
+    built-in ntile (tie permutations can only swap rows within equal
+    values, which straddle band boundaries symmetrically).
+    """
+    ranked = global_rank(df, order_col, rank_name="_grank", num_partitions=num_partitions)
+    total = ranked.agg(F.max("_grank").alias("_n_total"))
+    # exact integer arithmetic only (DIV) — float division would mis-floor
+    # once operands outgrow a double's 53-bit mantissa
+    return (
+        ranked.join(F.broadcast(total))
+        .withColumn("_small", F.expr(f"_n_total DIV {n}"))
+        .withColumn("_big", F.col("_n_total") % n)
+        .withColumn("_thr", F.col("_big") * (F.col("_small") + 1))
+        .withColumn(
+            band_name,
+            F.expr(
+                "CAST(CASE WHEN _grank <= _thr THEN (_grank - 1) DIV (_small + 1) "
+                "ELSE _big + CASE WHEN _small > 0 THEN (_grank - 1 - _thr) DIV _small ELSE 0 END "
+                "END + 1 AS INT)"
+            ),
+        )
+        .drop("_grank", "_n_total", "_small", "_big", "_thr")
+    )
