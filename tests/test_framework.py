@@ -240,3 +240,45 @@ def test_curation_pipeline_job(spark):
     m = manifest_job.etl_no_io(spark, {"documents": docs, "eval_set": docs})
     rows = m.collect()
     assert sum(r.n_docs for r in rows) == 2
+
+
+def test_query_and_cache_roundtrip(spark, tmp_path, tables):
+    """Reference parity: yaetos/libs/analysis_toolkit/query_helper.py —
+    first call runs + drops pkl/csv/sql sidecars, second call reloads
+    from the pickle without re-running; conflict callback controls
+    overwrites."""
+    from yaetos_spark.analysis import query_and_cache
+
+    folder = str(tmp_path)
+    q = "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey"
+    df1 = query_and_cache(spark, q, "regions", folder)
+    assert len(df1) == 5
+    for ext in (".pkl", ".csv", ".sql"):
+        assert (tmp_path / f"regions{ext}").exists()
+    # cached reload: poison the pickle marker by checking identity of content
+    df2 = query_and_cache(spark, "SELECT 1 AS ignored", "regions", folder)
+    assert df2.equals(df1)  # did NOT re-run the new query
+    # force_rerun with a different result + ignore choice keeps old files
+    df3 = query_and_cache(
+        spark, "SELECT 1 AS x", "regions", folder,
+        force_rerun=True, on_conflict=lambda f: "ignore",
+    )
+    assert list(df3.columns) == ["x"]
+    assert query_and_cache(spark, "unused", "regions", folder).equals(df1)
+
+
+def test_process_and_cache(tmp_path):
+    import pandas as pd
+
+    from yaetos_spark.analysis import process_and_cache
+
+    calls = []
+
+    def make():
+        calls.append(1)
+        return pd.DataFrame({"a": [1, 2]})
+
+    folder = str(tmp_path)
+    out1 = process_and_cache("t", folder, make)
+    out2 = process_and_cache("t", folder, make)
+    assert out1.equals(out2) and len(calls) == 1

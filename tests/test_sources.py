@@ -121,3 +121,118 @@ def test_kafka_frame(spark):
     out = build_kafka_frame(df, key_col="id")
     row = out.collect()[0]
     assert row.key == "1" and '"v":"x"' in row.value
+
+
+def test_kafka_schema_validation_drops_invalid(spark):
+    """Per-message jsonschema validation, executor-side (reference
+    validates driver-side per produce: yaetos/kafka_utils.py:41-66)."""
+    from yaetos_spark.sources.kafka import validate_kafka_frame
+
+    df = spark.createDataFrame(
+        [(1, "ok"), (2, None)], "id int, v string"
+    )
+    frame = build_kafka_frame(df, key_col="id")
+    schema = {
+        "type": "object",
+        "properties": {"id": {"type": "integer"}, "v": {"type": "string"}},
+        "required": ["id", "v"],
+    }
+    kept = validate_kafka_frame(frame, schema).collect()
+    # to_json drops null fields → record 2 is missing required 'v'
+    assert [r.key for r in kept] == ["1"]
+
+
+def test_redshift_connector_options():
+    from yaetos_spark.sources.jdbc import build_redshift_options
+
+    fmt, opts, mode = build_redshift_options(
+        {
+            "host": "rs.example.com",
+            "service": "warehouse",
+            "schema": "analytics",
+            "db_table": "facts",
+            "s3_tmp_dir": "s3://tmp-bucket/rs/",
+            "user": "u",
+            "password": "p",
+            "incremental": True,
+        }
+    )
+    assert fmt == "io.github.spark_redshift_community.spark.redshift"
+    assert opts["url"] == "jdbc:redshift://rs.example.com:5439/warehouse"
+    assert opts["dbtable"] == "analytics.facts"
+    assert opts["tempdir"] == "s3://tmp-bucket/rs/"
+    assert opts["forward_spark_s3_credentials"] == "true"
+    assert mode == "append"
+
+
+def test_redshift_iam_role_disables_credential_forwarding():
+    from yaetos_spark.sources.jdbc import build_redshift_options
+
+    _, opts, mode = build_redshift_options(
+        {
+            "url": "jdbc:redshift://h:5439/db",
+            "dbtable": "t",
+            "s3_tmp_dir": "s3://tmp/",
+            "aws_iam_role": "arn:aws:iam::000000000000:role/rs-load",
+        }
+    )
+    assert opts["aws_iam_role"].endswith("rs-load")
+    assert opts["forward_spark_s3_credentials"] == "false"
+    assert mode == "overwrite"
+
+
+def test_pickle_write_roundtrip(spark, tmp_path):
+    import pandas as pd
+
+    from yaetos_spark.sources.writers import save_output
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string")
+    path = str(tmp_path / "out.pkl")
+    save_output(df, {"path": path, "type": "pickle"})
+    back = pd.read_pickle(path)
+    assert sorted(map(tuple, back.itertuples(index=False))) == [(1, "a"), (2, "b")]
+    # mode policy still applies to single-file writes
+    import pytest
+
+    with pytest.raises(FileExistsError):
+        save_output(df, {"path": path, "type": "pickle"})
+
+
+def test_excel_write_gate(spark, tmp_path):
+    """No openpyxl in this image — the xlsx branch must fail with the
+    capability gate, not an AttributeError deep in pandas."""
+    import pytest
+
+    from yaetos_spark.sources.writers import save_output
+
+    df = spark.createDataFrame([(1, "a")], "id int, v string")
+    try:
+        import openpyxl  # noqa: F401
+
+        has_openpyxl = True
+    except ImportError:
+        has_openpyxl = False
+    path = str(tmp_path / "out.xlsx")
+    if has_openpyxl:
+        save_output(df, {"path": path, "type": "xlsx"})
+        import pandas as pd
+
+        assert len(pd.read_excel(path)) == 1
+    else:
+        with pytest.raises(NotImplementedError, match="openpyxl"):
+            save_output(df, {"path": path, "type": "xlsx"})
+
+
+def test_airflow_dag_golden_file():
+    from yaetos_spark.deploy_airflow import emit_airflow_dag
+    from yaetos_spark.plans.registry import Registry
+
+    reg = Registry.from_file("/root/repo/conf/jobs.yml")
+    text = emit_airflow_dag(reg, "top_users")
+    with open("/root/repo/tests/fixtures/golden_airflow_dag.py") as fh:
+        golden = fh.read()
+    assert text == golden
+    # structural invariants, independent of the golden text
+    assert "events_per_type >> top_users" in text
+    assert text.count("BashOperator(") == 2  # one task per pipeline job
+    compile(text, "dag.py", "exec")  # emitted file is valid python

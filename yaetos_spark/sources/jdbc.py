@@ -76,6 +76,55 @@ def load_jdbc(spark: SparkSession, spec: dict) -> DataFrame:
     return spark.read.format("jdbc").options(**build_read_options(spec)).load()
 
 
+def build_redshift_options(spec: dict) -> tuple[str, dict, str]:
+    """Options for the community spark-redshift connector (format,
+    options, mode) — the S3-tempdir COPY path, which is the only one
+    that scales for Redshift loads (reference:
+    yaetos/redshift_spark.py:7-31; JDBC row-inserts are orders of
+    magnitude slower). Pure builder, unit-testable without a cluster."""
+    url = spec.get("url") or (
+        "jdbc:redshift://{host}:{port}/{service}".format(
+            host=spec["host"], port=spec.get("port", 5439), service=spec["service"]
+        )
+    )
+    dbtable = spec.get("db_table") or spec["dbtable"]
+    if spec.get("schema"):
+        dbtable = f"{spec['schema']}.{dbtable}"
+    opts = {
+        "url": url,
+        "dbtable": dbtable,
+        "tempdir": spec["s3_tmp_dir"],
+        "forward_spark_s3_credentials": "true",
+    }
+    if spec.get("user"):
+        opts["user"] = spec["user"]
+    if spec.get("password") is not None:
+        opts["password"] = spec["password"]
+    if spec.get("aws_iam_role"):
+        # IAM-role auth instead of forwarding keys
+        opts["aws_iam_role"] = spec["aws_iam_role"]
+        opts["forward_spark_s3_credentials"] = "false"
+    mode = "append" if spec.get("incremental") else spec.get("mode", "overwrite")
+    return "io.github.spark_redshift_community.spark.redshift", opts, mode
+
+
+def load_redshift(spark: SparkSession, spec: dict) -> DataFrame:
+    """Redshift read via the connector (UNLOAD to S3 + parallel scan —
+    unlike single-stream JDBC, this parallelizes across executors)."""
+    fmt, opts, _ = build_redshift_options(spec)
+    reader = spark.read.format(fmt)
+    if spec.get("query"):
+        opts.pop("dbtable", None)
+        opts["query"] = spec["query"]
+    return reader.options(**opts).load()
+
+
+def save_redshift(df: DataFrame, spec: dict) -> None:
+    """Redshift write via the connector's S3 COPY path."""
+    fmt, opts, mode = build_redshift_options(spec)
+    df.write.format(fmt).options(**opts).mode(mode).save()
+
+
 def save_jdbc(df: DataFrame, spec: dict) -> None:
     """JDBC write (replaces the reference's chunked pandas to_sql copies)."""
     opts = {

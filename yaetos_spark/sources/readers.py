@@ -33,6 +33,7 @@ TABULAR_TYPES = (
     "clickhouse",
     "postgres",
     "jdbc",
+    "redshift",
 )
 
 
@@ -57,6 +58,11 @@ def load_input(spark: SparkSession, spec: dict, loaded_inputs: dict | None = Non
         from yaetos_spark.sources.jdbc import load_jdbc
 
         return load_jdbc(spark, spec)
+
+    if itype == "redshift":
+        from yaetos_spark.sources.jdbc import load_redshift
+
+        return load_redshift(spark, spec)
 
     if path is None:
         raise ValueError(f"input spec missing 'path': {spec}")

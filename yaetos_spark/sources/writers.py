@@ -33,6 +33,16 @@ def save_output(df: DataFrame, spec: dict, job_name: str = "", now: dt.datetime 
     otype = spec.get("type", "parquet")
     if otype in (None, "None", "none"):
         return  # no-output job (reference: yaetos/etl_utils.py:608-610)
+    if otype == "redshift":
+        from yaetos_spark.sources.jdbc import save_redshift
+
+        save_redshift(df, spec)
+        return
+    if otype in ("mysql", "clickhouse", "postgres", "oracle", "jdbc"):
+        from yaetos_spark.sources.jdbc import save_jdbc
+
+        save_jdbc(df, spec)
+        return
     path = spec["path"]
 
     partition_by = spec.get("partition_by") or spec.get("partitionby")
@@ -71,11 +81,39 @@ def save_output(df: DataFrame, spec: dict, job_name: str = "", now: dt.datetime 
         writer.options(**kwargs).json(path)
     elif otype == "txt":
         writer.text(path)
+    elif otype in ("xlsx", "xls", "pickle"):
+        _save_pandas_edge(df, otype, path, mode, kwargs)
     else:
         raise ValueError(f"unsupported output type '{otype}'")
 
     if spec.get("save_metadata"):
         _write_metadata_sidecar(path, job_name, now)
+
+
+def _save_pandas_edge(df: DataFrame, otype: str, path: str, mode: str, kwargs: dict) -> None:
+    """Single-FILE formats (excel / pickle) via a pandas shim at the
+    edge (reference: yaetos/etl_utils.py:626-640 ``save_pandas`` with
+    to_excel/to_pickle). Small-data contract: Arrow ``toPandas`` to the
+    driver by design — these formats exist for humans, not for scale.
+    Honors the same mode policy as the distributed writers."""
+    if os.path.exists(path):
+        if mode in ("error", "errorifexists"):
+            raise FileExistsError(f"output exists and mode='{mode}': {path}")
+        if mode == "ignore":
+            return
+    parent = os.path.dirname(path)
+    if parent:
+        os.makedirs(parent, exist_ok=True)
+    pdf = df.toPandas()
+    if otype == "pickle":
+        pdf.to_pickle(path, **kwargs)
+        return
+    try:
+        pdf.to_excel(path, index=False, **kwargs)
+    except (ImportError, ModuleNotFoundError) as exc:  # no openpyxl in this image
+        raise NotImplementedError(
+            "excel output requires openpyxl (pandas shim at the edge)"
+        ) from exc
 
 
 def _write_metadata_sidecar(path: str, job_name: str, now: dt.datetime | None) -> None:
