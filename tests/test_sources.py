@@ -236,3 +236,39 @@ def test_airflow_dag_golden_file():
     assert "events_per_type >> top_users" in text
     assert text.count("BashOperator(") == 2  # one task per pipeline job
     compile(text, "dag.py", "exec")  # emitted file is valid python
+
+
+def test_db_extractor_credentials_and_gates(tmp_path):
+    import pytest
+
+    from yaetos_spark.sources.db_extractors import query_hive, query_salesforce, read_credentials
+
+    cfg = tmp_path / "connections.cfg"
+    cfg.write_text(
+        "[warehouse]\nhost = h.example.com\nport = 10000\nuser = me\n"
+        "[sf]\nuser = u\npassword = p\ntoken = t\ndomain = production\n"
+    )
+    creds = read_credentials(str(cfg), "warehouse")
+    assert creds["host"] == "h.example.com" and creds["port"] == "10000"
+    with pytest.raises(FileNotFoundError):
+        read_credentials(str(tmp_path / "nope.cfg"), "x")
+    # connector libs absent in this image → capability gate, not a crash
+    with pytest.raises(NotImplementedError, match="pyhive"):
+        query_hive("SHOW TABLES", "warehouse", str(cfg))
+    with pytest.raises(NotImplementedError, match="simple_salesforce"):
+        query_salesforce("SELECT Id FROM Account", "sf", str(cfg))
+
+
+def test_git_lineage_in_metadata_sidecar(spark, tmp_path):
+    from yaetos_spark.git_utils import get_git_config
+    from yaetos_spark.sources.writers import save_output
+
+    cfg = get_git_config("/root/repo")
+    assert cfg and len(cfg["commit"]) == 40  # repo itself is a git repo
+    assert get_git_config(str(tmp_path)) is None  # non-repo → None, no raise
+
+    df = spark.createDataFrame([(1,)], "id int")
+    out = str(tmp_path / "out")
+    save_output(df, {"path": out, "type": "parquet", "save_metadata": True})
+    meta = (tmp_path / "out" / "_metadata.txt").read_text()
+    assert "git_commit: " in meta and "job_name:" in meta

@@ -117,10 +117,14 @@ def _save_pandas_edge(df: DataFrame, otype: str, path: str, mode: str, kwargs: d
 
 
 def _write_metadata_sidecar(path: str, job_name: str, now: dt.datetime | None) -> None:
-    """_metadata.txt provenance sidecar (reference: yaetos/etl_utils.py:657-669)."""
+    """_metadata.txt provenance sidecar (reference: yaetos/etl_utils.py:657-669),
+    including git lineage (reference: yaetos/git_utils.py)."""
+    from yaetos_spark.git_utils import format_git_lines
+
     now = now or dt.datetime.now(dt.timezone.utc)
     if "://" in path:
         return  # only local sidecars in v1; S3 via hadoop FS later
     os.makedirs(path, exist_ok=True)
     with open(os.path.join(path, "_metadata.txt"), "w") as fh:
         fh.write(f"job_name: {job_name}\nsaved_at_utc: {now.isoformat()}\n")
+        fh.write(format_git_lines())
