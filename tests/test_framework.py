@@ -282,3 +282,68 @@ def test_process_and_cache(tmp_path):
     out1 = process_and_cache("t", folder, make)
     out2 = process_and_cache("t", folder, make)
     assert out1.equals(out2) and len(calls) == 1
+
+
+def test_emr_cluster_and_step_specs():
+    """Reference parity: yaetos/deploy_emr.py:95-213 — boto3-shaped
+    run_job_flow kwargs and command-runner spark-submit step."""
+    from yaetos_spark.deploy_cluster import (
+        build_emr_cluster_spec,
+        build_emr_spark_step,
+    )
+
+    from yaetos_spark.deploy_cluster import build_emr_instance_groups
+
+    spec = build_emr_cluster_spec(
+        "pipe1",
+        s3_logs="s3://logs/x/",
+        package_path="s3://pkg/code",
+        ec2_key_name="key1",
+        ec2_subnet_id="subnet-1",
+        instance_groups=build_emr_instance_groups(core_type="r5.2xlarge"),
+    )
+    assert spec["ReleaseLabel"].startswith("emr-")
+    groups = spec["Instances"]["InstanceGroups"]
+    assert [g["InstanceRole"] for g in groups] == ["MASTER", "CORE"]
+    assert spec["Instances"]["KeepJobFlowAliveWhenNoSteps"] is False
+    assert spec["BootstrapActions"][0]["ScriptBootstrapAction"]["Path"].endswith("setup_nodes.sh")
+
+    step = build_emr_spark_step({"job_name": "top_users"}, num_executors=10)
+    assert step["HadoopJarStep"]["Jar"] == "command-runner.jar"
+    args = step["HadoopJarStep"]["Args"]
+    assert args[0] == "spark-submit" and "--job_name=top_users" in args
+    assert "--num-executors" in args
+
+
+def test_k8s_spark_submit():
+    from yaetos_spark.deploy_cluster import build_k8s_spark_submit
+
+    cmd = build_k8s_spark_submit(
+        {"job_name": "sessionize"},
+        k8s_url="k8s://https://1.2.3.4:6443",
+        image="repo/spark:4",
+        namespace="pipelines",
+        executor_instances=8,
+    )
+    joined = " ".join(cmd)
+    assert "--master k8s://https://1.2.3.4:6443" in joined
+    assert "--deploy-mode cluster" in joined
+    assert "--conf spark.kubernetes.container.image=repo/spark:4" in joined
+    assert "--conf spark.executor.instances=8" in joined
+    assert "--name" in cmd
+    assert "--job_name=sessionize" in cmd
+
+
+def test_emr_launch_gate():
+    import pytest
+
+    from yaetos_spark.deploy_cluster import launch_emr
+
+    try:
+        import boto3  # noqa: F401
+
+        pytest.skip("boto3 present; live launch not tested here")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError, match="boto3"):
+        launch_emr({}, [])
