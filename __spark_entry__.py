@@ -565,6 +565,37 @@ LIMIT 20
 """
 
 
+def _orderby_ordinal(spark, sf_dir):
+    """SQL passthrough with ordinal sort positions (SURVEY §2.7 'ORDER
+    BY ordinal' — reference jobs sort by column position in raw SQL).
+    Deterministic total order so the LIMIT keeps the same rows in any
+    engine."""
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("nation_ord_v")
+    return spark.sql(
+        "SELECT n_regionkey, n_name FROM nation_ord_v ORDER BY 1 DESC, 2 LIMIT 10"
+    )
+
+
+_ORDERBY_ORDINAL_SQL = """
+SELECT n_regionkey, n_name FROM nation ORDER BY 1 DESC, 2 LIMIT 10
+"""
+
+
+def _quoted_identifiers(spark, sf_dir):
+    """Backtick-quoted identifiers through the SQL surface (SURVEY
+    §2.9 'backtick-quoted identifiers'; oracle uses ANSI double
+    quotes — same result, per-dialect quoting)."""
+    _t(spark, sf_dir, "region").createOrReplaceTempView("region_q_v")
+    return spark.sql(
+        "SELECT r_name AS `region name`, r_regionkey AS `key id` FROM region_q_v"
+    )
+
+
+_QUOTED_IDENTIFIERS_SQL = """
+SELECT r_name AS "region name", r_regionkey AS "key id" FROM region
+"""
+
+
 def _event_gaps(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts")
@@ -2454,6 +2485,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- formerly no_oracle, now given checkable contracts --
         "lsh_ann_pairs": _lsh_ann_pairs,
         "approx_distinct_parts": _approx_distinct_parts,
+        # -- new this round (SQL-surface rows that lacked a query) --
+        "orderby_ordinal": _orderby_ordinal,
+        "quoted_identifiers": _quoted_identifiers,
         # -- round-1 driver-unchecked tail --
         "date_parts": _date_parts,
         "null_scalars": _null_scalars,
@@ -2491,11 +2525,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "null_safe_join": _null_safe_join,
         # -- plan changed this round, re-verify --
         "ntile_price_bands": _ntile_price_bands,
-        # -- round-1 green representatives --
+        # -- round-1 green representative --
         "pricing_summary": _pricing_summary,
+        # ---- round-1 green (driver-verified) ----
         "topk_revenue": _topk_revenue,
         "minhash_lsh_pairs": _minhash_lsh,
-        # ---- round-1 green (driver-verified) ----
         "filter_project": _filter_project,
         "region_revenue": _region_revenue,
         "full_outer_coalesce": _full_outer_coalesce,
@@ -2568,6 +2602,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": _ANN_SQL,
         "embedding_near_dup": _NEAR_DUP_SQL,
         "lsh_ann_pairs": _LSH_RECALL_SQL,
+        "orderby_ordinal": _ORDERBY_ORDINAL_SQL,
+        "quoted_identifiers": _QUOTED_IDENTIFIERS_SQL,
         "pivot_status": _PIVOT_SQL,
         "cube_counts": _CUBE_SQL,
         "grouping_sets_rev": _GROUPING_SETS_SQL,

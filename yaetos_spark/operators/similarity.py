@@ -34,17 +34,16 @@ MAX_COLLECT_ROWS = 4_000_000
 def _collect_matrix(df: DataFrame, id_col: str, vec_col: str, max_rows: int = MAX_COLLECT_ROWS):
     """Small-side (id array, row-normalized matrix) for broadcasting.
     The caller guarantees this side fits on one node (same contract as
-    ``F.broadcast``); the guard enforces it with a bounded count (the
-    probe stops scanning at ``max_rows + 1`` rows, it never counts the
-    full corpus)."""
-    probe = df.select(id_col).limit(max_rows + 1).count()
-    if probe > max_rows:
+    ``F.broadcast``); the guard enforces it inside the SAME collect job:
+    the limit stops the transfer at ``max_rows + 1`` rows, and one extra
+    row proves the overflow — the full corpus is never shipped."""
+    pdf = df.select(id_col, vec_col).limit(max_rows + 1).toPandas()
+    if len(pdf) > max_rows:
         raise ValueError(
             f"brute-force similarity would collect >{max_rows:,} rows to the "
             "driver; use the bucketed scale paths instead "
             "(lsh_near_dup_pairs / ivf_topk)"
         )
-    pdf = df.select(id_col, vec_col).toPandas()
     ids = pdf[id_col].to_numpy()
     mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
     norms = np.sqrt((mat * mat).sum(axis=1))
