@@ -999,6 +999,19 @@ WHERE list_dot_product(a.v, b.v)
 """
 
 
+def _ivf_ann_exactprobe(spark, sf_dir):
+    """IVF ANN machinery end-to-end, oracle-checked: with n_probe equal
+    to n_cells every inverted list is probed, so the result must EQUAL
+    the brute-force top-k — which DuckDB can compute. That validates
+    k-means training, cell assignment, the probe equi-join and ranking;
+    ``n_probe < n_cells`` is then the recall/cost dial at scale, with
+    the machinery already proven."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _ANN_N_QUERIES)
+    cents = S.train_ivf_centroids(emb, n_cells=4)
+    return S.ivf_topk(emb, queries, cents, k=_ANN_K, n_probe=4)
+
+
 def _lsh_ann_pairs(spark, sf_dir):
     """Hyperplane-LSH near-dup recall contract.
 
@@ -2488,6 +2501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new this round (SQL-surface rows that lacked a query) --
         "orderby_ordinal": _orderby_ordinal,
         "quoted_identifiers": _quoted_identifiers,
+        "ivf_ann_exactprobe": _ivf_ann_exactprobe,
         # -- round-1 driver-unchecked tail --
         "date_parts": _date_parts,
         "null_scalars": _null_scalars,
@@ -2604,6 +2618,7 @@ def oracle_sql() -> dict[str, str]:
         "lsh_ann_pairs": _LSH_RECALL_SQL,
         "orderby_ordinal": _ORDERBY_ORDINAL_SQL,
         "quoted_identifiers": _QUOTED_IDENTIFIERS_SQL,
+        "ivf_ann_exactprobe": _ANN_SQL,  # probe-all == exact brute force
         "pivot_status": _PIVOT_SQL,
         "cube_counts": _CUBE_SQL,
         "grouping_sets_rev": _GROUPING_SETS_SQL,

@@ -200,3 +200,31 @@ def test_winnow_guarantee_property(spark, shared, seed):
     norm_shared = " ".join(shared.split())
     if len(norm_shared) >= k + w - 1:
         assert by_doc.get(1, set()) & by_doc.get(2, set()), (d1, d2)
+
+
+@given(
+    n=st.integers(1, 120),
+    buckets=st.integers(1, 6),
+    dup_mod=st.integers(1, 10),
+)
+@settings(**SETTINGS)
+def test_distributed_ntile_matches_builtin_property(spark, n, buckets, dup_mod):
+    """Aggregate equality with the built-in global ntile for arbitrary
+    sizes (uneven buckets) and tie densities (dup_mod=1 → all values
+    equal)."""
+    from yaetos_spark.operators.windows import distributed_ntile
+
+    df = spark.createDataFrame(
+        [(i, float((i * 13) % dup_mod)) for i in range(n)], "id int, v double"
+    )
+    mine = (
+        distributed_ntile(df, "v", buckets, num_partitions=4)
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).alias("c"), F.min("v").alias("lo"), F.max("v").alias("hi"))
+    )
+    builtin = (
+        df.selectExpr("v", f"CAST(ntile({buckets}) OVER (ORDER BY v) AS INT) AS band")
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).alias("c"), F.min("v").alias("lo"), F.max("v").alias("hi"))
+    )
+    assert sorted(map(tuple, mine.collect())) == sorted(map(tuple, builtin.collect()))
