@@ -347,3 +347,34 @@ def test_emr_launch_gate():
         pass
     with pytest.raises(NotImplementedError, match="boto3"):
         launch_emr({}, [])
+
+
+def test_bucketed_tables_join_without_shuffle(spark):
+    """The 100 TB repeated-join story: two tables bucketed+sorted on the
+    join key sort-merge-join with NO hashpartitioning exchange on either
+    side — the co-location bucketBy promises must actually show in the
+    physical plan."""
+    import contextlib
+    import io
+
+    from yaetos_spark.sources.catalog import save_as_table
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        a = spark.range(1000).selectExpr("id AS k", "id*2 AS va")
+        b = spark.range(1000).selectExpr("id AS k", "id*3 AS vb")
+        save_as_table(a, "bkt_join_a", bucket_by=(8, ["k"]))
+        save_as_table(b, "bkt_join_b", bucket_by=(8, ["k"]))
+        j = spark.table("bkt_join_a").join(spark.table("bkt_join_b"), "k")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            j.explain("formatted")
+        plan = buf.getvalue()
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan  # co-located: no shuffle
+        assert j.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bkt_join_a")
+        spark.sql("DROP TABLE IF EXISTS bkt_join_b")
