@@ -1366,9 +1366,12 @@ FROM events GROUP BY 1
 def _approx_distinct_parts(spark, sf_dir):
     """HLL error-bound contract. The HLL estimate itself is
     engine-specific, so the query returns the exact distinct count
-    (oracle-computable) plus whether the sketch landed within 5%
-    relative error — approx_count_distinct's default rsd is 0.05, so
-    this is the operator's own advertised contract, made checkable."""
+    (oracle-computable) plus whether the sketch landed within 15%
+    relative error — 3x approx_count_distinct's default rsd of 0.05
+    (rsd is ONE standard deviation, so a 1-sigma bound would reject a
+    correct sketch on ~1/3 of datasets; 3-sigma makes the contract
+    robust while still catching a broken sketch). Measured error on
+    this data is ~2.6% at every scale factor."""
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag")
@@ -1381,7 +1384,7 @@ def _approx_distinct_parts(spark, sf_dir):
             "exact_parts",
             (
                 F.abs(F.col("approx_parts") - F.col("exact_parts"))
-                <= 0.05 * F.col("exact_parts")
+                <= 0.15 * F.col("exact_parts")
             ).alias("est_ok"),
         )
     )

@@ -97,4 +97,6 @@ def test_spark_submit_builder():
     assert s.startswith("spark-submit --master yarn")
     assert "--executor-memory 8g" in s
     assert "--conf spark.sql.shuffle.partitions=2000" in s
-    assert "-m yaetos_spark.cli --job_name=top_users" in s
+    # primary resource must be a FILE (spark-submit has no -m flag)
+    assert "yaetos_spark/cli.py --job_name=top_users" in s
+    assert " -m " not in s

@@ -76,14 +76,13 @@ def test_contamination_broadcasts_eval_side(spark):
 
 def test_no_nested_loop_joins_anywhere(spark):
     """No corpus query may fall back to a cartesian/nested-loop join —
-    at 100 TB that's a non-star­ter. (Broadcasts of single-row
+    at 100 TB that's a non-starter. (Broadcasts of single-row
     aggregate frames are the sanctioned exceptions.)"""
     qs = entrymod.queries()
     single_row_broadcasts = {
         "idle_rich_customers",
         "semi_anti_counts",
         "lsh_ann_pairs",  # recall report: crossJoin of two 1-row aggs
-        "ntile_price_bands",  # distributed_ntile joins a 1-row total
     }
     for name, fn in qs.items():
         if name in single_row_broadcasts:

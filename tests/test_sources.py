@@ -272,3 +272,28 @@ def test_git_lineage_in_metadata_sidecar(spark, tmp_path):
     save_output(df, {"path": out, "type": "parquet", "save_metadata": True})
     meta = (tmp_path / "out" / "_metadata.txt").read_text()
     assert "git_commit: " in meta and "job_name:" in meta
+
+
+def test_redshift_query_only_spec():
+    """A query-only read spec (no table) must build cleanly."""
+    from yaetos_spark.sources.jdbc import build_redshift_options
+
+    fmt, opts, _ = build_redshift_options(
+        {"url": "jdbc:redshift://h:5439/db", "s3_tmp_dir": "s3://t/", "query": "SELECT 1"}
+    )
+    assert "dbtable" not in opts
+    with pytest.raises(ValueError, match="db_table or query"):
+        build_redshift_options({"url": "jdbc:redshift://h:5439/db", "s3_tmp_dir": "s3://t/"})
+
+
+def test_single_file_write_metadata_and_append_policy(spark, tmp_path):
+    from yaetos_spark.sources.writers import save_output
+
+    df = spark.createDataFrame([(1,)], "id int")
+    path = str(tmp_path / "o.pkl")
+    save_output(df, {"path": path, "type": "pickle", "save_metadata": True}, job_name="jx")
+    sidecar = tmp_path / "o.pkl_metadata.txt"
+    assert sidecar.exists() and "job_name: jx" in sidecar.read_text()
+    # append cannot work on a single file — must refuse, not overwrite
+    with pytest.raises(ValueError, match="append"):
+        save_output(df, {"path": str(tmp_path / "p.pkl"), "type": "pickle", "mode": "append"})

@@ -21,12 +21,15 @@ def build_spark_submit(
     packages: list[str] | None = None,
     conf: dict | None = None,
     py_files: str | None = None,
-    entry: str = "-m yaetos_spark.cli",
+    entry: str = "yaetos_spark/cli.py",
 ) -> list[str]:
     """Return the spark-submit argv for a registry job.
 
-    ``job_args`` become ``--key=value`` CLI args for yaetos_spark.cli
-    (job_name, registry, mode, ...).
+    ``job_args`` become ``--key=value`` CLI args for the launcher
+    (job_name, registry, mode, ...). ``entry`` must be a primary
+    resource FILE — spark-submit has no ``-m`` module flag — so the
+    default is the cli script itself; ship the package alongside via
+    ``py_files``.
     """
     cmd = ["spark-submit", "--master", master, "--deploy-mode", deploy_mode]
     if executor_memory:

@@ -142,7 +142,26 @@ def global_rank(
     row_number. Equivalent to ``row_number() OVER (ORDER BY order_col)``
     up to permutation of ties, but every sort stays partition-local.
     """
+    df_rank, _ = _global_rank_with_total(df, order_col, rank_name, num_partitions)
+    return df_rank
+
+
+def _global_rank_with_total(
+    df: DataFrame,
+    order_col: str,
+    rank_name: str,
+    num_partitions: int | None,
+) -> tuple[DataFrame, int]:
+    """Shared core: ranked frame + the exact total row count, which the
+    offset pass computes anyway — callers that need N (distributed_ntile)
+    must not pay a second full pass for it."""
     spark = df.sparkSession
+    dtype = dict(df.dtypes).get(order_col, "")
+    if dtype in ("string", "binary", "boolean"):
+        raise ValueError(
+            f"global_rank needs a numeric/temporal order column; '{order_col}' is {dtype} "
+            "(percentile bucketing cannot range-split it — use row_number for small data)"
+        )
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     # Range boundaries must be a pure function of the DATA, not of a
@@ -177,7 +196,8 @@ def global_rank(
         F.col("_bucket"),
     )
     w = Window.partitionBy("_bucket").orderBy(order_col)
-    return parts.withColumn(rank_name, F.row_number().over(w) + offset_col).drop("_bucket")
+    ranked = parts.withColumn(rank_name, F.row_number().over(w) + offset_col).drop("_bucket")
+    return ranked, acc
 
 
 def distributed_ntile(
@@ -197,15 +217,19 @@ def distributed_ntile(
     built-in ntile (tie permutations can only swap rows within equal
     values, which straddle band boundaries symmetrically).
     """
-    ranked = global_rank(df, order_col, rank_name="_grank", num_partitions=num_partitions)
-    total = ranked.agg(F.max("_grank").alias("_n_total"))
+    ranked, total = _global_rank_with_total(df, order_col, "_grank", num_partitions)
+    # total is already exact on the driver (sum of the per-bucket counts
+    # the offset pass collected) — no second pass over the data, and all
+    # band parameters become plan literals
+    small, big = total // n, total % n
+    thr = big * (small + 1)
     # exact integer arithmetic only (DIV) — float division would mis-floor
     # once operands outgrow a double's 53-bit mantissa
     return (
-        ranked.join(F.broadcast(total))
-        .withColumn("_small", F.expr(f"_n_total DIV {n}"))
-        .withColumn("_big", F.col("_n_total") % n)
-        .withColumn("_thr", F.col("_big") * (F.col("_small") + 1))
+        ranked
+        .withColumn("_small", F.lit(small).cast("long"))
+        .withColumn("_big", F.lit(big).cast("long"))
+        .withColumn("_thr", F.lit(thr).cast("long"))
         .withColumn(
             band_name,
             F.expr(
@@ -214,5 +238,5 @@ def distributed_ntile(
                 "END + 1 AS INT)"
             ),
         )
-        .drop("_grank", "_n_total", "_small", "_big", "_thr")
+        .drop("_grank", "_small", "_big", "_thr")
     )

@@ -87,15 +87,18 @@ def build_redshift_options(spec: dict) -> tuple[str, dict, str]:
             host=spec["host"], port=spec.get("port", 5439), service=spec["service"]
         )
     )
-    dbtable = spec.get("db_table") or spec["dbtable"]
-    if spec.get("schema"):
-        dbtable = f"{spec['schema']}.{dbtable}"
     opts = {
         "url": url,
-        "dbtable": dbtable,
         "tempdir": spec["s3_tmp_dir"],
         "forward_spark_s3_credentials": "true",
     }
+    dbtable = spec.get("db_table") or spec.get("dbtable")
+    if dbtable:
+        if spec.get("schema"):
+            dbtable = f"{spec['schema']}.{dbtable}"
+        opts["dbtable"] = dbtable
+    elif not spec.get("query"):
+        raise ValueError("redshift spec needs either db_table or query")
     if spec.get("user"):
         opts["user"] = spec["user"]
     if spec.get("password") is not None:
@@ -120,13 +123,24 @@ def load_redshift(spark: SparkSession, spec: dict) -> DataFrame:
 
 
 def save_redshift(df: DataFrame, spec: dict) -> None:
-    """Redshift write via the connector's S3 COPY path."""
+    """Redshift write via the connector's S3 COPY path.
+
+    Mode semantics follow the REFERENCE's DB-copy policy, not the file
+    policy: overwrite unless incremental (reference:
+    yaetos/redshift_spark.py:12 ``load_type``) — DB copies replace the
+    table by design; pass ``mode`` explicitly to override."""
     fmt, opts, mode = build_redshift_options(spec)
     df.write.format(fmt).options(**opts).mode(mode).save()
 
 
 def save_jdbc(df: DataFrame, spec: dict) -> None:
-    """JDBC write (replaces the reference's chunked pandas to_sql copies)."""
+    """JDBC write (replaces the reference's chunked pandas to_sql copies).
+
+    Mode semantics follow the reference's DB-copy policy: overwrite
+    unless incremental (append) — NOT the file sinks'
+    error-on-existing policy (reference: yaetos/redshift_spark.py:12,
+    clickhouse.py/oracle.py drop-and-recreate). Pass ``mode``
+    explicitly to get errorifexists behavior."""
     opts = {
         "url": spec["url"],
         "dbtable": spec.get("db_table") or spec["dbtable"],

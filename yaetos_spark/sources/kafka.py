@@ -35,6 +35,11 @@ def validate_kafka_frame(frame: DataFrame, schema: dict) -> DataFrame:
 
     from pyspark.sql.functions import pandas_udf
 
+    try:  # driver-side capability gate; executors are assumed homogeneous
+        import jsonschema  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError("kafka message validation requires jsonschema") from exc
+
     schema_json = json.dumps(schema)  # ship as a plain string, not a closure over objects
 
     @pandas_udf("boolean")

@@ -96,6 +96,13 @@ def _save_pandas_edge(df: DataFrame, otype: str, path: str, mode: str, kwargs: d
     to_excel/to_pickle). Small-data contract: Arrow ``toPandas`` to the
     driver by design — these formats exist for humans, not for scale.
     Honors the same mode policy as the distributed writers."""
+    if mode == "append":
+        # single-file formats can't append; failing loudly beats
+        # silently replacing the previous increment's data
+        raise ValueError(
+            f"mode='append' is not supported for single-file '{otype}' output; "
+            "use a directory format (parquet/csv/json) for incremental sinks"
+        )
     if os.path.exists(path):
         if mode in ("error", "errorifexists"):
             raise FileExistsError(f"output exists and mode='{mode}': {path}")
@@ -124,7 +131,14 @@ def _write_metadata_sidecar(path: str, job_name: str, now: dt.datetime | None) -
     now = now or dt.datetime.now(dt.timezone.utc)
     if "://" in path:
         return  # only local sidecars in v1; S3 via hadoop FS later
-    os.makedirs(path, exist_ok=True)
-    with open(os.path.join(path, "_metadata.txt"), "w") as fh:
+    if os.path.isfile(path):
+        # single-file output (pickle/xlsx): sidecar goes NEXT TO the
+        # file (reference writes path + '_metadata.txt' likewise:
+        # yaetos/etl_utils.py:657)
+        sidecar = path + "_metadata.txt"
+    else:
+        os.makedirs(path, exist_ok=True)
+        sidecar = os.path.join(path, "_metadata.txt")
+    with open(sidecar, "w") as fh:
         fh.write(f"job_name: {job_name}\nsaved_at_utc: {now.isoformat()}\n")
         fh.write(format_git_lines())
