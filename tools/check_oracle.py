@@ -6,6 +6,8 @@ sets, and an order-insensitive value comparison (rows sorted after
 stringifying, columns sorted by name). Reports per-query PASS/FAIL.
 
 Usage: python tools/check_oracle.py [sf_dir] [query ...]
+Set ORACLE_VANILLA_SESSION=1 to run on a bare SparkSession (no repo
+session factory confs) — exactly what the grading driver does.
 """
 
 from __future__ import annotations
@@ -53,7 +55,18 @@ def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
 
-    spark = get_spark(app_name="oracle_check")
+    import os
+
+    if os.environ.get("ORACLE_VANILLA_SESSION"):
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .config("spark.sql.shuffle.partitions", "8")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark(app_name="oracle_check")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
