@@ -565,6 +565,143 @@ LIMIT 20
 """
 
 
+def _nation_trade_volume(spark, sf_dir):
+    """TPC-H Q7 analog: bilateral shipping volume between two nations
+    by year. Plan shape for 100 TB: lineitem is the only big side —
+    supplier/customer/nation broadcast, orders joins on the fact key;
+    one exchange on the fact table."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    n1 = nation.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    n2 = nation.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    trio = ["NATION_1", "NATION_2", "NATION_3"]
+    pair = (
+        F.col("supp_nation").isin(trio)
+        & F.col("cust_nation").isin(trio)
+        & (F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return (
+        li.filter(F.col("l_shipdate").between("1996-01-01", "1998-12-31"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), supp.s_nationkey == F.col("s_nk"))
+        .join(F.broadcast(n2), cust.c_nationkey == F.col("c_nk"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+_NATION_VOLUME_SQL = """
+SELECT supp_nation, cust_nation, l_year,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS BIGINT) AS l_year, l_extendedprice, l_discount
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE l_shipdate BETWEEN '1996-01-01' AND '1998-12-31'
+    AND n1.n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+    AND n2.n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+    AND n1.n_name <> n2.n_name
+)
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+def _market_share(spark, sf_dir):
+    """TPC-H Q8 analog: one nation's share of regional revenue by year
+    — conditional-sum over a multi-join, ratio as cross-engine-exact
+    decimal division."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    n_c = nation.select(F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cr_key"))
+    n_s = nation.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    volume = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,4)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n_c), cust.c_nationkey == F.col("cn_key"))
+        .join(F.broadcast(n_s), supp.s_nationkey == F.col("sn_key"))
+        .join(F.broadcast(region), F.col("cr_key") == region.r_regionkey)
+        .filter(F.col("r_name") == "ASIA")
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (
+                # each sum is EXACT decimal; divide as doubles — IEEE
+                # division of identical doubles is engine-identical,
+                # while decimal/decimal result scale is not
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_1", volume).otherwise(
+                        F.lit(0).cast("decimal(28,4)")
+                    )
+                ).cast("double")
+                / F.sum(volume).cast("double")
+            ).alias("mkt_share")
+        )
+    )
+
+
+_MARKET_SHARE_SQL = """
+SELECT o_year,
+       CAST(sum(CASE WHEN supp_nation = 'NATION_1' THEN volume ELSE CAST(0 AS DECIMAL(28,4)) END) AS DOUBLE)
+       / CAST(sum(volume) AS DOUBLE) AS mkt_share
+FROM (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4)) AS volume,
+         n2.n_name AS supp_nation
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  JOIN region ON n1.n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA'
+)
+GROUP BY o_year
+"""
+
+
+def _parts_supplier_counts(spark, sf_dir):
+    """TPC-H Q16 analog: distinct suppliers per (brand, type, size)
+    excluding one brand and a NOT-IN size list — count-distinct after
+    an anti-filtered join."""
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        part.filter(
+            (F.col("p_brand") != "Brand#1") & ~F.col("p_size").isin(1, 4, 7)
+        )
+        .join(li, part.p_partkey == li.l_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .filter(F.col("supplier_cnt") >= 5)
+    )
+
+
+_PARTS_SUPPLIER_SQL = """
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM part JOIN lineitem ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1' AND p_size NOT IN (1, 4, 7)
+GROUP BY p_brand, p_type, p_size
+HAVING count(DISTINCT l_suppkey) >= 5
+"""
+
+
 def _orderby_ordinal(spark, sf_dir):
     """SQL passthrough with ordinal sort positions (SURVEY §2.7 'ORDER
     BY ordinal' — reference jobs sort by column position in raw SQL).
@@ -2505,6 +2642,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orderby_ordinal": _orderby_ordinal,
         "quoted_identifiers": _quoted_identifiers,
         "ivf_ann_exactprobe": _ivf_ann_exactprobe,
+        "nation_trade_volume": _nation_trade_volume,
+        "market_share": _market_share,
+        "parts_supplier_counts": _parts_supplier_counts,
         # -- round-1 driver-unchecked tail --
         "date_parts": _date_parts,
         "null_scalars": _null_scalars,
@@ -2622,6 +2762,9 @@ def oracle_sql() -> dict[str, str]:
         "orderby_ordinal": _ORDERBY_ORDINAL_SQL,
         "quoted_identifiers": _QUOTED_IDENTIFIERS_SQL,
         "ivf_ann_exactprobe": _ANN_SQL,  # probe-all == exact brute force
+        "nation_trade_volume": _NATION_VOLUME_SQL,
+        "market_share": _MARKET_SHARE_SQL,
+        "parts_supplier_counts": _PARTS_SUPPLIER_SQL,
         "pivot_status": _PIVOT_SQL,
         "cube_counts": _CUBE_SQL,
         "grouping_sets_rev": _GROUPING_SETS_SQL,

@@ -196,3 +196,37 @@ def test_interval_join_streams(spark, tmp_path):
     assert not q.isActive
     rows = [(r.uid, r.ad, r.amount) for r in spark.read.parquet(out).collect()]
     assert rows == [(1, "ad1", 9.99)]
+
+
+def test_exactly_once_append_survives_batch_replay(spark, tmp_path):
+    """A replayed foreachBatch (at-least-once delivery) must not
+    duplicate rows: the batch rewrites its own _batch_id partition."""
+    from yaetos_spark.streaming.upsert import (
+        append_batch_exactly_once,
+        streaming_append_exactly_once,
+    )
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string").write.parquet(src)
+
+    stream = spark.readStream.schema("id long, v string").parquet(src)
+    q = streaming_append_exactly_once(stream, out, ckpt)
+    q.awaitTermination(timeout=120)
+    assert not q.isActive
+    first = spark.read.parquet(out)
+    assert first.count() == 2
+
+    # simulate the engine replaying batch 0 after a failure-before-commit
+    replay = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    append_batch_exactly_once(replay, 0, out)
+    again = spark.read.parquet(out)
+    assert again.count() == 2  # NOT 4 — replay rewrote, didn't append
+    assert {r.v for r in again.collect()} == {"a", "b"}
+
+    # a genuinely new batch appends under its own partition
+    append_batch_exactly_once(
+        spark.createDataFrame([(3, "c")], "id long, v string"), 1, out
+    )
+    assert spark.read.parquet(out).count() == 3

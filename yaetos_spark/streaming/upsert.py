@@ -119,3 +119,48 @@ def streaming_upsert(
 def read_snapshot(spark, snapshot_dir: str) -> DataFrame:
     """Current state of the snapshot (drops the layout column)."""
     return spark.read.parquet(snapshot_dir).drop(BUCKET_COL)
+
+
+BATCH_COL = "_batch_id"
+
+
+def append_batch_exactly_once(batch_df: DataFrame, batch_id: int, out_dir: str) -> None:
+    """Exactly-once APPEND over foreachBatch's at-least-once replay.
+
+    The canonical recipe for non-transactional sinks: every batch lands
+    in its own ``_batch_id=<id>`` partition via dynamic partition
+    overwrite, so a replayed batch REWRITES its partition with the same
+    content instead of appending duplicates. No commit log needed — the
+    batch id in the layout IS the commit marker. Readers see the union
+    of all partitions; at 100 TB the per-batch directories also give
+    retention/compaction a natural unit."""
+    spark = batch_df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            batch_df.withColumn(BATCH_COL, F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .partitionBy(BATCH_COL)
+            .parquet(out_dir)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def streaming_append_exactly_once(
+    stream_df: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+):
+    """Wire a stream into exactly-once appends (trigger availableNow)."""
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        append_batch_exactly_once(batch_df, batch_id, out_dir)
+
+    return (
+        stream_df.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
