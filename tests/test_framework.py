@@ -378,3 +378,37 @@ def test_bucketed_tables_join_without_shuffle(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bkt_join_a")
         spark.sql("DROP TABLE IF EXISTS bkt_join_b")
+
+
+def test_compact_job_right_sizes_output(spark, tmp_path):
+    """Compaction sizes file count from input bytes (no data pass) and
+    clusters rows for tight row-group stats."""
+    from jobs.generic.compact_job import CompactJob, plan_file_count
+
+    assert plan_file_count(0, 128) == 1
+    assert plan_file_count(129, 128) == 2
+    assert plan_file_count(1, 0) == 1  # degenerate target → still 1
+
+    src = str(tmp_path / "many")
+    # 16 small files
+    spark.createDataFrame(
+        [(i, f"v{i}") for i in range(2000)], "id int, v string"
+    ).repartition(16).write.parquet(src)
+    n_in = len([f for f in os.listdir(src) if f.endswith(".parquet")])
+    assert n_in == 16
+
+    out = str(tmp_path / "compact")
+    job = CompactJob(
+        {
+            "inputs": {"src": {"path": src, "type": "parquet"}},
+            "output": {"path": out, "type": "parquet"},
+            "target_file_bytes": 10 * 1024 * 1024,  # everything fits one file
+            "cluster_by": "id",
+            "add_created_at": False,
+        }
+    )
+    job.etl(spark)
+    files = [f for f in os.listdir(out) if f.endswith(".parquet")]
+    assert len(files) == 1
+    back = spark.read.parquet(out)
+    assert back.count() == 2000
