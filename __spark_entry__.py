@@ -2638,13 +2638,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- formerly no_oracle, now given checkable contracts --
         "lsh_ann_pairs": _lsh_ann_pairs,
         "approx_distinct_parts": _approx_distinct_parts,
-        # -- new this round (SQL-surface rows that lacked a query) --
-        "orderby_ordinal": _orderby_ordinal,
-        "quoted_identifiers": _quoted_identifiers,
-        "ivf_ann_exactprobe": _ivf_ann_exactprobe,
-        "nation_trade_volume": _nation_trade_volume,
-        "market_share": _market_share,
-        "parts_supplier_counts": _parts_supplier_counts,
         # -- round-1 driver-unchecked tail --
         "date_parts": _date_parts,
         "null_scalars": _null_scalars,
@@ -2682,6 +2675,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "null_safe_join": _null_safe_join,
         # -- plan changed this round, re-verify --
         "ntile_price_bands": _ntile_price_bands,
+        # -- new this round (verified locally; next in line for a
+        #    driver verdict after the 2-round-old tail above) --
+        "orderby_ordinal": _orderby_ordinal,
+        "quoted_identifiers": _quoted_identifiers,
+        "ivf_ann_exactprobe": _ivf_ann_exactprobe,
+        "nation_trade_volume": _nation_trade_volume,
+        "market_share": _market_share,
+        "parts_supplier_counts": _parts_supplier_counts,
         # -- round-1 green representative --
         "pricing_summary": _pricing_summary,
         # ---- round-1 green (driver-verified) ----
