@@ -1310,9 +1310,11 @@ WITH g AS (
   FROM events
 ),
 s AS (
+  -- CAST: DuckDB SUM(int) yields HUGEINT, which lands in pandas as
+  -- float64 and hash-mismatches Spark's BIGINT at the driver.
   SELECT user_id, ts,
-         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
   FROM g
 )
 SELECT user_id, session_seq, count(*) AS n_events,
@@ -1323,15 +1325,19 @@ FROM s GROUP BY user_id, session_seq
 
 
 def _collect_types(spark, sf_dir):
+    # The driver canonicalizer can't hash list-typed pandas columns, so
+    # the sorted set is emitted as a joined string; array semantics stay
+    # covered by array_hof_stats / posexplode_words.
     ev = _t(spark, sf_dir, "events")
     return ev.groupBy("user_id").agg(
-        F.sort_array(F.collect_set("event_type")).alias("types"),
+        F.concat_ws(",", F.sort_array(F.collect_set("event_type"))).alias("types"),
         F.countDistinct("event_type").alias("n_types"),
     )
 
 
 _COLLECT_SQL = """
-SELECT user_id, list_sort(list(DISTINCT event_type)) AS types,
+SELECT user_id,
+       array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types,
        count(DISTINCT event_type) AS n_types
 FROM events GROUP BY user_id
 """
@@ -2106,7 +2112,7 @@ binned AS (
   FROM toks
 )
 SELECT source, CAST(bin_id AS BIGINT) AS bin_id,
-       count(*) AS n_docs, sum(n_tokens) AS total_tokens
+       count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
 FROM binned
 GROUP BY source, bin_id
 """
@@ -2618,27 +2624,32 @@ FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the grading driver evaluates entries in dict order
-    # and may cap how many it checks per round.  Entries still lacking a
-    # green driver verdict (round-1 unchecked tail + formerly nanos-broken
-    # events queries + newly oracle-ified ones) come FIRST; round-1 green
-    # entries rotate to the back so every query accumulates a verdict
-    # across rounds.
+    # and may cap how many it checks per round.  Round 3: the 6 entries
+    # without a cumulative green driver verdict come FIRST (3 fixed this
+    # round: oracle BIGINT casts for sessionize/pack, stringified
+    # collect_types; 3 that sat past the round-2 window), followed by any
+    # new-this-round queries; everything else is cumulatively green and
+    # rotates behind them.
     return {
-        # -- formerly red on the nanos-timestamp scan (fixed in tables.py) --
+        # -- red/err in r2, root-caused + fixed this round --
+        "sessionize_events": _sessionize_events,
+        "pack_sequences": _pack_sequences,
+        "collect_types": _collect_types,
+        # -- past the r2 50-entry window, never driver-evaluated --
+        "nation_trade_volume": _nation_trade_volume,
+        "market_share": _market_share,
+        "parts_supplier_counts": _parts_supplier_counts,
+        # ---- cumulatively green (r1 ∪ r2 driver verdicts) ----
         "user_sessions": _user_sessions,
         "conditional_agg": _conditional_agg,
         "json_extract_agg": _json_extract_agg,
         "event_gaps": _event_gaps,
         "asof_join_events": _asof_join_events,
         "window_frames_ex2": _window_frames_ex2,
-        "sessionize_events": _sessionize_events,
-        "collect_types": _collect_types,
         "distinct_users_daily": _distinct_users_daily,
         "salted_hot_keys": _salted_hot_keys,
-        # -- formerly no_oracle, now given checkable contracts --
         "lsh_ann_pairs": _lsh_ann_pairs,
         "approx_distinct_parts": _approx_distinct_parts,
-        # -- round-1 driver-unchecked tail --
         "date_parts": _date_parts,
         "null_scalars": _null_scalars,
         "regexp_extract_brand": _regexp_extract_brand,
@@ -2656,7 +2667,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_contamination": _ngram_contamination,
         "stratified_sample": _stratified_sample,
         "repetition_profile": _repetition_profile,
-        "pack_sequences": _pack_sequences,
         "pii_redaction": _pii_redaction,
         "vocab_coverage": _vocab_coverage,
         "hash_sample": _hash_sample,
@@ -2673,17 +2683,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": _weighted_sample,
         "trailing_range_window": _trailing_range_window,
         "null_safe_join": _null_safe_join,
-        # -- plan changed this round, re-verify --
         "ntile_price_bands": _ntile_price_bands,
-        # -- new this round (verified locally; next in line for a
-        #    driver verdict after the 2-round-old tail above) --
         "orderby_ordinal": _orderby_ordinal,
         "quoted_identifiers": _quoted_identifiers,
         "ivf_ann_exactprobe": _ivf_ann_exactprobe,
-        "nation_trade_volume": _nation_trade_volume,
-        "market_share": _market_share,
-        "parts_supplier_counts": _parts_supplier_counts,
-        # -- round-1 green representative --
         "pricing_summary": _pricing_summary,
         # ---- round-1 green (driver-verified) ----
         "topk_revenue": _topk_revenue,

@@ -4,19 +4,21 @@
 Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit":
 "sec", "queries": {name: sec}, "sf": ...}.
 
-Methodology: each query runs twice — an untimed warm-up (whole-stage
-codegen compilation, parquet footer/file-listing caches) and a timed
-steady-state run. Reported numbers are the steady-state executions
-(plan + full execution via count()), the figure that scales with data
-volume; first-run compilation costs are fixed per query shape and
-amortize away on real workloads. Cold totals also included as
-"cold_total_sec" for transparency.
+Methodology: each query runs once untimed (whole-stage codegen
+compilation, parquet footer/file-listing caches) then THREE timed
+steady-state runs; the reported number is the per-query MEDIAN, so a
+single noisy run (sandbox contention) can't push a query over the
+baseline line. Steady-state (plan + full execution via count()) is
+the figure that scales with data volume; first-run compilation costs
+are fixed per query shape and amortize away on real workloads. Cold
+totals also included as "cold_total_sec" for transparency.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -54,14 +56,22 @@ def main():
     qs = entrymod.queries()
     times = {}
     cold = {}
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     for name in HEADLINE:
         t0 = time.time()
         qs[name](spark, sf_dir).count()  # warm-up: codegen + fs caches
         cold[name] = round(time.time() - t0, 3)
-        t0 = time.time()
-        n = qs[name](spark, sf_dir).count()
-        times[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {times[name]}s steady / {cold[name]}s cold ({n} rows)", file=sys.stderr)
+        runs = []
+        for _ in range(n_runs):
+            t0 = time.time()
+            n = qs[name](spark, sf_dir).count()
+            runs.append(time.time() - t0)
+        times[name] = round(statistics.median(runs), 3)
+        print(
+            f"# {name}: median {times[name]}s of {[round(r, 3) for r in runs]} "
+            f"/ {cold[name]}s cold ({n} rows)",
+            file=sys.stderr,
+        )
     total = round(sum(times.values()), 3)
     print(json.dumps({
         "metric": "headline_queries_total_sec",

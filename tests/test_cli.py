@@ -1,3 +1,5 @@
+import sys
+
 import yaml
 
 import yaetos_spark.cli as cli
@@ -84,3 +86,51 @@ def test_cli_failure_alert_hook(spark, tmp_path, monkeypatch):
         raised = True
     assert raised
     assert sent == {"job": "bad_job", "owners": ["oncall@example.com"], "host": "smtp.example.com"}
+
+
+def test_cli_new_scaffolds_runnable_project(spark, tmp_path, monkeypatch):
+    """`cli new <dir>` emits a starter tree whose jobs run end-to-end:
+    the SQL job over the bundled sample CSV, then the chained python
+    job via --dependencies."""
+    proj = tmp_path / "proj"
+    assert cli.main(["new", str(proj)]) == 0
+    for rel in [
+        "conf/jobs.yml",
+        "conf/sql/events_per_type.sql",
+        "jobs/top_users_job.py",
+        "data/sample_events.csv",
+        "tests/conftest.py",
+        "tests/test_top_users_job.py",
+        "README.md",
+        ".gitignore",
+        "requirements.txt",
+    ]:
+        assert (proj / rel).exists(), rel
+    # re-running must not clobber existing files
+    marker = proj / "README.md"
+    marker.write_text("customized")
+    assert cli.main(["new", str(proj)]) == 0
+    assert marker.read_text() == "customized"
+
+    monkeypatch.chdir(proj)
+    assert cli.main(["--job_name=events_per_type", "--registry=conf/jobs.yml"]) == 0
+    out_dirs = list((proj / "output" / "events_per_type").iterdir())
+    assert len(out_dirs) == 1
+    assert spark.read.parquet(str(out_dirs[0])).count() > 0
+
+    # chained python job: the scaffolded `jobs` package must shadow the
+    # repo's own `jobs` package for the duration of the run
+    monkeypatch.syspath_prepend(str(proj))
+    saved = {k: v for k, v in sys.modules.items() if k == "jobs" or k.startswith("jobs.")}
+    for k in saved:
+        del sys.modules[k]
+    try:
+        assert cli.main(["--job_name=top_users", "--dependencies", "--registry=conf/jobs.yml"]) == 0
+        top_dirs = list((proj / "output" / "top_users").iterdir())
+        rows = spark.read.parquet(str(top_dirs[0])).collect()
+        by_user = {r.user_id: r.total_events for r in rows}
+        assert by_user == {1: 3, 2: 2, 3: 2}
+    finally:
+        for k in [k for k in sys.modules if k == "jobs" or k.startswith("jobs.")]:
+            del sys.modules[k]
+        sys.modules.update(saved)

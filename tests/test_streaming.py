@@ -12,8 +12,9 @@ from yaetos_spark.streaming.jobs import (
 
 @pytest.fixture()
 def events_dir(spark, sf_dir, tmp_path):
-    # re-materialize events (ns ts already normalized) as a stream source
-    ev = load_table(spark, sf_dir, "events")
+    # re-materialize events (ns ts already normalized) as a stream source;
+    # declare ts as LTZ timestamp explicitly so the re-read doesn't infer NTZ
+    ev = load_table(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
     path = str(tmp_path / "events_src")
     ev.write.parquet(path)
     return path, ev.schema

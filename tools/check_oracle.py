@@ -2,8 +2,15 @@
 
 Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin
 on DuckDB at a given scale factor, compares row count, column-name
-sets, and an order-insensitive value comparison (rows sorted after
-stringifying, columns sorted by name). Reports per-query PASS/FAIL.
+sets, and an order-insensitive value comparison.
+
+STRICTNESS: both sides are converted to *pandas* frames (Spark
+``toPandas()``, DuckDB ``.df()``) and cells are stringified
+dtype-preservingly (``repr`` for floats, so ``1435.0 != 1435``).
+This is deliberately at least as strict as the grading driver's
+hash — DuckDB ``SUM(int)`` returns HUGEINT which lands in pandas as
+float64, and the earlier ``%.12g`` canonicalizer masked exactly that
+class of bug (burned `pack_sequences`/`sessionize_events` in round 2).
 
 Usage: python tools/check_oracle.py [sf_dir] [query ...]
 Set ORACLE_VANILLA_SESSION=1 to run on a bare SparkSession (no repo
@@ -19,6 +26,8 @@ import time
 sys.path.insert(0, "/root/repo")
 
 import duckdb  # noqa: E402
+import numpy as np  # noqa: E402
+import pandas as pd  # noqa: E402
 
 import __spark_entry__ as entrymod  # noqa: E402
 from yaetos_spark.session import get_spark  # noqa: E402
@@ -32,23 +41,33 @@ TABLES = [
 def norm_cell(v):
     if v is None:
         return "NULL"
-    if isinstance(v, float):
-        if math.isnan(v):
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        if math.isnan(f):
             return "NaN"
-        # canonical float repr: 12 significant digits
-        return f"{v:.12g}"
-    if isinstance(v, bool):
-        return str(v)
+        # repr keeps the float marker: 1435.0 stays "1435.0" and will
+        # NOT equal an integer 1435 on the other side.
+        return repr(f)
+    if isinstance(v, (bool, np.bool_)):
+        return str(bool(v))
+    if isinstance(v, (int, np.integer)):
+        return str(int(v))
+    if isinstance(v, (list, tuple, np.ndarray)):
+        # driver crashes on unhashable list cells — flag loudly
+        return "UNHASHABLE_LIST:" + repr(list(v))
+    if pd.isna(v):
+        return "NULL"
     return str(v)
 
 
-def norm_rows(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = []
-    for row in rows:
-        out.append(tuple(norm_cell(row[i]) for i in order))
-    out.sort()
-    return out
+def canon(df: pd.DataFrame) -> list[tuple]:
+    cols = sorted(df.columns)
+    rows = [
+        tuple(norm_cell(row[c]) for c in cols)
+        for _, row in df.iterrows()
+    ]
+    rows.sort()
+    return rows
 
 
 def main():
@@ -79,40 +98,45 @@ def main():
             continue
         t0 = time.time()
         try:
-            sdf = fn(spark, sf_dir)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            spdf = fn(spark, sf_dir).toPandas()
         except Exception as e:
             print(f"FAIL {name}: spark error: {type(e).__name__}: {str(e)[:300]}")
             n_fail += 1
             continue
         if name not in oracles:
-            print(f"SKIP-ORACLE {name}: rows={len(srows)} ({time.time()-t0:.1f}s)")
+            print(f"SKIP-ORACLE {name}: rows={len(spdf)} ({time.time()-t0:.1f}s)")
             continue
         try:
-            res = con.execute(oracles[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            dpdf = con.execute(oracles[name]).df()
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {type(e).__name__}: {str(e)[:300]}")
             n_fail += 1
             continue
         problems = []
-        if sorted(scols) != sorted(dcols):
-            problems.append(f"cols spark={sorted(scols)} duckdb={sorted(dcols)}")
-        if len(srows) != len(drows):
-            problems.append(f"rowcount spark={len(srows)} duckdb={len(drows)}")
+        if sorted(spdf.columns) != sorted(dpdf.columns):
+            problems.append(
+                f"cols spark={sorted(spdf.columns)} duckdb={sorted(dpdf.columns)}"
+            )
+        if len(spdf) != len(dpdf):
+            problems.append(f"rowcount spark={len(spdf)} duckdb={len(dpdf)}")
         if not problems:
-            a = norm_rows(scols, srows)
-            b = norm_rows(dcols, drows)
+            a = canon(spdf)
+            b = canon(dpdf)
             if a != b:
                 diffs = [(x, y) for x, y in zip(a, b) if x != y][:3]
                 problems.append(f"values differ, first diffs: {diffs}")
+            else:
+                bad = [r for r in a if any("UNHASHABLE_LIST" in c for c in r)]
+                if bad:
+                    problems.append(
+                        "list-typed column present — the driver canonicalizer "
+                        "crashes on these (stringify with concat_ws / array_to_string)"
+                    )
         if problems:
             print(f"FAIL {name}: " + "; ".join(problems))
             n_fail += 1
         else:
-            print(f"PASS {name}: rows={len(srows)} ({time.time()-t0:.1f}s)")
+            print(f"PASS {name}: rows={len(spdf)} ({time.time()-t0:.1f}s)")
             n_pass += 1
     print(f"\n{n_pass} passed, {n_fail} failed")
     return 1 if n_fail else 0

@@ -5,6 +5,7 @@ Behavior parity with the reference's Commandliner/Runner
 
     python -m yaetos_spark.cli --job_name=my_job [--dependencies]
     python -m yaetos_spark.cli --sql_file=path/to/job.sql
+    python -m yaetos_spark.cli new path/to/project  # scaffold a starter tree
 """
 
 from __future__ import annotations
@@ -54,6 +55,19 @@ def _find_job_class(mod):
 
 
 def main(argv=None):
+    argv = sys.argv[1:] if argv is None else argv
+    if argv and argv[0] == "new":
+        # project scaffolding (reference: yaetos_cmdline.py `setup`)
+        sub = argparse.ArgumentParser(prog="yaetos_spark new")
+        sub.add_argument("dir")
+        sub.add_argument("--project_name", default=None)
+        opts = sub.parse_args(argv[1:])
+        from yaetos_spark.scaffold import scaffold_project
+
+        for path in scaffold_project(opts.dir, opts.project_name):
+            print(path)
+        return 0
+
     ap = argparse.ArgumentParser(prog="yaetos_spark")
     ap.add_argument("--job_name")
     ap.add_argument("--sql_file")

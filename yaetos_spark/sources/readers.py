@@ -37,6 +37,19 @@ TABULAR_TYPES = (
 )
 
 
+def abs_local_path(path):
+    """Resolve a relative local path against PYTHON's cwd. Spark
+    resolves relative paths against the driver JVM's launch directory,
+    which diverges from ``os.getcwd()`` after a chdir (e.g. running a
+    scaffolded project from a long-lived session) — absolutizing here
+    makes registry-relative paths behave the way a user expects."""
+    import os
+
+    if path and "://" not in path and not os.path.isabs(path):
+        return os.path.abspath(path)
+    return path
+
+
 def load_input(spark: SparkSession, spec: dict, loaded_inputs: dict | None = None) -> DataFrame:
     """Load one input spec → DataFrame.
 
@@ -46,7 +59,7 @@ def load_input(spark: SparkSession, spec: dict, loaded_inputs: dict | None = Non
     (pipeline chaining, reference: yaetos/etl_utils.py:270-277).
     """
     itype = spec.get("type", "parquet")
-    path = spec.get("path")
+    path = abs_local_path(spec.get("path"))
 
     if itype == "df":
         name = spec.get("from") or spec.get("name")

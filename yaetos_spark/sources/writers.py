@@ -43,7 +43,9 @@ def save_output(df: DataFrame, spec: dict, job_name: str = "", now: dt.datetime 
 
         save_jdbc(df, spec)
         return
-    path = spec["path"]
+    from yaetos_spark.sources.readers import abs_local_path
+
+    path = abs_local_path(spec["path"])
 
     partition_by = spec.get("partition_by") or spec.get("partitionby")
     if isinstance(partition_by, str):

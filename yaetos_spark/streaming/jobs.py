@@ -18,6 +18,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _ltz(df: DataFrame, ts_col: str) -> DataFrame:
+    """Spark 4's ``withWatermark`` requires TIMESTAMP (LTZ); parquet
+    written without a session timezone infers TIMESTAMP_NTZ and crashes
+    with EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE. Normalize here so any
+    caller's NTZ source works."""
+    if dict(df.dtypes).get(ts_col) != "timestamp":
+        df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df
+
+
 def incremental_file_stream(
     spark: SparkSession,
     path: str,
@@ -39,6 +49,7 @@ def windowed_counts(
 ) -> DataFrame:
     """Watermarked tumbling/sliding window counts — late data beyond
     the watermark is dropped, state is bounded."""
+    events = _ltz(events, ts_col)
     win = F.window(ts_col, window, slide) if slide else F.window(ts_col, window)
     return (
         events.withWatermark(ts_col, watermark)
@@ -86,6 +97,7 @@ def dedup_stream(events: DataFrame, key_cols: list[str], ts_col: str, delay: str
     needs at 100 TB: at-least-once upstream becomes exactly-once-
     per-key downstream with O(keys-in-flight) state, not O(all keys
     ever seen)."""
+    events = _ltz(events, ts_col)
     return events.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(key_cols)
 
 
@@ -111,8 +123,8 @@ def interval_join_streams(
     watermark + gap window) — the join a clickstream attribution
     pipeline (impression stream x conversion stream) runs at 100 TB.
     """
-    lw = left.withWatermark(left_ts, watermark)
-    rw = right.withWatermark(right_ts, watermark)
+    lw = _ltz(left, left_ts).withWatermark(left_ts, watermark)
+    rw = _ltz(right, right_ts).withWatermark(right_ts, watermark)
     cond = (
         (lw[left_key] == rw[right_key])
         & (rw[right_ts] >= lw[left_ts])
