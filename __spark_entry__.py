@@ -2618,6 +2618,517 @@ FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
 
 
 # ---------------------------------------------------------------------
+# round-3 additions: TPC-H analog shapes Q13/Q14/Q15/Q17/Q21 + Q11-ish,
+# doc-level OOV counting, domain-mix rebalancing
+# ---------------------------------------------------------------------
+
+
+def _customer_order_distribution(spark, sf_dir):
+    """TPC-H Q13 analog: distribution of per-customer order counts with
+    a predicate INSIDE the left-join condition (customers with zero
+    qualifying orders stay, at c_count=0) — the two-level aggregation
+    shape. Scale: both groupBys are hash-aggs; customer⋈orders shuffles
+    once on the customer key."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+_CUSTOMER_ORDER_DIST_SQL = """
+SELECT c_count, count(*) AS custdist FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+) GROUP BY c_count
+"""
+
+
+def _promo_revenue_share(spark, sf_dir):
+    """TPC-H Q14 analog: promo revenue percentage in a date window —
+    conditional-decimal-sum ratio, broadcast part side."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    dec = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,4)")
+    zero = F.lit(0).cast("decimal(28,4)")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
+        )
+        .join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", dec).otherwise(zero)).cast("double")
+                / F.sum(dec).cast("double")
+            ).alias("promo_pct"),
+            F.sum(dec).cast("double").alias("total_rev"),
+        )
+    )
+
+
+_PROMO_SHARE_SQL = """
+SELECT
+  CAST(100.0 AS DOUBLE)
+    * CAST(sum(CASE WHEN p_type = 'PROMO'
+                    THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))
+                    ELSE CAST(0 AS DECIMAL(28,4)) END) AS DOUBLE)
+    / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE)
+    AS promo_pct,
+  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS total_rev
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+"""
+
+
+def _top_supplier_revenue(spark, sf_dir):
+    """TPC-H Q15 analog: supplier(s) whose windowed revenue equals the
+    maximum — agg + scalar-max subquery with EXACT decimal equality (a
+    double-rounded revenue would make the = a coin flip at the
+    boundary)."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    _t(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
+    return spark.sql(
+        """
+        WITH rev AS (
+          SELECT l_suppkey,
+                 sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS rev_dec
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+          GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, CAST(rev_dec AS DOUBLE) AS total_rev
+        FROM supplier JOIN rev ON s_suppkey = l_suppkey
+        WHERE rev_dec = (SELECT max(rev_dec) FROM rev)
+        """
+    )
+
+
+_TOP_SUPPLIER_SQL = """
+WITH rev AS (
+  SELECT l_suppkey,
+         sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS rev_dec
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(rev_dec AS DOUBLE) AS total_rev
+FROM supplier JOIN rev ON s_suppkey = l_suppkey
+WHERE rev_dec = (SELECT max(rev_dec) FROM rev)
+"""
+
+
+def _small_qty_avg_revenue(spark, sf_dir):
+    """TPC-H Q17 analog: revenue from below-average-quantity lineitems
+    of one brand — correlated scalar AVG subquery. l_quantity is
+    integer-valued, so the per-part avg (exact-double sum / count) is
+    bit-identical across engines and the < threshold never flips."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    _t(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(
+        """
+        SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) / 7.0 AS avg_yearly
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#2'
+          AND l_quantity < (SELECT CAST(0.2 AS DOUBLE) * avg(l2.l_quantity)
+                            FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+        """
+    )
+
+
+_SMALL_QTY_SQL = """
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) / 7.0 AS avg_yearly
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#2'
+  AND l_quantity < (SELECT CAST(0.2 AS DOUBLE) * avg(l2.l_quantity)
+                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+"""
+
+
+def _waiting_suppliers(spark, sf_dir):
+    """TPC-H Q21 analog: suppliers who were the SOLE late shipper in
+    multi-supplier finished orders ("late" = shipped >60 days after
+    the order date). The exists/not-exists pair is computed as order-
+    level aggregates instead of two correlated self-joins — one
+    (order, supplier) agg and one order agg, then an equi-join back;
+    at 100 TB that's 2 hash-agg shuffles on the fact table instead of
+    3 self-join passes. Output is pure ints/strings (no floats)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = _t(spark, sf_dir, "supplier")
+    late = F.when(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"), 1
+    ).otherwise(0)
+    ol = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late).alias("is_late"))
+    )
+    ostats = ol.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"), F.sum("is_late").alias("n_late")
+    )
+    return (
+        ol.join(ostats, "l_orderkey")
+        .filter((F.col("is_late") == 1) & (F.col("n_supp") > 1) & (F.col("n_late") == 1))
+        .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+_WAITING_SUPPLIERS_SQL = """
+WITH ol AS (
+  SELECT l_orderkey, l_suppkey,
+         max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY THEN 1 ELSE 0 END) AS is_late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+  GROUP BY l_orderkey, l_suppkey
+),
+ostats AS (
+  SELECT l_orderkey, count(*) AS n_supp, sum(is_late) AS n_late FROM ol GROUP BY l_orderkey
+)
+SELECT s_name, count(*) AS numwait
+FROM ol JOIN ostats USING (l_orderkey) JOIN supplier ON s_suppkey = l_suppkey
+WHERE ol.is_late = 1 AND ostats.n_supp > 1 AND ostats.n_late = 1
+GROUP BY s_name
+"""
+
+
+def _concentrated_part_revenue(spark, sf_dir):
+    """TPC-H Q11 shape (adapted: no partsupp table — lineitem revenue
+    stands in for stock value): parts whose revenue exceeds 1.5× the
+    mean part revenue — group aggregate filtered against a global
+    scalar. Both sides of the > are doubles derived from exact decimal
+    sums, so the engines agree everywhere off the measure-zero
+    boundary."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        WITH rev AS (
+          SELECT l_partkey,
+                 sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS rev_dec
+          FROM lineitem GROUP BY l_partkey
+        )
+        SELECT l_partkey AS p_partkey, CAST(rev_dec AS DOUBLE) AS revenue
+        FROM rev
+        WHERE CAST(rev_dec AS DOUBLE) * (SELECT count(*) FROM rev)
+              > 1.5 * (SELECT CAST(sum(rev_dec) AS DOUBLE) FROM rev)
+        """
+    )
+
+
+_CONCENTRATED_PART_SQL = """
+WITH rev AS (
+  SELECT l_partkey,
+         sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS rev_dec
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT l_partkey AS p_partkey, CAST(rev_dec AS DOUBLE) AS revenue
+FROM rev
+WHERE CAST(rev_dec AS DOUBLE) * (SELECT count(*) FROM rev)
+      > 1.5 * (SELECT CAST(sum(rev_dec) AS DOUBLE) FROM rev)
+"""
+
+
+def _doc_oov_counts(spark, sf_dir):
+    """Doc-level out-of-vocabulary counts vs the corpus top-20 words
+    (top_k=20 because the synthetic corpus has ~31 distinct words; the
+    operator default is 100). See text.py:doc_oov_counts."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.doc_oov_counts(docs, top_k=20)
+
+
+_DOC_OOV_SQL = r"""
+WITH w AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word
+  FROM documents
+),
+w2 AS (SELECT doc_id, word FROM w WHERE word <> ''),
+vocab AS (
+  SELECT word AS vword FROM w2 GROUP BY word ORDER BY count(*) DESC, word LIMIT 20
+)
+SELECT doc_id, count(*) AS n_tokens,
+       CAST(sum(CASE WHEN vword IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+FROM w2 LEFT JOIN vocab ON word = vword
+GROUP BY doc_id
+"""
+
+
+def _lang_rebalance(spark, sf_dir):
+    """Language-mix rebalancing: cap every language at the smallest
+    language's document count, survivors picked by md5-of-id rank (the
+    data-mixing step of a training pipeline). See
+    curation.py:rebalance_groups."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return CU.rebalance_groups(docs, group_col="lang")
+
+
+_LANG_REBALANCE_SQL = """
+WITH ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rk
+  FROM documents
+),
+q AS (SELECT min(cnt) AS quota FROM (SELECT count(*) AS cnt FROM documents GROUP BY lang))
+SELECT doc_id, lang FROM ranked, q WHERE rk <= quota
+"""
+
+
+def _nation_profit_by_year(spark, sf_dir):
+    """TPC-H Q9 analog: revenue by supplier nation × order year across
+    a 5-way join (lineitem⋈orders⋈supplier⋈nation⋈part with a LIKE
+    filter). Scale: lineitem is the only big side — orders joins on the
+    fact key, supplier/nation/part broadcast; one fact exchange."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%a%"))
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("profit"))
+    )
+
+
+_NATION_PROFIT_SQL = """
+SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS profit
+FROM lineitem
+JOIN orders ON o_orderkey = l_orderkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+JOIN part ON p_partkey = l_partkey
+WHERE p_name LIKE '%a%'
+GROUP BY n_name, o_year
+"""
+
+
+def _returned_revenue_topk(spark, sf_dir):
+    """TPC-H Q10 analog: top-20 customers by revenue on returned items
+    in a half-year window — join + agg + deterministic top-k (exact
+    decimal sort key, customer-key tie-break)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-07-01")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    dec = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,4)")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
+        .agg(F.sum(dec).alias("_dec"))
+        .orderBy(F.desc("_dec"), F.asc("c_custkey"))
+        .limit(20)
+        .select("c_custkey", "c_name", F.col("_dec").cast("double").alias("rev_lost"), "nation")
+    )
+
+
+_RETURNED_REVENUE_SQL = """
+SELECT c_custkey, c_name,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS rev_lost,
+       n_name AS nation
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON n_nationkey = c_nationkey
+WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-07-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) DESC, c_custkey
+LIMIT 20
+"""
+
+
+def _disjunctive_predicates(spark, sf_dir):
+    """TPC-H Q19 analog: OR-of-ANDs mixing join-side and probe-side
+    predicates — the shape that exercises predicate normalization /
+    partial pushdown (each disjunct's part-side conjuncts can push to
+    the broadcast build)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    dec = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,4)")
+    cond = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & (F.col("l_quantity") >= 10)
+    ) | (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(10, 30)
+        & (F.col("l_quantity") >= 25)
+    ) | ((F.col("p_type") == "PROMO") & (F.col("l_quantity") < 5))
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .filter(cond)
+        .agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            F.sum(dec).cast("double").alias("revenue"),
+        )
+    )
+
+
+_DISJUNCTIVE_SQL = """
+SELECT CAST(count(*) AS BIGINT) AS n_matches,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 10)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 30 AND l_quantity >= 25)
+   OR (p_type = 'PROMO' AND l_quantity < 5)
+"""
+
+
+def _dominant_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape (adapted: shipped quantities stand in for the
+    missing partsupp availability): suppliers shipping >15% of some
+    part's total quantity — nested aggregation + IN-subquery semi-join.
+    The threshold compare is integer-valued-double × int (exact)."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    _t(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
+    return spark.sql(
+        """
+        WITH pq AS (
+          SELECT l_partkey, l_suppkey, sum(l_quantity) AS supp_qty
+          FROM lineitem GROUP BY l_partkey, l_suppkey
+        ),
+        pt AS (SELECT l_partkey, sum(supp_qty) AS part_qty FROM pq GROUP BY l_partkey)
+        SELECT DISTINCT s_suppkey, s_name
+        FROM supplier
+        WHERE s_suppkey IN (
+          SELECT l_suppkey FROM pq JOIN pt USING (l_partkey)
+          WHERE supp_qty * 20 > part_qty * 3
+        )
+        """
+    )
+
+
+_DOMINANT_SUPPLIERS_SQL = """
+WITH pq AS (
+  SELECT l_partkey, l_suppkey, sum(l_quantity) AS supp_qty
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+),
+pt AS (SELECT l_partkey, sum(supp_qty) AS part_qty FROM pq GROUP BY l_partkey)
+SELECT DISTINCT s_suppkey, s_name
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM pq JOIN pt USING (l_partkey)
+  WHERE supp_qty * 20 > part_qty * 3
+)
+"""
+
+
+def _funnel_conversion(spark, sf_dir):
+    """Ordered-funnel analysis (view → click → purchase-within-2-days):
+    per-step minimum timestamps chained by strict event-time order —
+    the product-analytics op a clickstream warehouse runs daily. Counts
+    are exact ints. Scale: three hash-aggs on user_id + two joins that
+    reuse the same key partitioning; no window over the raw stream."""
+    _t(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        """
+        WITH m AS (
+          SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+          FROM events GROUP BY user_id
+        ),
+        c AS (
+          SELECT e.user_id, min(e.ts) AS t_click
+          FROM events e JOIN m ON e.user_id = m.user_id
+          WHERE e.event_type = 'click' AND e.ts > m.t_view
+          GROUP BY e.user_id
+        ),
+        p AS (
+          SELECT e.user_id, min(e.ts) AS t_purchase
+          FROM events e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+            AND e.ts <= c.t_click + INTERVAL 2 DAYS
+          GROUP BY e.user_id
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_entered,
+               CAST(count(t_click) AS BIGINT) AS n_clicked,
+               CAST(count(t_purchase) AS BIGINT) AS n_purchased
+        FROM m LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+        WHERE m.t_view IS NOT NULL
+        """
+    )
+
+
+_FUNNEL_SQL = """
+WITH m AS (
+  SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+  FROM events GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS t_click
+  FROM events e JOIN m ON e.user_id = m.user_id
+  WHERE e.event_type = 'click' AND e.ts > m.t_view
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS t_purchase
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+    AND e.ts <= c.t_click + INTERVAL 2 DAY
+  GROUP BY e.user_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_entered,
+       CAST(count(t_click) AS BIGINT) AS n_clicked,
+       CAST(count(t_purchase) AS BIGINT) AS n_purchased
+FROM m LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+WHERE m.t_view IS NOT NULL
+"""
+
+
+def _cohort_retention(spark, sf_dir):
+    """Weekly cohort retention: users bucketed by first-seen week,
+    distinct-active counts per (cohort_week, weeks_since). weeks_since
+    is day-difference of week-truncated dates div 7 — unambiguous
+    integer arithmetic in both engines (named week-diff functions count
+    boundaries differently across engines)."""
+    _t(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        """
+        WITH firstw AS (
+          SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+          FROM events GROUP BY user_id
+        )
+        SELECT date_format(cohort_week, 'yyyy-MM-dd') AS cohort,
+               CAST(datediff(date_trunc('week', ts), cohort_week) div 7 AS BIGINT)
+                 AS weeks_since,
+               CAST(count(DISTINCT e.user_id) AS BIGINT) AS active_users
+        FROM events e JOIN firstw USING (user_id)
+        GROUP BY cohort_week, weeks_since
+        """
+    )
+
+
+_COHORT_SQL = """
+WITH firstw AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+  FROM events GROUP BY user_id
+)
+SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort,
+       CAST(date_diff('day', cohort_week, date_trunc('week', ts)) // 7 AS BIGINT)
+         AS weeks_since,
+       CAST(count(DISTINCT e.user_id) AS BIGINT) AS active_users
+FROM events e JOIN firstw USING (user_id)
+GROUP BY cohort_week, weeks_since
+"""
+
+
+# ---------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------
 
@@ -2639,6 +3150,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_trade_volume": _nation_trade_volume,
         "market_share": _market_share,
         "parts_supplier_counts": _parts_supplier_counts,
+        # -- new this round: TPC-H analog shapes + curation ops --
+        "customer_order_distribution": _customer_order_distribution,
+        "promo_revenue_share": _promo_revenue_share,
+        "top_supplier_revenue": _top_supplier_revenue,
+        "small_qty_avg_revenue": _small_qty_avg_revenue,
+        "waiting_suppliers": _waiting_suppliers,
+        "concentrated_part_revenue": _concentrated_part_revenue,
+        "doc_oov_counts": _doc_oov_counts,
+        "lang_rebalance": _lang_rebalance,
+        "nation_profit_by_year": _nation_profit_by_year,
+        "returned_revenue_topk": _returned_revenue_topk,
+        "disjunctive_predicates": _disjunctive_predicates,
+        "dominant_suppliers": _dominant_suppliers,
+        "funnel_conversion": _funnel_conversion,
+        "cohort_retention": _cohort_retention,
         # ---- cumulatively green (r1 ∪ r2 driver verdicts) ----
         "user_sessions": _user_sessions,
         "conditional_agg": _conditional_agg,
@@ -2769,6 +3295,20 @@ def oracle_sql() -> dict[str, str]:
         "nation_trade_volume": _NATION_VOLUME_SQL,
         "market_share": _MARKET_SHARE_SQL,
         "parts_supplier_counts": _PARTS_SUPPLIER_SQL,
+        "customer_order_distribution": _CUSTOMER_ORDER_DIST_SQL,
+        "promo_revenue_share": _PROMO_SHARE_SQL,
+        "top_supplier_revenue": _TOP_SUPPLIER_SQL,
+        "small_qty_avg_revenue": _SMALL_QTY_SQL,
+        "waiting_suppliers": _WAITING_SUPPLIERS_SQL,
+        "concentrated_part_revenue": _CONCENTRATED_PART_SQL,
+        "doc_oov_counts": _DOC_OOV_SQL,
+        "lang_rebalance": _LANG_REBALANCE_SQL,
+        "nation_profit_by_year": _NATION_PROFIT_SQL,
+        "returned_revenue_topk": _RETURNED_REVENUE_SQL,
+        "disjunctive_predicates": _DISJUNCTIVE_SQL,
+        "dominant_suppliers": _DOMINANT_SUPPLIERS_SQL,
+        "funnel_conversion": _FUNNEL_SQL,
+        "cohort_retention": _COHORT_SQL,
         "pivot_status": _PIVOT_SQL,
         "cube_counts": _CUBE_SQL,
         "grouping_sets_rev": _GROUPING_SETS_SQL,

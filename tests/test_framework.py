@@ -412,3 +412,21 @@ def test_compact_job_right_sizes_output(spark, tmp_path):
     assert len(files) == 1
     back = spark.read.parquet(out)
     assert back.count() == 2000
+
+
+def test_report_job_renders_html(spark, tmp_path):
+    from jobs.generic.report_job import ReportJob
+
+    df = spark.createDataFrame(
+        [(1, "a<b"), (2, "ok")], "id long, v string"
+    )
+    out = str(tmp_path / "report.html")
+    job = ReportJob({"report_path": out, "sample_rows": 1, "title": "T&T"})
+    job.spark = spark
+    res = job.transform(data=df)
+    assert res.count() == 1  # sampled passthrough
+    page = (tmp_path / "report.html").read_text()
+    assert "T&amp;T" in page            # title escaped
+    assert "2 rows" in page             # full count, not sample count
+    assert "id bigint, v string" in page
+    assert "a&lt;b" in page or "ok" in page  # one sampled row rendered

@@ -150,3 +150,39 @@ def test_event_time_timeout_closes_idle_sessions(spark, tmp_path):
         for r in spark.read.parquet(out).collect()
     }
     assert rows == {(1, 1000, 1100, 2), (2, 2000, 2000, 1)}
+
+
+def test_rebalance_groups_caps_to_min_group(spark):
+    from yaetos_spark.operators.curation import rebalance_groups
+
+    rows = [(i, "en") for i in range(5)] + [(10 + i, "de") for i in range(2)] \
+        + [(20 + i, "fr") for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = rebalance_groups(df, group_col="lang")
+    counts = {r.lang: r.n for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"en": 2, "de": 2, "fr": 2}  # min group size wins
+    # deterministic: same survivors on re-run
+    ids1 = sorted(r.doc_id for r in out.collect())
+    ids2 = sorted(r.doc_id for r in rebalance_groups(df, group_col="lang").collect())
+    assert ids1 == ids2
+    # explicit quota overrides the derived one
+    out3 = rebalance_groups(df, group_col="lang", quota=1)
+    assert out3.count() == 3
+
+
+def test_doc_oov_counts_against_manual(spark):
+    from yaetos_spark.operators.text import doc_oov_counts
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the dog"),
+            (3, "zebra quark"),
+            (4, "   "),  # whitespace-only: no tokens -> absent from output
+        ],
+        "doc_id long, text string",
+    )
+    # corpus counts: the=3, cat/sat/on/mat/dog/zebra/quark=1 each.
+    # top_k=3 vocab by (count desc, word asc): the, cat, dog.
+    out = {r.doc_id: (r.n_tokens, r.n_oov) for r in doc_oov_counts(df, top_k=3).collect()}
+    assert out == {1: (6, 3), 2: (2, 0), 3: (2, 2)}

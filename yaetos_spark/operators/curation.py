@@ -289,3 +289,37 @@ def pack_sequences(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
     )
+
+
+def rebalance_groups(
+    df: DataFrame,
+    group_col: str,
+    id_col: str = "doc_id",
+    quota: int | None = None,
+) -> DataFrame:
+    """Domain/language mix rebalancing: cap every group at ``quota``
+    rows (default: the size of the SMALLEST group, i.e. rebalance to a
+    uniform mix), selecting each group's survivors deterministically by
+    md5-of-id rank. The data-mixing step of a training pipeline — e.g.
+    flatten an English-heavy corpus to equal per-language counts —
+    reproducible across runs and engines because the quota is derived
+    from the data and the ranking is hash-based, never rand().
+
+    Returns the surviving rows of ``df`` (original columns).
+
+    Scale: the quota is a metadata-scale aggregate (one row per group,
+    collected as a 1-row min). The rank window shuffles on group_col;
+    for extremely skewed groups at 100 TB swap the exact rank for
+    rate-based Bernoulli-hash sampling (``bernoulli_sample``) at the
+    cost of ±sqrt(n) quota accuracy.
+    """
+    if quota is None:
+        counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+        # 1-row collect: min group size (bounded by #groups, metadata-scale)
+        quota = counts.agg(F.min("_n")).collect()[0][0]
+    w = Window.partitionBy(group_col).orderBy(F.md5(F.col(id_col).cast("string")))
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= int(quota))
+        .drop("_rk")
+    )

@@ -215,3 +215,44 @@ def text_profile(df: DataFrame, col: str = "text", id_col: str = "doc_id") -> Da
         lang_id(col).alias("lang_pred"),
         stable_fingerprint(normalize_text(col)).alias("fingerprint"),
     )
+
+
+def doc_oov_counts(
+    df: DataFrame,
+    top_k: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document out-of-vocabulary counts against the corpus's own
+    top-``top_k`` word vocabulary: (id_col, n_tokens, n_oov). The
+    doc-level companion of ``curation.vocab_coverage`` (corpus-level):
+    a high n_oov/n_tokens flags gibberish, boilerplate, or wrong-domain
+    documents before they reach tokenization.
+
+    Counts are exact integers — no float ratio — so the result is
+    engine-portable bit-for-bit.
+
+    Scale: vocabulary = one explode + hash-agg + global top-k
+    (TakeOrdered, no full sort); the top-k rows (KBs) broadcast into
+    the per-document hit count, so the corpus is scanned once and the
+    only corpus-sized shuffle is the per-doc count AFTER the explode is
+    reduced map-side. Ties at the rank boundary break on (count desc,
+    word asc) so the vocabulary is deterministic across engines.
+    """
+    tokens = F.filter(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), lambda t: t != "")
+    words = df.select(F.col(id_col), F.explode(tokens).alias("word"))
+    vocab = (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("word"))
+        .limit(top_k)
+        .select("word", F.lit(1).alias("_in_vocab"))
+    )
+    return (
+        words.join(F.broadcast(vocab), "word", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("_in_vocab").isNull(), 1).otherwise(0)).alias("n_oov"),
+        )
+    )

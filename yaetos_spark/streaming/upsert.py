@@ -64,6 +64,8 @@ def merge_batch_into_snapshot(
     compacted = latest_snapshot(batch_df, keys, order_col).withColumn(
         BUCKET_COL, _bucket(keys, n_buckets)
     )
+    # metadata-scale collect: at most n_buckets distinct values (bucket
+    # ids, not data rows), so this stays O(64) even at 100 TB
     touched = [r[BUCKET_COL] for r in compacted.select(BUCKET_COL).distinct().collect()]
     if not touched:
         return
