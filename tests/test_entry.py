@@ -114,3 +114,22 @@ def test_no_global_windows_anywhere(spark):
                 # have two groups, but no ASC/DESC in the second)
                 is_global = len(groups) == 2 and re.search(r" (ASC|DESC)", groups[-1])
                 assert not is_global, f"{name}: global (unpartitioned) window: {line[:160]}"
+
+
+def test_tpch_analogs_broadcast_dims_and_push_dates(spark):
+    """The round-3 TPC-H analog shapes must keep the only big side
+    (lineitem) unbroadcast: dimensions broadcast, no SMJ fallback at
+    test scale, and date-window predicates reach the parquet scans."""
+    qs = entrymod.queries()
+    plan = _plan_of(qs["nation_profit_by_year"](spark, "/root/testdata/sf0.001"))
+    assert plan.count("BroadcastHashJoin") >= 4  # orders+supplier+nation+part
+    assert "SortMergeJoin" not in plan
+
+    plan = _plan_of(qs["returned_revenue_topk"](spark, "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in plan
+    assert "PushedFilters" in plan and "l_returnflag" in plan.split("PushedFilters")[1][:400]
+    assert "TakeOrderedAndProject" in plan  # top-k, not global sort
+
+    plan = _plan_of(qs["disjunctive_predicates"](spark, "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

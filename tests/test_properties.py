@@ -228,3 +228,62 @@ def test_distributed_ntile_matches_builtin_property(spark, n, buckets, dup_mod):
         .agg(F.count(F.lit(1)).alias("c"), F.min("v").alias("lo"), F.max("v").alias("hi"))
     )
     assert sorted(map(tuple, mine.collect())) == sorted(map(tuple, builtin.collect()))
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5000), st.sampled_from(["en", "de", "fr"])),
+        min_size=3,
+        max_size=30,
+        unique_by=lambda t: t[0],
+    )
+)
+@settings(**SETTINGS)
+def test_rebalance_groups_property(spark, rows):
+    """Invariants: every group capped at the min group size; output is a
+    subset of the input; selection is deterministic (pure function of
+    the ids)."""
+    from yaetos_spark.operators.curation import rebalance_groups
+
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = rebalance_groups(df, group_col="lang").collect()
+    in_counts = {}
+    for _, lang in rows:
+        in_counts[lang] = in_counts.get(lang, 0) + 1
+    quota = min(in_counts.values())
+    out_counts = {}
+    for r in out:
+        out_counts[r.lang] = out_counts.get(r.lang, 0) + 1
+        assert (r.doc_id, r.lang) in rows  # subset
+    assert all(v == quota for v in out_counts.values())
+    assert set(out_counts) == set(in_counts)
+
+
+@given(
+    st.lists(st.sampled_from(["aa bb cc", "aa", "dd ee", "bb bb", ""]), min_size=1, max_size=8),
+    st.integers(1, 4),
+)
+@settings(**SETTINGS)
+def test_doc_oov_counts_property(spark, texts, k):
+    """Invariants vs a naive python reimplementation: exact n_tokens
+    and n_oov per doc; empty docs absent."""
+    from collections import Counter
+
+    from yaetos_spark.operators.text import doc_oov_counts
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    corpus = Counter()
+    toks = {}
+    for i, t in rows:
+        words = [w for w in t.lower().split() if w]
+        toks[i] = words
+        corpus.update(words)
+    vocab = {w for w, _ in sorted(corpus.items(), key=lambda kv: (-kv[1], kv[0]))[:k]}
+    expected = {
+        i: (len(ws), sum(1 for w in ws if w not in vocab))
+        for i, ws in toks.items()
+        if ws
+    }
+    got = {r.doc_id: (r.n_tokens, r.n_oov) for r in doc_oov_counts(df, top_k=k).collect()}
+    assert got == expected
