@@ -3128,6 +3128,99 @@ GROUP BY cohort_week, weeks_since
 """
 
 
+def _nation_triangles(spark, sf_dir):
+    """Per-vertex triangle counts over the inter-nation trade graph
+    (edge = some customer in nation A bought from a supplier in nation
+    B). The distributed oriented-edge triangle enumeration — see
+    graph.py:triangle_count (degree-orientation note for skewed graphs
+    there)."""
+    from yaetos_spark.operators.graph import triangle_count
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    edges = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .select(F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+    )
+    return triangle_count(edges)
+
+
+_NATION_TRIANGLES_SQL = """
+WITH e AS (
+  SELECT DISTINCT least(c_nationkey, s_nationkey) AS a,
+                  greatest(c_nationkey, s_nationkey) AS b
+  FROM lineitem
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  WHERE c_nationkey <> s_nationkey
+),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e e1
+  JOIN e e2 ON e1.b = e2.a
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+)
+SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+FROM (
+  SELECT x AS node FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri
+)
+GROUP BY node
+"""
+
+
+def _events_at_type(spark, sf_dir):
+    """SCD2 point-in-time lookup: each purchase event joined to the
+    user-type version (built by merge.py:scd2 from the sampled change
+    stream) valid at the purchase time. See merge.py:scd2_lookup —
+    equi-join on user_id with the interval predicate post-filtered, so
+    the plan is a key-partitioned hash join, not a range cross-join."""
+    from yaetos_spark.operators.merge import scd2, scd2_lookup
+
+    ev = _t(spark, sf_dir, "events")
+    dim = scd2(
+        ev.where(F.col("event_id") % 20 == 0).select("user_id", "event_type", "ts"),
+        ["user_id"],
+        "ts",
+    ).select(
+        "user_id", F.col("event_type").alias("user_type"), "valid_from", "valid_to"
+    )
+    facts = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    out = scd2_lookup(facts, dim, ["user_id"], fact_ts="ts")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").alias("t_sec"),
+        "user_type",
+    )
+
+
+_EVENTS_AT_TYPE_SQL = """
+WITH dim AS (
+  SELECT user_id, event_type AS user_type,
+         ts AS valid_from,
+         coalesce(lead(ts) OVER (PARTITION BY user_id ORDER BY ts),
+                  TIMESTAMP '9999-12-31 00:00:00') AS valid_to
+  FROM events WHERE event_id % 20 = 0
+)
+SELECT e.event_id, e.user_id,
+       CAST(floor(extract(epoch FROM e.ts)) AS BIGINT) AS t_sec,
+       d.user_type
+FROM events e JOIN dim d
+  ON e.user_id = d.user_id AND e.ts >= d.valid_from AND e.ts < d.valid_to
+WHERE e.event_type = 'purchase'
+"""
+
+
 # ---------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------
@@ -3165,6 +3258,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dominant_suppliers": _dominant_suppliers,
         "funnel_conversion": _funnel_conversion,
         "cohort_retention": _cohort_retention,
+        "nation_triangles": _nation_triangles,
+        "events_at_type": _events_at_type,
         # ---- cumulatively green (r1 ∪ r2 driver verdicts) ----
         "user_sessions": _user_sessions,
         "conditional_agg": _conditional_agg,
@@ -3309,6 +3404,8 @@ def oracle_sql() -> dict[str, str]:
         "dominant_suppliers": _DOMINANT_SUPPLIERS_SQL,
         "funnel_conversion": _FUNNEL_SQL,
         "cohort_retention": _COHORT_SQL,
+        "nation_triangles": _NATION_TRIANGLES_SQL,
+        "events_at_type": _EVENTS_AT_TYPE_SQL,
         "pivot_status": _PIVOT_SQL,
         "cube_counts": _CUBE_SQL,
         "grouping_sets_rev": _GROUPING_SETS_SQL,

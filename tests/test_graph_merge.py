@@ -75,3 +75,47 @@ def test_pagerank_deterministic_across_partitionings(spark):
         for r in pagerank_fixed_point(edges.repartition(13), iters=3).collect()
     }
     assert r1 == r2  # bit-identical, not approximately equal
+
+
+def test_triangle_count_known_graph(spark):
+    """K4 minus one edge: vertices 1-4, edges 12 13 14 23 24 (no 34).
+    Triangles: (1,2,3) and (1,2,4) -> node 1:2, 2:2, 3:1, 4:1. Edge
+    direction and duplicates in the input must not matter."""
+    from yaetos_spark.operators.graph import triangle_count
+
+    edges = spark.createDataFrame(
+        [(1, 2), (3, 1), (1, 4), (2, 3), (4, 2), (2, 1), (1, 2)],  # mixed dir + dups
+        "src int, dst int",
+    )
+    out = {r.node: r.n_triangles for r in triangle_count(edges).collect()}
+    assert out == {1: 2, 2: 2, 3: 1, 4: 1}
+
+
+def test_triangle_count_no_triangles(spark):
+    from yaetos_spark.operators.graph import triangle_count
+
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "src int, dst int")
+    assert triangle_count(edges).count() == 0
+
+
+def test_scd2_lookup_point_in_time(spark):
+    from yaetos_spark.operators.merge import scd2, scd2_lookup
+
+    hist = spark.createDataFrame(
+        [(1, "free", "2024-01-01 00:00:00"), (1, "pro", "2024-02-01 00:00:00"),
+         (2, "free", "2024-01-15 00:00:00")],
+        "user_id long, plan string, ts_s string",
+    ).selectExpr("user_id", "plan", "CAST(ts_s AS TIMESTAMP) AS ts")
+    dim = scd2(hist, ["user_id"], "ts")
+    facts = spark.createDataFrame(
+        [(10, 1, "2024-01-20 12:00:00"),   # during 'free'
+         (11, 1, "2024-02-01 00:00:00"),   # exactly at boundary -> 'pro' (half-open)
+         (12, 1, "2024-03-01 00:00:00"),   # during open 'pro' interval
+         (13, 2, "2024-01-01 00:00:00"),   # before user 2 existed -> dropped (inner)
+         (14, 3, "2024-01-01 00:00:00")],  # unknown user -> dropped
+        "event_id long, user_id long, ts_s string",
+    ).selectExpr("event_id", "user_id", "CAST(ts_s AS TIMESTAMP) AS ts")
+    out = {r.event_id: r.plan for r in scd2_lookup(facts, dim, ["user_id"]).collect()}
+    assert out == {10: "free", 11: "pro", 12: "pro"}
+    # each fact matches exactly one version (intervals partition time)
+    assert scd2_lookup(facts, dim, ["user_id"]).count() == 3

@@ -106,3 +106,18 @@ def test_expectations_job_gate(spark, tmp_path):
     )
     with _pytest.raises(AssertionError, match="expectations failed"):
         job.etl(spark)
+
+
+def test_schema_drift_report(spark):
+    from yaetos_spark.operators.quality import schema_drift
+
+    old = spark.createDataFrame([(1, "a", 1.0)], "id long, v string, x double")
+    new = spark.createDataFrame([(1, 2, True)], "id long, v int, y boolean")
+    out = {(r.column): (r.change, r.old_type, r.new_type)
+           for r in schema_drift(old, new).collect()}
+    assert out == {
+        "v": ("type_changed", "string", "int"),
+        "x": ("removed", "double", None),
+        "y": ("added", None, "boolean"),
+    }
+    assert schema_drift(old, old).count() == 0  # identical = empty

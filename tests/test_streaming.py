@@ -231,3 +231,63 @@ def test_exactly_once_append_survives_batch_replay(spark, tmp_path):
         spark.createDataFrame([(3, "c")], "id long, v string"), 1, out
     )
     assert spark.read.parquet(out).count() == 3
+
+
+def test_interval_join_streams_left_outer_emits_unmatched(spark, tmp_path):
+    """Unattributed impressions must surface with NULL conversion
+    columns once the watermark passes, not vanish."""
+    from yaetos_spark.streaming.jobs import interval_join_streams
+
+    imp_p = str(tmp_path / "imp")
+    conv_p = str(tmp_path / "conv")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", "ad1"), (2, "2024-01-01 10:00:00", "ad2"),
+         # watermark mover far in the future so earlier join windows close
+         (99, "2024-01-02 00:00:00", "adX")],
+        "uid long, its_s string, ad string",
+    ).selectExpr("uid", "CAST(its_s AS TIMESTAMP) AS its", "ad") \
+        .coalesce(1).write.parquet(imp_p)
+    spark.createDataFrame(
+        [(1, "2024-01-01 10:04:00", 9.99),
+         (99, "2024-01-02 00:00:01", 0.01)],  # watermark mover on the right
+        "cuid long, cts_s string, amount double",
+    ).selectExpr("cuid", "CAST(cts_s AS TIMESTAMP) AS cts", "amount") \
+        .coalesce(1).write.parquet(conv_p)
+
+    imp = spark.readStream.schema("uid long, its timestamp, ad string").parquet(imp_p)
+    conv = spark.readStream.schema("cuid long, cts timestamp, amount double").parquet(conv_p)
+    joined = interval_join_streams(
+        imp, conv, left_key="uid", right_key="cuid",
+        left_ts="its", right_ts="cts", max_gap_sec=300,
+        watermark="10 minutes", how="left_outer",
+    ).select("uid", "ad", "amount")
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=180)
+    assert not q.isActive
+    rows = {(r.uid, r.ad): r.amount for r in spark.read.parquet(out).collect()}
+    assert rows.get((1, "ad1")) == 9.99          # matched
+    assert (2, "ad2") in rows and rows[(2, "ad2")] is None  # unmatched, NULL-padded
+
+
+def test_interval_join_streams_rejects_full_outer(spark, tmp_path):
+    import pytest as _pytest
+
+    from yaetos_spark.streaming.jobs import interval_join_streams
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame([(1,)], "k long").selectExpr(
+        "k", "CAST('2024-01-01' AS TIMESTAMP) AS ts"
+    ).write.parquet(src)
+    s = spark.readStream.schema("k long, ts timestamp").parquet(src)
+    with _pytest.raises(ValueError, match="left_outer"):
+        interval_join_streams(s, s, "k", "k", "ts", "ts", 60, how="full_outer")

@@ -54,3 +54,35 @@ def scd2(
         .withColumn("valid_to", F.coalesce(nxt, F.lit(end_of_time).cast("timestamp")))
         .withColumn("is_current", nxt.isNull())
     )
+
+
+def scd2_lookup(
+    facts: DataFrame,
+    dim: DataFrame,
+    keys: list[str],
+    fact_ts: str = "ts",
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    how: str = "inner",
+) -> DataFrame:
+    """Temporal (as-of-validity) lookup: join each fact row to the
+    dimension version whose [valid_from, valid_to) interval contains
+    the fact's event time — "what was this user's plan WHEN they
+    purchased", the standard SCD2 point-in-time join.
+
+    The join is an EQUI-join on the keys with the interval predicate
+    as a post-join filter, so Catalyst plans a hash join partitioned
+    on the keys (never a range cross-join): per key the dimension has
+    one row per version, which bounds the fan-out. Dimension key
+    columns are dropped from the output (facts' values are identical
+    by the join condition).
+    """
+    import functools
+    import operator
+
+    cond = functools.reduce(operator.and_, [facts[k] == dim[k] for k in keys])
+    cond = cond & (facts[fact_ts] >= dim[valid_from]) & (facts[fact_ts] < dim[valid_to])
+    out = facts.join(dim, cond, how)
+    for k in keys:
+        out = out.drop(dim[k])
+    return out

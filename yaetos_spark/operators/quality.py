@@ -158,3 +158,30 @@ def compare_summary(diff: DataFrame, shared_cols: list[str]) -> dict:
     for c in shared_cols:
         aggs.append(F.sum(F.when(~F.col(c + "_match"), 1).otherwise(0)).alias(c + "_mismatches"))
     return diff.agg(*aggs).collect()[0].asDict()
+
+
+def schema_drift(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Schema-drift report between two snapshots of a dataset: one row
+    per (column, change) where change is 'added', 'removed', or
+    'type_changed' (old_type/new_type filled accordingly). Empty
+    result = schemas identical (order-insensitive). Metadata-only —
+    no data is read; safe to run on 100 TB tables.
+
+    The check an incremental pipeline runs before appending a new
+    period: a silently-widened column upstream (int -> string) breaks
+    the union downstream, and append-mode writes won't flag it.
+    """
+    old_types = {f.name: f.dataType.simpleString() for f in old.schema}
+    new_types = {f.name: f.dataType.simpleString() for f in new.schema}
+    rows = []
+    for name in sorted(set(old_types) | set(new_types)):
+        o, n = old_types.get(name), new_types.get(name)
+        if o is None:
+            rows.append((name, "added", None, n))
+        elif n is None:
+            rows.append((name, "removed", o, None))
+        elif o != n:
+            rows.append((name, "type_changed", o, n))
+    return old.sparkSession.createDataFrame(
+        rows, "column string, change string, old_type string, new_type string"
+    )

@@ -110,11 +110,19 @@ def interval_join_streams(
     right_ts: str,
     max_gap_sec: int,
     watermark: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join: rows match when left_key == right_key
-    and the right event lands within [0, max_gap_sec] after the left
-    one. Key/timestamp column names must be distinct across the two
-    sides (rename upstream), as in any self-describing join output.
+    """Stream-stream join: rows match when left_key == right_key and
+    the right event lands within [0, max_gap_sec] after the left one.
+    Key/timestamp column names must be distinct across the two sides
+    (rename upstream), as in any self-describing join output.
+
+    ``how``: 'inner', or 'left_outer' — a left row with no match within
+    the gap is emitted with NULL right columns once the right-side
+    watermark has passed its join window (so unattributed impressions
+    surface instead of vanishing). Other join types are refused: right/
+    full outer on this condition shape would need the mirrored time
+    bound to evict state.
 
     Both sides carry watermarks and the join condition bounds event
     time in BOTH directions, which is what lets Spark evict join state:
@@ -123,6 +131,10 @@ def interval_join_streams(
     watermark + gap window) — the join a clickstream attribution
     pipeline (impression stream x conversion stream) runs at 100 TB.
     """
+    if how not in ("inner", "left_outer"):
+        raise ValueError(
+            f"interval_join_streams supports 'inner' and 'left_outer', got '{how}'"
+        )
     lw = _ltz(left, left_ts).withWatermark(left_ts, watermark)
     rw = _ltz(right, right_ts).withWatermark(right_ts, watermark)
     cond = (
@@ -130,4 +142,4 @@ def interval_join_streams(
         & (rw[right_ts] >= lw[left_ts])
         & (rw[right_ts] <= lw[left_ts] + F.expr(f"INTERVAL {max_gap_sec} SECONDS"))
     )
-    return lw.join(rw, cond)
+    return lw.join(rw, cond, how)
