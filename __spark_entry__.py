@@ -3221,6 +3221,85 @@ WHERE e.event_type = 'purchase'
 """
 
 
+def _daily_rollup_maintained(spark, sf_dir):
+    """Continuous-aggregate contract: the daily rollup MAINTAINED
+    incrementally (two half-slices split by event parity, so the same
+    (type, day) keys merge across slices) must equal the oracle's full
+    recompute. See rollup.py:incremental_rollup — at 100 TB the rollup
+    update aggregates only the new slice and merges with the
+    rollup-sized table; history is never re-read."""
+    from yaetos_spark.operators.rollup import incremental_rollup, rollup_delta
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.col("value").cast("decimal(28,6)").alias("v"),
+        "value",
+        "event_id",
+    )
+    spec = {
+        "n": ("count", None),
+        "total_dec": ("sum", "v"),
+        "lo": ("min", "value"),
+        "hi": ("max", "value"),
+    }
+    keys = ["event_type", "day"]
+    base = rollup_delta(ev.where(F.col("event_id") % 2 == 0), keys, spec)
+    out = incremental_rollup(base, ev.where(F.col("event_id") % 2 == 1), keys, spec)
+    return out.select(
+        "event_type", "day", "n",
+        F.col("total_dec").cast("double").alias("total"), "lo", "hi",
+    )
+
+
+_DAILY_ROLLUP_SQL = """
+SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total,
+       min(value) AS lo, max(value) AS hi
+FROM events GROUP BY event_type, day
+"""
+
+
+def _approx_median_contract(spark, sf_dir):
+    """t-digest/GK-sketch error contract (the percentile sibling of the
+    HLL contract in approx_distinct_parts): the approx median itself is
+    engine-specific, so the query emits the EXACT per-group median
+    (oracle-computable, type-7 interpolation in both engines) plus
+    whether the sketch's value sits within ±4% RANK error of the true
+    median — percentile_approx(accuracy=100) guarantees ≤1% rank
+    error, so 4% catches a broken sketch without flaking. The rank of
+    the approx value is measured against the data itself (one
+    broadcast join of the 5-row sketch frame back onto events)."""
+    ev = _t(spark, sf_dir, "events")
+    sk = ev.groupBy("event_type").agg(
+        F.percentile_approx("value", 0.5, 100).alias("approx_p50"),
+        F.expr("percentile(value, 0.5D)").alias("exact_p50"),
+    )
+    ranked = (
+        ev.join(F.broadcast(sk), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.first("exact_p50").alias("exact_p50"),
+            (
+                F.sum(F.when(F.col("value") <= F.col("approx_p50"), 1).otherwise(0))
+                / F.count(F.lit(1))
+            ).alias("rank_frac"),
+        )
+    )
+    return ranked.select(
+        "event_type",
+        "exact_p50",
+        (F.abs(F.col("rank_frac") - 0.5) <= 0.04).alias("est_ok"),
+    )
+
+
+_APPROX_MEDIAN_SQL = """
+SELECT event_type, quantile_cont(value, 0.5) AS exact_p50, TRUE AS est_ok
+FROM events GROUP BY event_type
+"""
+
+
 # ---------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------
@@ -3260,6 +3339,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": _cohort_retention,
         "nation_triangles": _nation_triangles,
         "events_at_type": _events_at_type,
+        "daily_rollup_maintained": _daily_rollup_maintained,
+        "approx_median_contract": _approx_median_contract,
         # ---- cumulatively green (r1 ∪ r2 driver verdicts) ----
         "user_sessions": _user_sessions,
         "conditional_agg": _conditional_agg,
@@ -3406,6 +3487,8 @@ def oracle_sql() -> dict[str, str]:
         "cohort_retention": _COHORT_SQL,
         "nation_triangles": _NATION_TRIANGLES_SQL,
         "events_at_type": _EVENTS_AT_TYPE_SQL,
+        "daily_rollup_maintained": _DAILY_ROLLUP_SQL,
+        "approx_median_contract": _APPROX_MEDIAN_SQL,
         "pivot_status": _PIVOT_SQL,
         "cube_counts": _CUBE_SQL,
         "grouping_sets_rev": _GROUPING_SETS_SQL,

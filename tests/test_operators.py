@@ -559,3 +559,33 @@ def test_resize_plan_aspect_ratio(spark):
     assert (rows[1].target_width, rows[1].target_height) == (256, 128)
     assert (rows[2].target_width, rows[2].target_height) == (100, 200)  # under cap: untouched
     assert rows[3].scale == 1.0
+
+
+def test_incremental_rollup_equals_full_recompute(spark):
+    """The continuous-aggregate invariant: maintaining the rollup from
+    two slices must equal recomputing from all rows."""
+    import pytest as _pytest
+
+    from yaetos_spark.operators.rollup import incremental_rollup, rollup_delta
+
+    spec = {
+        "n": ("count", None),
+        "total": ("sum", "v"),
+        "lo": ("min", "v"),
+        "hi": ("max", "v"),
+    }
+    part1 = spark.createDataFrame(
+        [("a", 1), ("a", 5), ("b", 3)], "k string, v int"
+    )
+    part2 = spark.createDataFrame(
+        [("a", 2), ("c", 9), ("b", -1)], "k string, v int"
+    )
+    first = incremental_rollup(None, part1, ["k"], spec)
+    maintained = incremental_rollup(first, part2, ["k"], spec)
+    full = rollup_delta(part1.unionByName(part2), ["k"], spec)
+    got = {r.k: (r.n, r.total, r.lo, r.hi) for r in maintained.collect()}
+    want = {r.k: (r.n, r.total, r.lo, r.hi) for r in full.collect()}
+    assert got == want == {"a": (3, 8, 1, 5), "b": (2, 2, -1, 3), "c": (1, 9, 9, 9)}
+
+    with _pytest.raises(ValueError, match="not decomposable"):
+        rollup_delta(part1, ["k"], {"d": ("count_distinct", "v")})

@@ -297,3 +297,29 @@ def test_single_file_write_metadata_and_append_policy(spark, tmp_path):
     # append cannot work on a single file — must refuse, not overwrite
     with pytest.raises(ValueError, match="append"):
         save_output(df, {"path": str(tmp_path / "p.pkl"), "type": "pickle", "mode": "append"})
+
+
+def test_sort_by_write_tightens_rowgroup_stats(spark, tmp_path):
+    """sort_by must produce parquet whose row-group min/max on the sort
+    column are non-overlapping-ish (sorted within each file) — the
+    property scan pruning relies on."""
+    import pyarrow.parquet as pq
+
+    from yaetos_spark.sources.writers import save_output
+
+    df = spark.createDataFrame(
+        [(i * 37 % 1000, f"v{i}") for i in range(1000)], "k int, v string"
+    ).repartition(1)
+    out = str(tmp_path / "sorted")
+    save_output(df, {"path": out, "type": "parquet", "sort_by": "k", "mode": "overwrite"})
+    import os
+
+    files = [f for f in os.listdir(out) if f.endswith(".parquet")]
+    assert files
+    vals = []
+    for f in files:
+        t = pq.read_table(os.path.join(out, f), columns=["k"])
+        col = t.column("k").to_pylist()
+        assert col == sorted(col), "rows not sorted within file"
+        vals.extend(col)
+    assert sorted(vals) == sorted(i * 37 % 1000 for i in range(1000))  # no rows lost

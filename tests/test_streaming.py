@@ -291,3 +291,30 @@ def test_interval_join_streams_rejects_full_outer(spark, tmp_path):
     s = spark.readStream.schema("k long, ts timestamp").parquet(src)
     with _pytest.raises(ValueError, match="left_outer"):
         interval_join_streams(s, s, "k", "k", "ts", "ts", 60, how="full_outer")
+
+
+def test_stream_static_enrichment_join(spark, tmp_path):
+    """Stream-static join: a streaming fact enriched against a static
+    dimension needs no watermark and no state — the dimension is
+    re-resolved per micro-batch (picks up dim updates between runs)."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    dim = spark.createDataFrame([(1, "gold"), (2, "basic")], "uid long, tier string")
+
+    spark.createDataFrame([(1, 10.0), (2, 5.0), (3, 1.0)], "uid long, amount double") \
+        .write.parquet(src)
+    stream = spark.readStream.schema("uid long, amount double").parquet(src)
+    q = (
+        stream.join(dim, "uid", "left")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=120)
+    assert not q.isActive
+    rows = {r.uid: r.tier for r in spark.read.parquet(out).collect()}
+    assert rows == {1: "gold", 2: "basic", 3: None}

@@ -66,6 +66,16 @@ def save_output(df: DataFrame, spec: dict, job_name: str = "", now: dt.datetime 
     elif n_co:
         df = df.coalesce(int(n_co))
 
+    sort_by = spec.get("sort_by")
+    if sort_by:
+        # data-layout clustering: sorting rows WITHIN each output file
+        # tightens parquet row-group min/max ranges on the sort columns,
+        # so later scans filtered on them skip whole row groups — the
+        # poor-man's Z-order, free at write time (no extra shuffle)
+        if isinstance(sort_by, str):
+            sort_by = [sort_by]
+        df = df.sortWithinPartitions(*sort_by)
+
     writer = df.write.mode(mode)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
