@@ -323,3 +323,37 @@ def test_sort_by_write_tightens_rowgroup_stats(spark, tmp_path):
         assert col == sorted(col), "rows not sorted within file"
         vals.extend(col)
     assert sorted(vals) == sorted(i * 37 % 1000 for i in range(1000))  # no rows lost
+
+
+def test_jdbc_creds_section_resolution(tmp_path):
+    """A registry spec naming a creds section must pick up user/password
+    and assemble the JDBC url from host/port/service; explicit spec
+    keys win over the cfg."""
+    from yaetos_spark.sources.jdbc import build_read_options, resolve_creds
+
+    cfg = tmp_path / "connections.cfg"
+    cfg.write_text(
+        "[mysql_main]\nuser: alice\npassword: s3cret\n"
+        "host: db.example.com\nport: 3306\nservice: sales\n"
+    )
+    spec = {
+        "type": "mysql",
+        "creds": "mysql_main",
+        "creds_file": str(cfg),
+        "db_table": "orders",
+    }
+    opts = build_read_options(spec)
+    assert opts["user"] == "alice" and opts["password"] == "s3cret"
+    assert opts["url"] == "jdbc:mysql://db.example.com:3306/sales"
+    assert opts["dbtable"] == "orders"
+
+    # explicit keys beat the cfg
+    spec2 = dict(spec, user="bob", url="jdbc:mysql://other/db")
+    out = resolve_creds(spec2)
+    assert out["user"] == "bob" and out["url"] == "jdbc:mysql://other/db"
+
+    # missing file fails loudly
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        resolve_creds({"creds": "x", "creds_file": str(tmp_path / "nope.cfg")})

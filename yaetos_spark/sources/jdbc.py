@@ -32,8 +32,46 @@ _DRIVERS = {
 }
 
 
+_URL_SCHEMES = {
+    "mysql": "jdbc:mysql",
+    "postgres": "jdbc:postgresql",
+    "clickhouse": "jdbc:postgresql",  # pg wire protocol, as in the reference
+    "oracle": "jdbc:oracle:thin",
+    "redshift": "jdbc:redshift",
+}
+
+
+def resolve_creds(spec: dict) -> dict:
+    """Merge a ``conf/connections.cfg`` section into the spec when it
+    names one (``creds: section``, optional ``creds_file``) — the
+    reference's pattern of keeping secrets out of the registry
+    (reference: yaetos/env_dispatchers.py:332-356, jobs reference
+    sections like ``creds: some_mysql_creds``). Explicit spec keys win
+    over cfg values; the JDBC url is assembled from host/port/service
+    when the spec doesn't carry one."""
+    section = spec.get("creds")
+    if not section:
+        return spec
+    from yaetos_spark.sources.db_extractors import read_credentials
+
+    creds = read_credentials(spec.get("creds_file", "conf/connections.cfg"), section)
+    out = dict(spec)
+    for k in ("user", "password"):
+        if k not in out and k in creds:
+            out[k] = creds[k]
+    if not out.get("url") and creds.get("host"):
+        scheme = _URL_SCHEMES.get(out.get("type", "mysql"), "jdbc:mysql")
+        host = creds["host"]
+        port = creds.get("port")
+        service = creds.get("service") or creds.get("database") or ""
+        hostport = f"{host}:{port}" if port else host
+        out["url"] = f"{scheme}://{hostport}/{service}".rstrip("/")
+    return out
+
+
 def build_read_options(spec: dict) -> dict:
     """Pure option-builder (unit-testable without a DB)."""
+    spec = resolve_creds(spec)
     itype = spec.get("type", "jdbc")
     opts = {
         "url": spec["url"],
@@ -82,6 +120,7 @@ def build_redshift_options(spec: dict) -> tuple[str, dict, str]:
     that scales for Redshift loads (reference:
     yaetos/redshift_spark.py:7-31; JDBC row-inserts are orders of
     magnitude slower). Pure builder, unit-testable without a cluster."""
+    spec = resolve_creds(spec)
     url = spec.get("url") or (
         "jdbc:redshift://{host}:{port}/{service}".format(
             host=spec["host"], port=spec.get("port", 5439), service=spec["service"]
@@ -141,6 +180,7 @@ def save_jdbc(df: DataFrame, spec: dict) -> None:
     error-on-existing policy (reference: yaetos/redshift_spark.py:12,
     clickhouse.py/oracle.py drop-and-recreate). Pass ``mode``
     explicitly to get errorifexists behavior."""
+    spec = resolve_creds(spec)
     opts = {
         "url": spec["url"],
         "dbtable": spec.get("db_table") or spec["dbtable"],
