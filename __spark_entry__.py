@@ -3300,6 +3300,102 @@ FROM events GROUP BY event_type
 """
 
 
+def _rfm_segments(spark, sf_dir):
+    """RFM segmentation: per-customer recency/frequency/monetary
+    quintiles, each computed with the two-phase distributed_ntile (no
+    single-partition global window; see windows.py:203). Tie-exact vs
+    the oracle's built-in ntile: each metric is encoded with the
+    customer key into one unique sort key (metric * 1e7 + custkey,
+    valid while custkey < 1e7), which is order-equivalent to
+    ORDER BY metric, c_custkey."""
+    o = _t(spark, sf_dir, "orders")
+    enc = 10_000_000
+    m = o.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.datediff(F.lit("2001-09-01").cast("timestamp"), F.max("o_orderdate"))
+        .cast("long").alias("rec_days"),
+        F.count(F.lit(1)).alias("freq"),
+        (F.sum(F.col("o_totalprice").cast("decimal(28,2)")) * 100)
+        .cast("long").alias("cents"),
+    ).select(
+        "c_custkey",
+        (F.col("rec_days") * enc + F.col("c_custkey")).alias("r_key"),
+        (F.col("freq") * enc + F.col("c_custkey")).alias("f_key"),
+        (F.col("cents") * enc + F.col("c_custkey")).alias("m_key"),
+    )
+    out = WOP.distributed_ntile(m, "r_key", 5, band_name="r_score")
+    out = WOP.distributed_ntile(out, "f_key", 5, band_name="f_score")
+    out = WOP.distributed_ntile(out, "m_key", 5, band_name="m_score")
+    return out.select("c_custkey", "r_score", "f_score", "m_score")
+
+
+_RFM_SQL = """
+WITH m AS (
+  SELECT o_custkey AS c_custkey,
+         CAST(date_diff('day', max(o_orderdate), TIMESTAMP '2001-09-01') AS BIGINT) AS rec_days,
+         count(*) AS freq,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(28,2))) * 100 AS BIGINT) AS cents
+  FROM orders GROUP BY o_custkey
+)
+SELECT c_custkey,
+       CAST(ntile(5) OVER (ORDER BY rec_days, c_custkey) AS INT) AS r_score,
+       CAST(ntile(5) OVER (ORDER BY freq, c_custkey) AS INT) AS f_score,
+       CAST(ntile(5) OVER (ORDER BY cents, c_custkey) AS INT) AS m_score
+FROM m
+"""
+
+
+def _part_pairs_support(spark, sf_dir):
+    """Market-basket pair support: parts co-occurring in the same order
+    with support >= 2 — the pairwise frequent-itemset pass. Scale: the
+    self-join is keyed on l_orderkey, so fan-out per order is
+    C(parts_in_order, 2) with order size bounded by the schema (~7
+    lines); the join shuffles on the order key, never all-pairs."""
+    op = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = op.alias("a"), op.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .where(F.col("n_orders") >= 2)
+    )
+
+
+_PART_PAIRS_SQL = """
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS p1, b.l_partkey AS p2, CAST(count(*) AS BIGINT) AS n_orders
+FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY p1, p2 HAVING count(*) >= 2
+"""
+
+
+def _user_skew_report(spark, sf_dir):
+    """Heavy-hitter report over events.user_id — the pre-shuffle skew
+    measurement (see skew.py:skew_report) that decides whether a key
+    needs salting before a 100 TB join/agg."""
+    from yaetos_spark.operators.skew import skew_report
+
+    ev = _t(spark, sf_dir, "events")
+    return skew_report(ev, ["user_id"], top_k=5)
+
+
+_USER_SKEW_SQL = """
+WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id),
+t AS (SELECT CAST(sum(n) AS DOUBLE) AS total FROM c)
+SELECT user_id, CAST(n AS BIGINT) AS n, n / total AS share
+FROM c, t ORDER BY n DESC, user_id LIMIT 5
+"""
+
+
 # ---------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------
@@ -3341,6 +3437,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_at_type": _events_at_type,
         "daily_rollup_maintained": _daily_rollup_maintained,
         "approx_median_contract": _approx_median_contract,
+        "rfm_segments": _rfm_segments,
+        "part_pairs_support": _part_pairs_support,
+        "user_skew_report": _user_skew_report,
         # ---- cumulatively green (r1 ∪ r2 driver verdicts) ----
         "user_sessions": _user_sessions,
         "conditional_agg": _conditional_agg,
@@ -3489,6 +3588,9 @@ def oracle_sql() -> dict[str, str]:
         "events_at_type": _EVENTS_AT_TYPE_SQL,
         "daily_rollup_maintained": _DAILY_ROLLUP_SQL,
         "approx_median_contract": _APPROX_MEDIAN_SQL,
+        "rfm_segments": _RFM_SQL,
+        "part_pairs_support": _PART_PAIRS_SQL,
+        "user_skew_report": _USER_SKEW_SQL,
         "pivot_status": _PIVOT_SQL,
         "cube_counts": _CUBE_SQL,
         "grouping_sets_rev": _GROUPING_SETS_SQL,

@@ -186,3 +186,16 @@ def test_doc_oov_counts_against_manual(spark):
     # top_k=3 vocab by (count desc, word asc): the, cat, dog.
     out = {r.doc_id: (r.n_tokens, r.n_oov) for r in doc_oov_counts(df, top_k=3).collect()}
     assert out == {1: (6, 3), 2: (2, 0), 3: (2, 2)}
+
+
+def test_skew_report_heavy_hitters(spark):
+    from yaetos_spark.operators.skew import skew_report
+
+    df = spark.createDataFrame(
+        [("hot",)] * 60 + [("warm",)] * 30 + [("a",)] * 5 + [("b",)] * 5,
+        "k string",
+    )
+    out = [(r.k, r.n, r.share) for r in skew_report(df, ["k"], top_k=3).collect()]
+    assert out[0] == ("hot", 60, 0.6)
+    assert out[1] == ("warm", 30, 0.3)
+    assert out[2][0] == "a" and out[2][1] == 5  # tie with b broken by key asc

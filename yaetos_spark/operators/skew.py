@@ -54,3 +54,21 @@ def replicated_skew_join(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
     )
     return big_s.join(small_r, [key, "_salt"]).drop("_salt")
+
+
+def skew_report(df, keys, top_k: int = 5):
+    """Heavy-hitter diagnostic: the top_k hottest key groups with their
+    row counts and share of the table — the measurement that decides
+    whether a join/agg on ``keys`` needs salting (`salted_agg`) or AQE
+    skew handling before it burns a 100 TB shuffle. One hash-agg plus a
+    TakeOrdered top-k; the only collect is the 1-row grand total.
+    Deterministic: ties break on the key columns ascending."""
+    from pyspark.sql import functions as F
+
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n")).collect()[0][0]  # 1-row action
+    return (
+        counts.orderBy(F.desc("n"), *[F.asc(k) for k in keys])
+        .limit(top_k)
+        .withColumn("share", F.col("n") / F.lit(total))
+    )
