@@ -3396,6 +3396,38 @@ FROM c, t ORDER BY n DESC, user_id LIMIT 5
 """
 
 
+def _event_transitions(spark, sf_dir):
+    """First-order Markov transition counts over each user's event
+    stream: (from_type, to_type, n) via lag within the per-user
+    time-ordered window — the behavioral transition matrix a product-
+    analytics pipeline estimates. Deterministic tie-break on event_id
+    for same-timestamp events. One shuffle on user_id; the matrix agg
+    is over (5×5) keys, map-side combined."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            F.lag("event_type").over(w).alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .where(F.col("from_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+_EVENT_TRANSITIONS_SQL = """
+WITH t AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS from_type,
+         event_type AS to_type
+  FROM events
+)
+SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+FROM t WHERE from_type IS NOT NULL
+GROUP BY from_type, to_type
+"""
+
+
 # ---------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------
@@ -3440,6 +3472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rfm_segments": _rfm_segments,
         "part_pairs_support": _part_pairs_support,
         "user_skew_report": _user_skew_report,
+        "event_transitions": _event_transitions,
         # ---- cumulatively green (r1 ∪ r2 driver verdicts) ----
         "user_sessions": _user_sessions,
         "conditional_agg": _conditional_agg,
@@ -3591,6 +3624,7 @@ def oracle_sql() -> dict[str, str]:
         "rfm_segments": _RFM_SQL,
         "part_pairs_support": _PART_PAIRS_SQL,
         "user_skew_report": _USER_SKEW_SQL,
+        "event_transitions": _EVENT_TRANSITIONS_SQL,
         "pivot_status": _PIVOT_SQL,
         "cube_counts": _CUBE_SQL,
         "grouping_sets_rev": _GROUPING_SETS_SQL,
