@@ -153,3 +153,20 @@ def test_run_k8s_builds_argv_and_invokes_runner(project):
     assert "k8s://https://1.2.3.4:6443" in argv
     joined = " ".join(argv)
     assert "spark.kubernetes.container.image=repo/spark:latest" in joined
+
+
+def test_idle_termination_script_uploaded_when_configured(project):
+    emr, s3 = FakeEMR(), FakeS3()
+    runner = _runner(project, emr=emr, s3=s3, terminate_idle_after_min=45)
+    runner.run()
+    keys = {k for (_, k) in s3.objects}
+    idle = [k for k in keys if k.endswith("terminate_idle_cluster.sh")]
+    assert idle, "watchdog script not uploaded"
+    body = s3.objects[("my-bucket", idle[0])].decode()
+    assert "IDLE_LIMIT_SEC=2700" in body  # 45 min
+    assert "shutdown -h now" in body
+
+    # not uploaded unless asked for
+    s3b = FakeS3()
+    _runner(project, emr=FakeEMR(), s3=s3b).run()
+    assert not any(k.endswith("terminate_idle_cluster.sh") for (_, k) in s3b.objects)

@@ -430,3 +430,19 @@ def test_report_job_renders_html(spark, tmp_path):
     assert "2 rows" in page             # full count, not sample count
     assert "id bigint, v string" in page
     assert "a&lt;b" in page or "ok" in page  # one sampled row rendered
+
+
+def test_rollup_job_first_build_and_maintenance(spark):
+    from jobs.examples.rollup_job import RollupJob
+
+    job = RollupJob({"rollup_keys": ["k"], "value_col": "v"})
+    job.spark = spark
+    p1 = spark.createDataFrame([("a", 1.0), ("b", 2.0)], "k string, v double")
+    p2 = spark.createDataFrame([("a", 3.0)], "k string, v double")
+    first = job.transform(delta=p1)  # no previous rollup
+    rows = {r.k: (r.n, r.total, r.lo, r.hi) for r in first.collect()}
+    assert rows == {"a": (1, 1.0, 1.0, 1.0), "b": (1, 2.0, 2.0, 2.0)}
+    # maintenance: feed the job its OWN previous output back
+    maintained = job.transform(delta=p2, prev_rollup=first)
+    rows2 = {r.k: (r.n, r.total, r.lo, r.hi) for r in maintained.collect()}
+    assert rows2 == {"a": (2, 4.0, 1.0, 3.0), "b": (1, 2.0, 2.0, 2.0)}

@@ -168,7 +168,7 @@ class DeployRunner:
             with open(path, "rb") as f:
                 s3.put_object(Bucket=bucket, Key=key, Body=f.read())
             keys.append(key)
-        # bootstrap script the cluster spec points at (generated, not
+        # bootstrap scripts the cluster spec points at (generated, not
         # copied: the image ships no shell assets)
         boot_key = f"{self.package_path}/setup_nodes.sh"
         s3.put_object(
@@ -177,6 +177,18 @@ class DeployRunner:
             Body=_bootstrap_script(self.config).encode(),
         )
         keys.append(boot_key)
+        idle_min = self.config.get("terminate_idle_after_min")
+        if idle_min:
+            # cost-control watchdog (role parity with the reference's
+            # terminate_idle_cluster.sh upload, deploy.py:357-358): the
+            # master self-terminates after N idle minutes
+            idle_key = f"{self.package_path}/terminate_idle_cluster.sh"
+            s3.put_object(
+                Bucket=bucket,
+                Key=idle_key,
+                Body=_idle_termination_script(int(idle_min)).encode(),
+            )
+            keys.append(idle_key)
         return keys
 
     # -- k8s path (reference: deploy_k8s.py:27-60 + launch) --
@@ -200,6 +212,29 @@ def _bootstrap_script(config: dict) -> str:
         "#!/bin/bash\n"
         "set -euo pipefail\n"
         f"sudo python3 -m pip install {reqs}\n"
+    )
+
+
+def _idle_termination_script(idle_minutes: int) -> str:
+    """Self-termination watchdog run on the master via bootstrap: polls
+    the YARN ResourceManager for running applications and shuts the
+    instance down after ``idle_minutes`` without any (authored fresh —
+    same role as the mrjob-derived script the reference ships)."""
+    return (
+        "#!/bin/bash\n"
+        "set -u\n"
+        f"IDLE_LIMIT_SEC={idle_minutes * 60}\n"
+        "IDLE_SINCE=$(date +%s)\n"
+        "while true; do\n"
+        "  sleep 60\n"
+        "  RUNNING=$(yarn application -list -appStates RUNNING 2>/dev/null"
+        " | grep -c application_ || true)\n"
+        "  NOW=$(date +%s)\n"
+        "  if [ \"$RUNNING\" -gt 0 ]; then IDLE_SINCE=$NOW; fi\n"
+        "  if [ $((NOW - IDLE_SINCE)) -ge $IDLE_LIMIT_SEC ]; then\n"
+        "    sudo shutdown -h now\n"
+        "  fi\n"
+        "done\n"
     )
 
 
