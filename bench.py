@@ -27,6 +27,26 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import __spark_entry__ as entrymod
 from yaetos_spark.session import get_spark
 
+def _env_signal() -> dict:
+    """Environmental-noise fingerprint recorded into the bench JSON
+    (VERDICT r3 item 7: round 2's sandbox contention masqueraded as a
+    ~30% regression for a whole round).  ``load_avg_1m`` is the host's
+    1-minute run-queue; ``spin_sec`` times a fixed CPU-bound reference
+    loop — on an idle host it's a stable constant, so a bench run whose
+    spin_sec is inflated is flagged noisy, not regressed."""
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(20_000_000):
+        x += i
+    spin = time.perf_counter() - t0
+    try:
+        load1 = os.getloadavg()[0]
+    except OSError:
+        load1 = None
+    return {"load_avg_1m": round(load1, 2) if load1 is not None else None,
+            "spin_sec": round(spin, 3)}
+
+
 HEADLINE = [
     "pricing_summary",
     "topk_revenue",
@@ -49,6 +69,7 @@ HEADLINE = [
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    env_before = _env_signal()
     spark = get_spark(app_name="yaetos_spark_bench")
     # warm up the JVM + file listing so query timings measure the plans
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
@@ -80,6 +101,8 @@ def main():
         "queries": times,
         "sf": sf,
         "cold_total_sec": round(sum(cold.values()), 3),
+        "env_before": env_before,
+        "env_after": _env_signal(),
     }))
 
 

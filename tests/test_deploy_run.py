@@ -65,6 +65,7 @@ def project(tmp_path):
     (tmp_path / "jobs" / "data.bin").write_bytes(b"\x00")
     (tmp_path / "conf").mkdir()
     (tmp_path / "conf" / "jobs.yml").write_text("jobs: {}\n")
+    (tmp_path / "conf" / "connections.cfg").write_text("[db]\nuser=u\npassword=p\n")
     return str(tmp_path)
 
 
@@ -86,6 +87,18 @@ def test_package_project_contents(project, tmp_path):
     assert "conf/jobs.yml" in names
     assert not any("__pycache__" in n for n in names)  # caches excluded
     assert not any(n.endswith(".bin") for n in names)  # binaries excluded
+    # credentials never ride the code tarball (they'd land in the
+    # deploy/log bucket) — ship via secrets channel or extra_files
+    assert not any(n.endswith(".cfg") for n in names)
+
+
+def test_package_project_excludes_secrets_even_with_custom_extensions(project, tmp_path):
+    out = package_project(
+        project, str(tmp_path / "s.tar.gz"), extensions=(".py", ".yml", ".cfg")
+    )
+    with tarfile.open(out) as tf:
+        names = set(tf.getnames())
+    assert "conf/connections.cfg" not in names
 
 
 def test_pipeline_name_roundtrip():
@@ -103,15 +116,26 @@ def test_run_direct_creates_cluster_and_submits_step(project):
     assert spec["Name"] == runner.pipeline_name
     boot = spec["BootstrapActions"][0]["ScriptBootstrapAction"]["Path"]
     assert boot.startswith("s3://my-bucket/") and boot.endswith("setup_nodes.sh")
-    # the step wraps a spark-submit argv through command-runner.jar
+    # the step wraps a spark-submit argv through command-runner.jar and
+    # its primary resource is the path the bootstrap extracted to —
+    # not a laptop-relative path that doesn't exist on the master
     _, steps = emr.step_calls[0]
     assert steps[0]["HadoopJarStep"]["Jar"] == "command-runner.jar"
-    assert "spark-submit" in steps[0]["HadoopJarStep"]["Args"][0]
+    argv = steps[0]["HadoopJarStep"]["Args"]
+    assert "spark-submit" in argv[0]
+    assert "/home/hadoop/app/yaetos_spark/cli.py" in argv
+    assert "/home/hadoop/app/scripts.zip" in argv
     # the package and the bootstrap script landed under the pipeline prefix
     keys = {k for (_, k) in s3.objects}
     assert any(k.endswith("scripts.tar.gz") for k in keys)
     assert any(k.endswith("setup_nodes.sh") for k in keys)
     assert all(runner.pipeline_name in k for k in keys)
+    # the bootstrap actually fetches + extracts the uploaded package
+    boot_key = next(k for k in keys if k.endswith("setup_nodes.sh"))
+    boot = s3.objects[("my-bucket", boot_key)].decode()
+    assert f"aws s3 cp s3://my-bucket/{runner.package_path}/scripts.tar.gz" in boot
+    assert "tar -xzf /home/hadoop/scripts.tar.gz -C /home/hadoop/app" in boot
+    assert "scripts.zip" in boot
 
 
 def test_run_direct_reuses_explicit_cluster_id(project):
@@ -165,8 +189,17 @@ def test_idle_termination_script_uploaded_when_configured(project):
     body = s3.objects[("my-bucket", idle[0])].decode()
     assert "IDLE_LIMIT_SEC=2700" in body  # 45 min
     assert "shutdown -h now" in body
+    # and the bootstrap launches it on the master, so the watchdog is
+    # live — not an uploaded-but-never-executed artifact
+    boot_key = next(k for (_, k) in s3.objects if k.endswith("setup_nodes.sh"))
+    boot = s3.objects[("my-bucket", boot_key)].decode()
+    assert "terminate_idle_cluster.sh" in boot
+    assert "nohup /home/hadoop/terminate_idle_cluster.sh" in boot
+    assert '"isMaster": true' in boot  # master-only guard
 
-    # not uploaded unless asked for
+    # not uploaded (and not wired) unless asked for
     s3b = FakeS3()
     _runner(project, emr=FakeEMR(), s3=s3b).run()
     assert not any(k.endswith("terminate_idle_cluster.sh") for (_, k) in s3b.objects)
+    boot_key_b = next(k for (_, k) in s3b.objects if k.endswith("setup_nodes.sh"))
+    assert "terminate_idle_cluster" not in s3b.objects[("my-bucket", boot_key_b)].decode()

@@ -366,6 +366,43 @@ def test_ivf_assign(spark):
     assert out[1] == 0 and out[3] == 1
 
 
+def test_ivf_assign_large_codebook_uses_bounded_plan(spark):
+    """Above IVF_EXPR_MAX_CELLS the assignment must switch to the
+    broadcast-matrix Arrow path: the plan stays O(1) nodes instead of
+    an O(n_cells × dim) literal tree, and both paths agree cell-for-
+    cell (same argmax + first-max tie rule)."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    n_cells, dim = 2048, 8
+    cents = rng.standard_normal((n_cells, dim)).tolist()
+    rows = [(i, [float(x) for x in rng.standard_normal(dim)]) for i in range(200)]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+    big = S.ivf_assign(emb, cents)
+    # bounded plan: a 2048×8 literal tree would be ~49k nodes / MBs of
+    # plan text; the Arrow path's explain output stays tiny
+    plan = big._jdf.queryExecution().executedPlan().toString()
+    assert len(plan) < 20_000
+    assert "ivf_cell" in big.columns and big.schema["ivf_cell"].simpleString().endswith("int")
+
+    got = {r.vec_id: r.ivf_cell for r in big.collect()}
+    # numpy reference: argmax of dot against normalized centroids
+    cmat = np.asarray(cents)
+    cmat = cmat / np.sqrt((cmat * cmat).sum(axis=1))[:, None]
+    for vid, vec in rows:
+        v32 = np.asarray(vec, dtype=np.float32).astype(np.float64)
+        assert got[vid] == int(np.argmax(cmat @ v32)), vid
+
+    # and the two paths agree on a codebook small enough to run both
+    # (the expr path StackOverflows plan conversion around ~300 nested
+    # whens on Spark 4 — exactly why IVF_EXPR_MAX_CELLS caps it at 256)
+    small = cents[:200]
+    a = {r.vec_id: r.ivf_cell for r in S._ivf_assign_expr(emb, small, "embedding").collect()}
+    b = {r.vec_id: r.ivf_cell for r in S._ivf_assign_arrow(emb, small, "embedding").collect()}
+    assert a == b
+
+
 # -- multimodal -------------------------------------------------------
 
 

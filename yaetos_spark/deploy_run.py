@@ -33,6 +33,13 @@ from yaetos_spark.deploy_cluster import (
 
 ACTIVE_CLUSTER_STATES = ["STARTING", "BOOTSTRAPPING", "RUNNING", "WAITING"]
 NAME_PREFIX = "yaetos_spark__"
+# where the bootstrap extracts scripts.tar.gz on every node (reference:
+# yaetos/etl_utils.py CLUSTER_APP_FOLDER = '/home/hadoop/app/')
+CLUSTER_APP_DIR = "/home/hadoop/app"
+# files never packaged by default: credentials travel via a secrets
+# channel or an explicit ``extra_files`` opt-in, not inside the code
+# tarball that lands in the (often broadly-readable) deploy/log bucket
+SECRET_BASENAMES = ("connections.cfg",)
 
 
 def pipeline_name(job_name: str, now_str: str) -> str:
@@ -51,11 +58,18 @@ def package_project(
     project_dir: str,
     out_path: str,
     include_dirs: tuple[str, ...] = ("yaetos_spark", "jobs", "conf"),
-    extensions: tuple[str, ...] = (".py", ".sql", ".yml", ".yaml", ".cfg"),
+    extensions: tuple[str, ...] = (".py", ".sql", ".yml", ".yaml"),
 ) -> str:
     """tar.gz the code that must travel to the cluster: engine package,
     project jobs, registry/conf (reference: deploy.py:225-297 — same
-    role, walk-based instead of hardcoded subfolder list)."""
+    role, walk-based instead of hardcoded subfolder list).
+
+    ``.cfg`` files are deliberately NOT in the default extension list
+    and ``connections.cfg`` is excluded unconditionally: the reference
+    packages only code + registry and pushes secrets separately, and a
+    credentials file inside scripts.tar.gz would otherwise be uploaded
+    to the deploy bucket on every run. Ship credentials through a
+    secrets channel or an explicit ``extra_files`` entry."""
     with tarfile.open(out_path, "w:gz") as tf:
         for sub in include_dirs:
             root = os.path.join(project_dir, sub)
@@ -64,6 +78,8 @@ def package_project(
             for dirpath, dirnames, filenames in os.walk(root):
                 dirnames[:] = [d for d in dirnames if d != "__pycache__"]
                 for fn in sorted(filenames):
+                    if fn in SECRET_BASENAMES:
+                        continue
                     if not fn.endswith(extensions):
                         continue
                     full = os.path.join(dirpath, fn)
@@ -115,9 +131,15 @@ class DeployRunner:
             self.cluster_id = emr.run_job_flow(**spec)["JobFlowId"]
         else:
             self.cluster_id = chosen
+        # the bootstrap extracted scripts.tar.gz into CLUSTER_APP_DIR on
+        # every node, so the step's primary resource is the extracted
+        # cli script and the zipped package rides --py-files (reference:
+        # CLUSTER_APP_FOLDER-prefixed app_file + scripts.zip py-files)
         step = build_emr_spark_step(
             self.config.get("job_args", {"job_name": self.config["job_name"]}),
             name=f"Spark Application - {self.pipeline_name}",
+            entry=f"{CLUSTER_APP_DIR}/yaetos_spark/cli.py",
+            py_files=f"{CLUSTER_APP_DIR}/scripts.zip",
         )
         resp = emr.add_job_flow_steps(JobFlowId=self.cluster_id, Steps=[step])
         self.step_ids = list(resp.get("StepIds", []))
@@ -170,11 +192,12 @@ class DeployRunner:
             keys.append(key)
         # bootstrap scripts the cluster spec points at (generated, not
         # copied: the image ships no shell assets)
+        package_s3 = f"s3://{bucket}/{self.package_path}"
         boot_key = f"{self.package_path}/setup_nodes.sh"
         s3.put_object(
             Bucket=bucket,
             Key=boot_key,
-            Body=_bootstrap_script(self.config).encode(),
+            Body=_bootstrap_script(self.config, package_s3).encode(),
         )
         keys.append(boot_key)
         idle_min = self.config.get("terminate_idle_after_min")
@@ -206,13 +229,40 @@ class DeployRunner:
         return runner(argv)
 
 
-def _bootstrap_script(config: dict) -> str:
+def _bootstrap_script(config: dict, package_s3: str) -> str:
+    """Node bootstrap: install deps, then fetch + extract the uploaded
+    package so the spark step's ``CLUSTER_APP_DIR`` entry path exists
+    (reference: scripts/setup_master.sh — ``aws s3 cp`` scripts.tar.gz,
+    untar into /home/hadoop/app, zip for --py-files, and launch the
+    idle-termination watchdog on the master when configured)."""
     reqs = " ".join(config.get("pip_requirements", ["pyspark", "pyarrow", "pandas"]))
-    return (
-        "#!/bin/bash\n"
-        "set -euo pipefail\n"
-        f"sudo python3 -m pip install {reqs}\n"
-    )
+    lines = [
+        "#!/bin/bash",
+        "set -euo pipefail",
+        f"sudo python3 -m pip install {reqs}",
+        f"aws s3 cp {package_s3}/scripts.tar.gz /home/hadoop/scripts.tar.gz",
+        f"mkdir -p {CLUSTER_APP_DIR}",
+        f"tar -xzf /home/hadoop/scripts.tar.gz -C {CLUSTER_APP_DIR}",
+        # zip the extracted tree for --py-files (stdlib zipfile: the
+        # AMI may not ship /usr/bin/zip)
+        f"(cd {CLUSTER_APP_DIR} && python3 -m zipfile -c scripts.zip"
+        " yaetos_spark jobs conf 2>/dev/null"
+        f" || python3 -m zipfile -c scripts.zip yaetos_spark)",
+    ]
+    if config.get("terminate_idle_after_min"):
+        # master-only (instance.json is the documented EMR marker):
+        # fetch and background the watchdog so configured clusters
+        # actually self-terminate
+        lines += [
+            "if grep -q '\"isMaster\": true' /mnt/var/lib/info/instance.json; then",
+            f"  aws s3 cp {package_s3}/terminate_idle_cluster.sh"
+            " /home/hadoop/terminate_idle_cluster.sh",
+            "  chmod +x /home/hadoop/terminate_idle_cluster.sh",
+            "  nohup /home/hadoop/terminate_idle_cluster.sh"
+            " >/home/hadoop/terminate_idle_cluster.log 2>&1 &",
+            "fi",
+        ]
+    return "\n".join(lines) + "\n"
 
 
 def _idle_termination_script(idle_minutes: int) -> str:

@@ -268,20 +268,74 @@ def ivf_topk(
     )
 
 
+# Above this many cells the literal-expression assignment path would
+# build an O(n_cells × dim) Catalyst tree (millions of nodes at the
+# 65536-cell end); switch to the broadcast-matrix Arrow path instead.
+IVF_EXPR_MAX_CELLS = 256
+
+
 def ivf_assign(
     emb: DataFrame,
     centroids: list[list[float]],
     vec_col: str = "embedding",
 ) -> DataFrame:
     """IVF coarse quantization: assign each vector to its nearest
-    centroid (by dot product over normalized centroids). Centroids are
-    plan literals (typically 256-65536 of them, trained offline);
-    queries then probe only a few inverted lists."""
-    best_id = F.lit(-1)
-    best_score = F.lit(float("-inf"))
-    for i, cvec in enumerate(centroids):
+    centroid (argmax of dot product over normalized centroids; ties go
+    to the lowest cell id). Two physical strategies, same semantics:
+
+    - ≤ ``IVF_EXPR_MAX_CELLS`` cells: centroids inline as plan literals
+      (whole-stage codegen, no Python), fine for small codebooks.
+    - larger codebooks (typically 4096-65536 cells): the (n_cells × dim)
+      centroid matrix is broadcast once and each Arrow batch does a
+      single BLAS matmul + argmax in ``mapInPandas`` — the plan stays
+      O(1) nodes regardless of cell count (same pattern as
+      :func:`cosine_topk`)."""
+    if len(centroids) <= IVF_EXPR_MAX_CELLS:
+        return _ivf_assign_expr(emb, centroids, vec_col)
+    return _ivf_assign_arrow(emb, centroids, vec_col)
+
+
+def _ivf_assign_expr(emb: DataFrame, centroids, vec_col: str) -> DataFrame:
+    # flat array-argmax, NOT a nested when-chain: chaining
+    # when(score > best).otherwise(prev) embeds the whole previous tree
+    # at each step → O(n_cells²·dim) plan nodes (heap/stack death well
+    # under 256 cells); the array form is linear and stays codegen'd.
+    # array_position takes the FIRST max — same tie rule as np.argmax.
+    scores = []
+    for cvec in centroids:
         c = F.array(*[F.lit(float(x)) for x in cvec])
-        score = dot(F.col(vec_col), c) / norm(c)
-        best_id = F.when(score > best_score, F.lit(i)).otherwise(best_id)
-        best_score = F.greatest(best_score, score)
-    return emb.withColumn("ivf_cell", best_id)
+        scores.append(dot(F.col(vec_col), c) / norm(c))
+    arr = F.array(*scores)
+    cell = (F.array_position(arr, F.array_max(arr)) - 1).cast("int")
+    return emb.withColumn("ivf_cell", cell)
+
+
+def _ivf_assign_arrow(emb: DataFrame, centroids, vec_col: str) -> DataFrame:
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    spark = emb.sparkSession
+    cents = np.asarray(centroids, dtype=np.float64)
+    norms = np.sqrt((cents * cents).sum(axis=1))
+    norms[norms == 0] = 1.0
+    bc = spark.sparkContext.broadcast(cents / norms[:, None])
+
+    out_schema = StructType(
+        list(emb.schema.fields) + [StructField("ivf_cell", IntegerType())]
+    )
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        mat_c = bc.value
+        for pdf in batches:
+            pdf = pdf.copy()
+            if len(pdf) == 0:
+                pdf["ivf_cell"] = np.array([], dtype="int32")
+                yield pdf
+                continue
+            vmat = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            scores = vmat @ mat_c.T  # (batch, n_cells)
+            # np.argmax takes the FIRST max — same tie rule as the
+            # expression path's strict-> update
+            pdf["ivf_cell"] = scores.argmax(axis=1).astype("int32")
+            yield pdf
+
+    return emb.mapInPandas(assign, schema=out_schema)

@@ -60,12 +60,18 @@ def resolve_creds(spec: dict) -> dict:
         if k not in out and k in creds:
             out[k] = creds[k]
     if not out.get("url") and creds.get("host"):
-        scheme = _URL_SCHEMES.get(out.get("type", "mysql"), "jdbc:mysql")
+        dbtype = out.get("type", "mysql")
+        scheme = _URL_SCHEMES.get(dbtype, "jdbc:mysql")
         host = creds["host"]
         port = creds.get("port")
         service = creds.get("service") or creds.get("database") or ""
         hostport = f"{host}:{port}" if port else host
-        out["url"] = f"{scheme}://{hostport}/{service}".rstrip("/")
+        if dbtype == "oracle":
+            # the thin driver requires the '@' form — a plain
+            # 'jdbc:oracle:thin://host/...' URL is rejected at connect
+            out["url"] = f"{scheme}:@//{hostport}/{service}".rstrip("/")
+        else:
+            out["url"] = f"{scheme}://{hostport}/{service}".rstrip("/")
     return out
 
 
