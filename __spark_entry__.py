@@ -3302,8 +3302,9 @@ FROM events GROUP BY event_type
 
 def _rfm_segments(spark, sf_dir):
     """RFM segmentation: per-customer recency/frequency/monetary
-    quintiles, each computed with the two-phase distributed_ntile (no
-    single-partition global window; see windows.py:203). Tie-exact vs
+    quintiles, all three computed by the fused distributed_ntile_multi
+    (one cached base, one boundary job, one sizes job — no
+    single-partition global window; see windows.py). Tie-exact vs
     the oracle's built-in ntile: each metric is encoded with the
     customer key into one unique sort key (metric * 1e7 + custkey,
     valid while custkey < 1e7), which is order-equivalent to
@@ -3322,9 +3323,10 @@ def _rfm_segments(spark, sf_dir):
         (F.col("freq") * enc + F.col("c_custkey")).alias("f_key"),
         (F.col("cents") * enc + F.col("c_custkey")).alias("m_key"),
     )
-    out = WOP.distributed_ntile(m, "r_key", 5, band_name="r_score")
-    out = WOP.distributed_ntile(out, "f_key", 5, band_name="f_score")
-    out = WOP.distributed_ntile(out, "m_key", 5, band_name="m_score")
+    out = WOP.distributed_ntile_multi(
+        m,
+        [("r_key", 5, "r_score"), ("f_key", 5, "f_score"), ("m_key", 5, "m_score")],
+    )
     return out.select("c_custkey", "r_score", "f_score", "m_score")
 
 

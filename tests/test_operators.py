@@ -316,6 +316,32 @@ def test_distributed_ntile_matches_builtin(spark):
     assert sorted(map(tuple, mine.collect())) == sorted(map(tuple, builtin.collect()))
 
 
+def test_distributed_ntile_multi_matches_sequential(spark):
+    """The fused multi-metric ntile must equal chaining the
+    single-metric version per spec — row-for-row (unique sort keys
+    here, so band assignment is fully deterministic)."""
+    rows = [(i, float((i * 37) % 503) + i * 1e-4, float((i * 91) % 211) + i * 1e-4)
+            for i in range(503)]
+    df = spark.createDataFrame(rows, "id int, a double, b double")
+    specs = [("a", 4, "a_band"), ("b", 5, "b_band")]
+    fused = {r.id: (r.a_band, r.b_band)
+             for r in W.distributed_ntile_multi(df, specs, num_partitions=8).collect()}
+    seq = W.distributed_ntile(df, "a", 4, band_name="a_band", num_partitions=8)
+    seq = W.distributed_ntile(seq, "b", 5, band_name="b_band", num_partitions=8)
+    sequential = {r.id: (r.a_band, r.b_band) for r in seq.collect()}
+    assert fused == sequential
+    # and equals the built-in ntile on unique keys
+    builtin = {
+        r.id: (r.a_band, r.b_band)
+        for r in df.selectExpr(
+            "id",
+            "CAST(ntile(4) OVER (ORDER BY a) AS INT) AS a_band",
+            "CAST(ntile(5) OVER (ORDER BY b) AS INT) AS b_band",
+        ).collect()
+    }
+    assert fused == builtin
+
+
 # -- similarity -------------------------------------------------------
 
 

@@ -240,3 +240,104 @@ def distributed_ntile(
         )
         .drop("_grank", "_small", "_big", "_thr")
     )
+
+
+def _gt_bound(order_col: str):
+    # one-arg HOF lambda capturing the column name (a default arg would
+    # make PySpark treat it as the two-arg (element, index) form)
+    return lambda b: F.col(order_col) > b
+
+
+def distributed_ntile_multi(
+    df: DataFrame,
+    specs: list[tuple[str, int, str]],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Several global ntiles over ONE cached frame — fused driver passes.
+
+    ``specs`` is ``[(order_col, n, band_name), ...]``. Semantically
+    identical to chaining :func:`distributed_ntile` per spec, but the
+    sequential version pays 2 driver collects per metric over a lineage
+    that re-executes every earlier metric's window (2k jobs, each
+    re-running the upstream plan). Here the input is cached once and:
+
+    - ONE boundary job computes ``percentile_approx`` for all metrics,
+    - ONE sizes job counts all (metric, bucket) cells via a posexplode
+      of the per-row bucket ids (k×P tiny rows to the driver),
+    - the output plan chains k partition-local windows (one range
+      exchange each) with every band parameter inlined as a literal.
+
+    Same scale properties as the single-metric version: no global
+    single-partition window, driver traffic bounded by k × partitions.
+    """
+    spark = df.sparkSession
+    dtypes = dict(df.dtypes)
+    for order_col, _, _ in specs:
+        if dtypes.get(order_col, "") in ("string", "binary", "boolean"):
+            raise ValueError(
+                f"distributed_ntile_multi needs numeric/temporal order columns; "
+                f"'{order_col}' is {dtypes.get(order_col)}"
+            )
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    qs = [i / num_partitions for i in range(1, num_partitions)]
+
+    df = df.cache()
+    # one job: boundaries for every metric
+    brow = df.agg(
+        *[
+            F.percentile_approx(c, qs, 10_000).alias(f"_bounds_{i}")
+            for i, (c, _, _) in enumerate(specs)
+        ]
+    ).collect()[0]
+
+    parts = df
+    bucket_cols = []
+    for i, (order_col, _, _) in enumerate(specs):
+        uniq = []
+        for b in brow[f"_bounds_{i}"] or []:
+            if not uniq or b > uniq[-1]:
+                uniq.append(b)
+        if uniq:
+            barr = F.array(*[F.lit(b) for b in uniq])
+            bucket = F.size(F.filter(barr, _gt_bound(order_col)))
+        else:
+            bucket = F.lit(0)
+        bucket_cols.append(f"_bkt_{i}")
+        parts = parts.withColumn(f"_bkt_{i}", bucket)
+    parts = parts.cache()
+
+    # one job: per-(metric, bucket) counts for every metric at once
+    pairs = parts.select(
+        F.posexplode(F.array(*[F.col(c) for c in bucket_cols])).alias("_m", "_b")
+    )
+    sizes: dict[int, dict[int, int]] = {i: {} for i in range(len(specs))}
+    for r in pairs.groupBy("_m", "_b").agg(F.count(F.lit(1)).alias("n")).collect():
+        sizes[r["_m"]][r["_b"]] = r["n"]
+
+    out = parts
+    for i, (order_col, n, band_name) in enumerate(specs):
+        offsets, acc = {}, 0
+        for b in sorted(sizes[i]):
+            offsets[b] = acc
+            acc += sizes[i][b]
+        total = acc
+        offset_col = F.element_at(
+            F.create_map(*[F.lit(x) for b in sorted(offsets) for x in (b, offsets[b])]),
+            F.col(f"_bkt_{i}"),
+        )
+        w = Window.partitionBy(f"_bkt_{i}").orderBy(order_col)
+        grank = F.row_number().over(w) + offset_col
+        small, big = total // n, total % n
+        thr = big * (small + 1)
+        # same closed-form band expression as distributed_ntile, with
+        # the parameters inlined as literals (exact integer DIV only)
+        out = out.withColumn("_grank", grank).withColumn(
+            band_name,
+            F.expr(
+                f"CAST(CASE WHEN _grank <= {thr}L THEN (_grank - 1) DIV {small + 1}L "
+                f"ELSE {big}L + CASE WHEN {small}L > 0 THEN (_grank - 1 - {thr}L) DIV {small}L ELSE 0 END "
+                "END + 1 AS INT)"
+            ),
+        ).drop("_grank")
+    return out.drop(*bucket_cols)
