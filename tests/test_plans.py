@@ -116,3 +116,206 @@ def test_output_max_timestamp(spark, tmp_path):
     df.write.parquet(path)
     assert inc.get_output_max_timestamp(spark, path, "d") == "2024-01-05"
     assert inc.get_output_max_timestamp(spark, str(tmp_path / "missing"), "d") is None
+
+
+# -- reference param-stack edge cases (etl_utils_test.py:106-237) -----
+
+
+def test_replace_placeholders_reference_nested_case():
+    """Ported verbatim from the reference's test_replace_placeholders
+    (tests/yaetos/etl_utils_test.py:197-208): substitution reaches into
+    lists and nested dicts, and chains transitively (key3 → key4 →
+    key5)."""
+    params = {
+        "key1": ["I like {{key2}} pie", "other_value"],
+        "key2": "some_value",
+        "key3": {"other_key": "a long string with {{key4}} in {{key5}}"},
+        "key4": "value_2 and {{key5}}",
+        "key5": "value_3",
+    }
+    assert P.replace_placeholders(params) == {
+        "key1": ["I like some_value pie", "other_value"],
+        "key2": "some_value",
+        "key3": {"other_key": "a long string with value_2 and value_3 in value_3"},
+        "key4": "value_2 and value_3",
+        "key5": "value_3",
+    }
+
+
+def test_replace_placeholders_reference_pb_case():
+    """Reference test_replace_placeholders_pb_case: a value whose own
+    substitution introduces another placeholder still fully resolves."""
+    params = {
+        "output": {"path": "{{base_path}}/some_path/"},
+        "base_path": "s3://some_bucket_in_{{region}}",
+        "region": "us",
+    }
+    assert P.replace_placeholders(params) == {
+        "output": {"path": "s3://some_bucket_in_us/some_path/"},
+        "base_path": "s3://some_bucket_in_us",
+        "region": "us",
+    }
+
+
+def test_replace_placeholders_reference_missing_key_case():
+    """Reference test_replace_placeholders_missing_cases: unknown keys
+    stay as literal {{key}} text while known ones resolve around them."""
+    params = {
+        "key1": ["I like {{key2}} pie", "other_value"],
+        "key2": "some_value",
+        "key3": {"other_key": "a long string with {{key4}} in {{key5}} and {{key4}}"},
+        "key4": "value_2",
+    }
+    assert P.replace_placeholders(params) == {
+        "key1": ["I like some_value pie", "other_value"],
+        "key2": "some_value",
+        "key3": {"other_key": "a long string with value_2 in {{key5}} and value_2"},
+        "key4": "value_2",
+    }
+
+
+def test_registry_multi_mode_overlay(tmp_path):
+    """Reference test_set_modes: yml_modes 'dev_EMR,your_extra_tenant'
+    applies BOTH overlays, later mode winning on conflicts."""
+    yml = tmp_path / "jobs.yml"
+    yml.write_text(
+        """
+common_params:
+  all_mode_params:
+    base_path: /tmp/data
+    save_schemas: true
+    mode: dev
+  mode_specific_params:
+    dev:
+      save_schemas: false
+      schema: sandbox
+    tenant:
+      other_param: some_value
+      schema: tenant_schema
+jobs:
+  a: {output: {path: '{{base_path}}/a'}}
+"""
+    )
+    reg = Registry.from_file(str(yml))
+    p = reg.job_params("a", mode="dev,tenant")
+    assert p["save_schemas"] is False          # from dev overlay
+    assert p["other_param"] == "some_value"    # from tenant overlay
+    assert p["schema"] == "tenant_schema"      # later mode wins
+    # single mode unaffected
+    assert reg.job_params("a", mode="dev")["schema"] == "sandbox"
+
+
+# -- hypothesis rules over the same subsystem -------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_keys = st.sampled_from([f"k{i}" for i in range(6)])
+
+
+def _naive_fixed_point(params):
+    """Oracle: repeatedly do one global substitution pass until stable."""
+    import re as _re
+
+    scalars = {k: v for k, v in params.items() if isinstance(v, (str, int, float))}
+
+    def sub_once(s):
+        return _re.sub(
+            r"\{\{(\w+)\}\}",
+            lambda m: m.group(0)
+            if m.group(1) in ("latest", "now") or m.group(1) not in scalars
+            else str(scalars[m.group(1)]),
+            s,
+        )
+
+    def walk(v):
+        if isinstance(v, str):
+            prev = None
+            for _ in range(10):
+                if v == prev:
+                    break
+                prev, v = v, sub_once(v)
+            return v
+        if isinstance(v, dict):
+            return {k: walk(x) for k, x in v.items()}
+        if isinstance(v, list):
+            return [walk(x) for x in v]
+        return v
+
+    return {k: walk(v) for k, v in params.items()}
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    defs=st.dictionaries(
+        _keys,
+        st.one_of(
+            st.text(alphabet="ab/_", max_size=6),
+            st.builds(lambda k: f"pre_{{{{{k}}}}}_post", _keys),
+            st.integers(-99, 99),
+        ),
+        max_size=6,
+    ),
+    template=st.builds(
+        lambda a, b: f"x {{{{{a}}}}} y {{{{{b}}}}} z {{{{latest}}}}", _keys, _keys
+    ),
+)
+def test_replace_placeholders_matches_naive_fixed_point(defs, template):
+    """For ANY random definition map (chains, cycles, missing keys,
+    int values), the implementation equals a naive iterate-to-fixed-
+    point oracle, never throws, and preserves {{latest}}/{{now}}."""
+    params = {**defs, "tmpl": template, "nested": {"lst": [template]}}
+    got = P.replace_placeholders(params)
+    want = _naive_fixed_point(params)
+    assert got == want
+    assert "{{latest}}" in got["tmpl"]  # path-expansion markers survive
+    # a second pass still matches the oracle (true idempotence is
+    # impossible under self-referential cycles with bounded depth —
+    # both sides must keep agreeing instead)
+    assert P.replace_placeholders(got) == _naive_fixed_point(got)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    layers=st.lists(
+        st.dictionaries(
+            st.sampled_from(["a", "b", "c", "mode"]),
+            st.one_of(st.text(max_size=4), st.integers(0, 9)),
+            max_size=4,
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_merge_params_last_layer_wins(layers):
+    """Scalar keys always resolve to the LAST layer that set them —
+    the mode-overlay contract the whole registry rests on."""
+    merged = P.merge_params(*(layers + [None] * (5 - len(layers))))
+    for key in {k for layer in layers for k in layer}:
+        expect = next(layer[key] for layer in reversed(layers) if key in layer)
+        assert merged[key] == expect
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    base=st.dictionaries(
+        st.sampled_from(["i1", "i2", "i3"]),
+        st.fixed_dictionaries({"path": st.text(alphabet="xy/", max_size=5)}),
+        max_size=3,
+    ),
+    override=st.dictionaries(
+        st.sampled_from(["i1", "i2", "i3"]),
+        st.fixed_dictionaries({"type": st.sampled_from(["csv", "parquet"])}),
+        max_size=3,
+    ),
+)
+def test_merge_params_inputs_deep_merge(base, override):
+    """inputs merge per-key one level deep: an override layer setting
+    only 'type' must never erase the base layer's 'path'."""
+    merged = P.merge_params(job_yml={"inputs": base}, job_args={"inputs": override})
+    assert set(merged["inputs"]) == set(base) | set(override)
+    for k in merged["inputs"]:
+        if k in base:
+            assert merged["inputs"][k].get("path") == base[k]["path"]
+        if k in override:
+            assert merged["inputs"][k].get("type") == override[k]["type"]

@@ -43,7 +43,12 @@ class Registry:
         job_yml = self.jobs[job_name] or {}
         mode = mode or (cmd_args or {}).get("mode") or (job_args or {}).get("mode") \
             or self.all_mode_params.get("mode", "dev_local")
-        mode_overlay = self.mode_specific_params.get(mode, {}) or {}
+        # comma-separated multi-mode: overlays apply left-to-right, later
+        # modes win (reference: Job_Yml_Parser with yml_modes
+        # 'dev_EMR,your_extra_tenant', etl_utils_test.py test_set_modes)
+        mode_overlay: dict = {}
+        for m in str(mode).split(","):
+            mode_overlay.update(self.mode_specific_params.get(m.strip(), {}) or {})
         params = merge_params(self.all_mode_params, mode_overlay, job_yml, job_args, cmd_args)
         params["job_name"] = job_name
         params["mode"] = mode
