@@ -133,3 +133,22 @@ def test_tpch_analogs_broadcast_dims_and_push_dates(spark):
     plan = _plan_of(qs["disjunctive_predicates"](spark, "/root/testdata/sf0.001"))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_scale_audit_subset_runs(spark):
+    """The scale-audit harness (tools/scale_audit.py) is CI-runnable:
+    subset mode executes queries and records rows/sec/err without
+    touching the committed full-run artifact."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "scale_audit",
+        os.path.join(os.path.dirname(__file__), "..", "tools", "scale_audit.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    res = mod.run_audit(spark, "/root/testdata/sf0.001", ["filter_project", "text_stats"])
+    assert set(res) == {"filter_project", "text_stats"}
+    for r in res.values():
+        assert r["err"] is None and r["rows"] > 0 and r["sec"] >= 0

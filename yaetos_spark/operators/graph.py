@@ -131,13 +131,15 @@ def pagerank_fixed_point(
         .persist()
     )
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # degree is iteration-invariant: join it to the edge list ONCE and
+    # persist, so each round pays a single rank join instead of two
+    e_deg = e.join(deg, "src").select("src", "dst", "outdeg").persist()
     nodes = e.select(F.col("src").alias("node")).distinct().persist()
     base = scale * (damping_den - damping_num) // damping_den
     ranks = nodes.withColumn("r", F.lit(scale).cast("long"))
     for _ in range(iters):
         contribs = (
-            e.join(ranks, e.src == ranks.node)
-            .join(deg, "src")
+            e_deg.join(ranks, e_deg.src == ranks.node)
             .select(F.col("dst"), F.expr("r div outdeg").alias("c"))
         )
         sums = contribs.groupBy("dst").agg(F.sum("c").alias("t"))
