@@ -1599,6 +1599,256 @@ LIMIT 20
 """
 
 
+def _cms_heavy_hitters(spark, sf_dir):
+    """Count-min-sketch heavy hitters, contract-checked like the other
+    sketch queries (approx_distinct_parts / approx_median_contract):
+    for the exact top-20 words, the CMS point estimate must be >= the
+    exact count (the sketch's hard one-sided guarantee) and <= the
+    total token count.  At 100 TB the sketch is the only per-key
+    frequency structure that stays fixed-size and mergeable across
+    days/partitions; yaetos_spark/operators/sketches.py builds it as a
+    depth x width cell DataFrame, never driver-side state."""
+    from yaetos_spark.operators.sketches import count_min_build, count_min_estimate
+
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word")
+    )
+    words = words.persist()
+    sketch = count_min_build(words, "word", depth=4, width=8192)
+    exact_top = (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), F.asc("word"))
+        .limit(20)
+    )
+    total = words.groupBy().agg(F.count(F.lit(1)).alias("_total"))
+    est = count_min_estimate(sketch, exact_top.select("word"), "word", depth=4, width=8192)
+    return (
+        exact_top.join(est, "word")
+        # 1-row aggregate broadcast (the sanctioned scalar-join pattern,
+        # same as idle_rich_customers / lsh_ann_pairs): O(1) rows on the
+        # broadcast side at any corpus size
+        .crossJoin(F.broadcast(total))
+        .select(
+            "word",
+            "exact_cnt",
+            (F.col("est") >= F.col("exact_cnt")).alias("est_ge_exact"),
+            (F.col("est") <= F.col("_total")).alias("est_le_total"),
+        )
+        .orderBy(F.desc("exact_cnt"), F.asc("word"))
+    )
+
+
+_CMS_HEAVY_SQL = r"""
+SELECT word, count(*) AS exact_cnt,
+       TRUE AS est_ge_exact, TRUE AS est_le_total
+FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word FROM documents)
+GROUP BY word
+ORDER BY exact_cnt DESC, word
+LIMIT 20
+"""
+
+
+def _boilerplate_prefixes(spark, sf_dir):
+    """Boilerplate-header detector: cluster documents sharing their
+    first 5 tokens (crawl corpora are full of repeated nav headers /
+    license preambles; dedup at doc level misses them because the
+    bodies differ).  One narrow projection + one hash aggregation —
+    the same single-shuffle shape at any scale."""
+    docs = _t(spark, sf_dir, "documents")
+    prefix = F.array_join(F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 5), " ")
+    return (
+        docs.select(prefix.alias("prefix"), "doc_id")
+        .groupBy("prefix")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(F.desc("n_docs"), F.asc("prefix"))
+        .limit(50)
+    )
+
+
+_BOILERPLATE_SQL = r"""
+SELECT array_to_string(regexp_split_to_array(trim(text), '\s+')[1:5], ' ') AS prefix,
+       count(*) AS n_docs, min(doc_id) AS min_doc_id
+FROM documents
+GROUP BY prefix
+HAVING count(*) >= 2
+ORDER BY n_docs DESC, prefix
+LIMIT 50
+"""
+
+
+def _vocab_tail_stats(spark, sf_dir):
+    """Zipf-tail report for vocabulary pruning: how many types (and
+    what token mass) sit in each frequency class.  Hapax/rare mass is
+    what a min-count cutoff would delete — the standard pre-tokenizer
+    curation question.  Two chained aggregations, both map-side
+    combinable."""
+    docs = _t(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    freq_class = (
+        F.when(F.col("cnt") == 1, "hapax")
+        .when(F.col("cnt") <= 5, "rare")
+        .when(F.col("cnt") <= 50, "mid")
+        .otherwise("head")
+    )
+    return (
+        counts.select(freq_class.alias("freq_class"), "cnt")
+        .groupBy("freq_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("cnt").alias("total_occurrences"),
+        )
+        .orderBy("freq_class")
+    )
+
+
+_VOCAB_TAIL_SQL = r"""
+SELECT CASE WHEN cnt = 1 THEN 'hapax' WHEN cnt <= 5 THEN 'rare'
+            WHEN cnt <= 50 THEN 'mid' ELSE 'head' END AS freq_class,
+       count(*) AS n_words, CAST(sum(cnt) AS BIGINT) AS total_occurrences
+FROM (
+  SELECT word, count(*) AS cnt
+  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word FROM documents)
+  GROUP BY word
+)
+GROUP BY freq_class
+ORDER BY freq_class
+"""
+
+
+def _source_vocab_overlap(spark, sf_dir):
+    """Pairwise vocabulary Jaccard between crawl sources — the corpus-
+    mixing diagnostic (near-identical vocabularies => redundant
+    sources).  Distinct (source, word) first (one shuffle), then a
+    word-keyed self-join whose fan-out is bounded by #sources per word;
+    at 100 TB this is the standard vocabulary-intersection plan, never
+    a doc-level cross join."""
+    docs = _t(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(
+            F.col("source"),
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word"),
+        )
+        .distinct()
+    )
+    sizes = vocab.groupBy("source").agg(F.count(F.lit(1)).alias("vsize"))
+    a, b = vocab.alias("a"), vocab.alias("b")
+    inter = (
+        a.join(b, (F.col("a.word") == F.col("b.word")) & (F.col("a.source") < F.col("b.source")))
+        .groupBy(F.col("a.source").alias("s1"), F.col("b.source").alias("s2"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("source").alias("s1"), F.col("vsize").alias("v1"))
+    sb = sizes.select(F.col("source").alias("s2"), F.col("vsize").alias("v2"))
+    return (
+        inter.join(F.broadcast(sa), "s1")
+        .join(F.broadcast(sb), "s2")
+        .select(
+            "s1",
+            "s2",
+            "n_shared",
+            F.round(
+                F.col("n_shared") / (F.col("v1") + F.col("v2") - F.col("n_shared")), 6
+            ).alias("jaccard"),
+        )
+        .orderBy("s1", "s2")
+    )
+
+
+_SOURCE_OVERLAP_SQL = r"""
+WITH vocab AS (
+  SELECT DISTINCT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+  FROM documents
+), sizes AS (
+  SELECT source, count(*) AS vsize FROM vocab GROUP BY source
+), inter AS (
+  SELECT a.source AS s1, b.source AS s2, count(*) AS n_shared
+  FROM vocab a JOIN vocab b ON a.word = b.word AND a.source < b.source
+  GROUP BY s1, s2
+)
+SELECT s1, s2, n_shared,
+       round(n_shared / (v1.vsize + v2.vsize - n_shared), 6) AS jaccard
+FROM inter
+JOIN sizes v1 ON v1.source = inter.s1
+JOIN sizes v2 ON v2.source = inter.s2
+ORDER BY s1, s2
+"""
+
+
+def _tfidf_top_terms(spark, sf_dir):
+    """Distributed TF-IDF: top-3 most source-characteristic terms per
+    crawl source.  tf = term count within the source's concatenated
+    text; idf = ln(n_sources / df) over source-level document
+    frequency.  The whole thing is two hash aggregations + one
+    broadcast join — no vocabulary ever sits on the driver, so the
+    same plan runs on a 100 TB corpus (vocab stays distributed; only
+    the scalar source count is collected implicitly via broadcast of
+    the tiny df frame... which itself is vocabulary-sized and stays a
+    shuffle join at scale — Spark picks the strategy by stats).
+    Scores are rounded to 6 dp on both engines so libm ulp noise in
+    ln() can't flip the hash."""
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        "source", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word")
+    )
+    tf = words.groupBy("source", "word").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    n_sources = docs.select("source").distinct().count()  # scalar, driver-safe
+    scored = (
+        tf.join(df_, "word")
+        .select(
+            "source",
+            "word",
+            F.round(
+                F.col("tf") * F.log(F.lit(float(n_sources)) / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.desc("tfidf"), F.asc("word")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("source", "word", "tfidf", "rnk")
+        .orderBy("source", "rnk")
+    )
+
+
+_TFIDF_SQL = r"""
+WITH words AS (
+  SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+  FROM documents
+), tf AS (
+  SELECT source, word, count(*) AS tf FROM words GROUP BY source, word
+), df AS (
+  SELECT word, count(*) AS df FROM tf GROUP BY word
+), n AS (
+  SELECT CAST(count(DISTINCT source) AS DOUBLE) AS n_sources FROM documents
+), scored AS (
+  SELECT source, word,
+         round(tf * ln(n_sources / df), 6) AS tfidf
+  FROM tf JOIN df USING (word) CROSS JOIN n
+)
+SELECT source, word, tfidf, rnk FROM (
+  SELECT source, word, tfidf,
+         row_number() OVER (PARTITION BY source ORDER BY tfidf DESC, word) AS rnk
+  FROM scored
+)
+WHERE rnk <= 3
+ORDER BY source, rnk
+"""
+
+
 def _salted_hot_keys(spark, sf_dir):
     """Skew-safe two-phase count — identical result to a plain groupBy
     (which IS the oracle), exercised over the events table."""
@@ -3443,16 +3693,77 @@ GROUP BY from_type, to_type
 # ---------------------------------------------------------------------
 
 
+# Queries whose IMPLEMENTATION changed since their last driver verdict:
+# a fresh verdict describes the old code, so they re-enter the window
+# now regardless of verdict age.  Clear entries once re-verified.
+_VERIFY_NEXT = [
+    "rfm_segments",  # r4: three ntile passes fused into one multi-metric pass
+    "ivf_ann_exactprobe",  # r4: mapInPandas argmax assign path + 3-iter k-means
+]
+
+
+def _rotate_stalest_first(
+    base: dict[str, Callable[[SparkSession, str], DataFrame]],
+) -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Reorder ``queries()`` so the driver's 50-query evaluation window
+    always covers the entries whose last PASSING driver verdict is
+    oldest (VERDICT r3 item 1: "continuously green", not "cumulatively
+    green").  Staleness is computed from the committed
+    ``CORRECTNESS_r*.json`` artifacts next to this file, so the
+    rotation is scripted and self-applying every round — no manual
+    reordering to forget.  A query with no verdict yet (new this
+    round), or whose latest verdict FAILED, sorts most-stale and enters
+    the window immediately.  Ties keep the hand-written base order, so
+    the result is fully deterministic given the committed artifacts."""
+    import glob
+    import json
+    import os
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    last_pass: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            continue
+        results = data.get("queries", data)
+        if not isinstance(results, dict):
+            continue
+        for name, v in results.items():
+            if not isinstance(v, dict):
+                continue
+            ok = (
+                v.get("rows_match") is not False
+                and v.get("schema_match") is not False
+                and v.get("hash_match") is not False
+                and v.get("err") is None
+            )
+            if ok:
+                last_pass[name] = max(last_pass.get(name, 0), rnd)
+    pos = {n: i for i, n in enumerate(base)}
+    ordered = sorted(
+        base,
+        key=lambda n: (
+            -1 if n in _VERIFY_NEXT else last_pass.get(n, -1),
+            pos[n],
+        ),
+    )
+    return {n: base[n] for n in ordered}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the grading driver evaluates the FIRST 50 entries
-    # per round.  Round 4 rotation (VERDICT r3 item 1): the 37 queries
-    # whose only driver verdict is from round 1 come first, then the two
-    # queries whose implementation was touched this round (rfm_segments
-    # fused passes, ivf_ann_exactprobe shares the ivf code path), then 11
-    # round-2-verified entries to fill the 50-window.  The remaining
-    # round-2 set sits immediately after for next round's rotation;
-    # round-3-verified queries rotate to the back.
-    return {
+    # per round.  The dict below is the tie-break fallback order; the
+    # actual returned order is computed by _rotate_stalest_first() from
+    # the committed CORRECTNESS_r*.json verdicts, so every round the
+    # window automatically covers the queries least-recently verified.
+    base = {
         # -- in-window 1-37: round-1-only driver verdicts (stalest) --
         "pricing_summary": _pricing_summary,
         "filter_project": _filter_project,
@@ -3570,7 +3881,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "array_hof_stats": _array_hof_stats,
         "map_functions": _map_functions,
         "unpivot_counts": _unpivot_counts,
+        # ---- new in round 4 (no verdict yet -> sort most-stale, enter window) ----
+        "cms_heavy_hitters": _cms_heavy_hitters,
+        "boilerplate_prefixes": _boilerplate_prefixes,
+        "vocab_tail_stats": _vocab_tail_stats,
+        "source_vocab_overlap": _source_vocab_overlap,
+        "tfidf_top_terms": _tfidf_top_terms,
     }
+    return _rotate_stalest_first(base)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3687,4 +4005,9 @@ def oracle_sql() -> dict[str, str]:
         "weighted_sample": _WEIGHTED_SAMPLE_SQL,
         "trailing_range_window": _TRAILING_RANGE_SQL,
         "null_safe_join": _NULL_SAFE_SQL,
+        "cms_heavy_hitters": _CMS_HEAVY_SQL,
+        "boilerplate_prefixes": _BOILERPLATE_SQL,
+        "vocab_tail_stats": _VOCAB_TAIL_SQL,
+        "source_vocab_overlap": _SOURCE_OVERLAP_SQL,
+        "tfidf_top_terms": _TFIDF_SQL,
     }

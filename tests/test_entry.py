@@ -23,6 +23,43 @@ def test_queries_have_oracles():
     assert no_oracle <= {"lsh_ann_pairs", "approx_distinct_parts"}
 
 
+def test_window_covers_stalest_queries():
+    """The driver grades the first 50 entries of queries() each round.
+    _rotate_stalest_first must put the least-recently-verified queries
+    (and any _VERIFY_NEXT implementation-changed ones) inside that
+    window, computed from the committed CORRECTNESS_r*.json artifacts —
+    so 'continuously green' is a structural property, not a per-round
+    manual edit."""
+    import glob
+    import json
+    import re
+
+    last = {}
+    for path in sorted(glob.glob("/root/repo/CORRECTNESS_r*.json")):
+        rnd = int(re.search(r"r(\d+)", path).group(1))
+        for name, v in json.load(open(path)).items():
+            if not isinstance(v, dict):
+                continue
+            if (
+                v.get("rows_match") is not False
+                and v.get("schema_match") is not False
+                and v.get("hash_match") is not False
+                and v.get("err") is None
+            ):
+                last[name] = max(last.get(name, 0), rnd)
+    names = list(entrymod.queries())
+    window, behind = set(names[:50]), names[50:]
+    for forced in entrymod._VERIFY_NEXT:
+        assert forced in window, f"_VERIFY_NEXT entry {forced} outside window"
+    # no query behind the window may be staler than any window entry
+    staleness = lambda n: -1 if n in entrymod._VERIFY_NEXT else last.get(n, -1)
+    worst_in_window = max(staleness(n) for n in window)
+    for n in behind:
+        assert staleness(n) >= worst_in_window, (
+            f"{n} (last pass r{last.get(n)}) is staler than a window entry"
+        )
+
+
 def test_each_query_runs(spark, sf_dir):
     for name, fn in entrymod.queries().items():
         df = fn(spark, sf_dir)
@@ -83,6 +120,7 @@ def test_no_nested_loop_joins_anywhere(spark):
         "idle_rich_customers",
         "semi_anti_counts",
         "lsh_ann_pairs",  # recall report: crossJoin of two 1-row aggs
+        "cms_heavy_hitters",  # est<=total contract: 1-row total-count agg
     }
     for name, fn in qs.items():
         if name in single_row_broadcasts:

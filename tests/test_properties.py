@@ -287,3 +287,32 @@ def test_doc_oov_counts_property(spark, texts, k):
     }
     got = {r.doc_id: (r.n_tokens, r.n_oov) for r in doc_oov_counts(df, top_k=k).collect()}
     assert got == expected
+
+
+@given(
+    st.lists(st.text(alphabet="abcde", min_size=1, max_size=3), min_size=1, max_size=80),
+    st.integers(2, 16),
+)
+@settings(**SETTINGS)
+def test_count_min_never_undercounts(spark, words, width):
+    """The CMS one-sided guarantee holds for ANY stream and ANY width
+    (including widths far below the key cardinality, where every bucket
+    collides): estimate >= exact count for every key, and estimate <=
+    stream length."""
+    from collections import Counter
+
+    from yaetos_spark.operators.sketches import count_min_build, count_min_estimate
+
+    df = spark.createDataFrame([(w,) for w in words], ["word"])
+    sk = count_min_build(df, "word", depth=3, width=width)
+    est = {
+        r["word"]: r["est"]
+        for r in count_min_estimate(
+            sk, df.distinct(), "word", depth=3, width=width
+        ).collect()
+    }
+    exact = Counter(words)
+    assert set(est) == set(exact)
+    for w, c in exact.items():
+        assert est[w] >= c
+        assert est[w] <= len(words)

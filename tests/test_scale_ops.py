@@ -199,3 +199,78 @@ def test_skew_report_heavy_hitters(spark):
     assert out[0] == ("hot", 60, 0.6)
     assert out[1] == ("warm", 30, 0.3)
     assert out[2][0] == "a" and out[2][1] == 5  # tie with b broken by key asc
+
+
+# ---------------------------------------------------------------- sketches
+
+
+def test_count_min_exact_when_collision_free(spark):
+    from yaetos_spark.operators.sketches import count_min_build, count_min_estimate
+
+    rows = [(w,) for w, n in [("a", 5), ("b", 3), ("c", 1)] for _ in range(n)]
+    df = spark.createDataFrame(rows, ["word"])
+    sk = count_min_build(df, "word", depth=4, width=1024)
+    keys = spark.createDataFrame([("a",), ("b",), ("c",), ("zz",)], ["word"])
+    est = {
+        r["word"]: r["est"]
+        for r in count_min_estimate(sk, keys, "word", depth=4, width=1024).collect()
+    }
+    # wide sketch + 3 keys: no collisions possible to matter -> exact,
+    # and a never-seen key estimates 0
+    assert est == {"a": 5, "b": 3, "c": 1, "zz": 0}
+
+
+def test_count_min_is_one_sided_under_collisions(spark):
+    from yaetos_spark.operators.sketches import count_min_build, count_min_estimate
+
+    rows = [(f"w{i % 50}",) for i in range(500)]
+    df = spark.createDataFrame(rows, ["word"])
+    # width 4 << 50 distinct keys: collisions guaranteed
+    sk = count_min_build(df, "word", depth=2, width=4)
+    keys = df.distinct()
+    out = count_min_estimate(sk, keys, "word", depth=2, width=4)
+    exact = df.groupBy("word").count()
+    joined = out.join(exact, "word").collect()
+    assert len(joined) == 50
+    for r in joined:
+        assert r["est"] >= r["count"], r  # the CMS guarantee
+        assert r["est"] <= 500  # never exceeds the stream length
+
+
+def test_count_min_merge_equals_union_build(spark):
+    from yaetos_spark.operators.sketches import (
+        count_min_build,
+        count_min_estimate,
+        count_min_merge,
+    )
+
+    a = spark.createDataFrame([("x",)] * 4 + [("y",)] * 2, ["word"])
+    b = spark.createDataFrame([("x",)] * 1 + [("z",)] * 3, ["word"])
+    merged = count_min_merge(
+        count_min_build(a, "word", depth=3, width=256),
+        count_min_build(b, "word", depth=3, width=256),
+    )
+    whole = count_min_build(a.unionByName(b), "word", depth=3, width=256)
+    keys = spark.createDataFrame([("x",), ("y",), ("z",)], ["word"])
+    em = {
+        r["word"]: r["est"]
+        for r in count_min_estimate(merged, keys, "word", depth=3, width=256).collect()
+    }
+    ew = {
+        r["word"]: r["est"]
+        for r in count_min_estimate(whole, keys, "word", depth=3, width=256).collect()
+    }
+    assert em == ew == {"x": 5, "y": 2, "z": 3}
+
+
+def test_count_min_weighted(spark):
+    from yaetos_spark.operators.sketches import count_min_build, count_min_estimate
+
+    df = spark.createDataFrame([("a", 10), ("a", 5), ("b", 7)], ["word", "n"])
+    sk = count_min_build(df, "word", depth=4, width=512, weight="n")
+    keys = spark.createDataFrame([("a",), ("b",)], ["word"])
+    est = {
+        r["word"]: r["est"]
+        for r in count_min_estimate(sk, keys, "word", depth=4, width=512).collect()
+    }
+    assert est == {"a": 15, "b": 7}
