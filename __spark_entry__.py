@@ -1575,6 +1575,65 @@ FROM documents
 """
 
 
+def _ppm_pipeline_stats(spark, sf_dir):
+    """REAL multimodal round trip, oracle-checked end-to-end: per doc,
+    synthesize a solid-color PPM whose dims/color are arithmetic
+    functions of doc_id, ENCODE it to real P6 bytes, then run the real
+    numpy decoder (`multimodal.image_stats`) and aggregate the decoded
+    metadata per bucket.  The oracle recomputes the same aggregates
+    arithmetically — so any defect in the encoder, RIFF-free header
+    parse, pixel reshape, or channel-mean math flips the value hash.
+    Both mapInPandas stages are Arrow-batched; only (id, bytes) cross
+    the JVM↔Python boundary, the production multimodal shape."""
+    import numpy as np
+    import pandas as pd
+
+    from yaetos_spark.operators.multimodal import image_stats, write_ppm
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 8 + did % 24, 8 + (did * 7) % 24
+                rgb = (did % 256, (did * 3) % 256, (did * 5) % 256)
+                px = np.full((h, w, 3), rgb, dtype=np.uint8)
+                out.append((did, write_ppm(px)))
+            yield pd.DataFrame(out, columns=["media_id", "content"])
+
+    media = docs.mapInPandas(gen, "media_id long, content binary")
+    stats = image_stats(media)
+    # solid-color images: decoded channel means are exactly the ints we
+    # painted, so double sums stay integer-exact (far below 2^53)
+    return (
+        stats.groupBy((F.col("media_id") % 10).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_imgs"),
+            F.sum("width").cast("long").alias("sum_width"),
+            F.sum("height").cast("long").alias("sum_height"),
+            F.sum("mean_r").cast("long").alias("sum_mean_r"),
+            F.sum("mean_g").cast("long").alias("sum_mean_g"),
+            F.sum("mean_b").cast("long").alias("sum_mean_b"),
+        )
+        .orderBy("bucket")
+    )
+
+
+_PPM_PIPELINE_SQL = """
+SELECT doc_id % 10 AS bucket, count(*) AS n_imgs,
+       CAST(sum(8 + doc_id % 24) AS BIGINT) AS sum_width,
+       CAST(sum(8 + (doc_id * 7) % 24) AS BIGINT) AS sum_height,
+       CAST(sum(doc_id % 256) AS BIGINT) AS sum_mean_r,
+       CAST(sum((doc_id * 3) % 256) AS BIGINT) AS sum_mean_g,
+       CAST(sum((doc_id * 5) % 256) AS BIGINT) AS sum_mean_b
+FROM documents
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
 def _wordcount_top(spark, sf_dir):
     """The reference's canonical wordcount example (reference:
     jobs/examples/wordcount_frameworked_job.py — reduceByKey over an
@@ -3887,6 +3946,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_tail_stats": _vocab_tail_stats,
         "source_vocab_overlap": _source_vocab_overlap,
         "tfidf_top_terms": _tfidf_top_terms,
+        "ppm_pipeline_stats": _ppm_pipeline_stats,
     }
     return _rotate_stalest_first(base)
 
@@ -4010,4 +4070,5 @@ def oracle_sql() -> dict[str, str]:
         "vocab_tail_stats": _VOCAB_TAIL_SQL,
         "source_vocab_overlap": _SOURCE_OVERLAP_SQL,
         "tfidf_top_terms": _TFIDF_SQL,
+        "ppm_pipeline_stats": _PPM_PIPELINE_SQL,
     }

@@ -606,11 +606,105 @@ def test_extract_audio_features_stub(spark):
 
 
 def test_extract_audio_features_real_path_gated(spark):
+    # WAV rows decode for real, so the codec gate now fires per-row at
+    # execution time: non-WAV bytes with fake=False raise (wrapped by
+    # the Python worker) instead of silently faking
     import pytest as _pytest
 
     df = spark.createDataFrame([(1, bytearray(b"x"))], "media_id bigint, content binary")
-    with _pytest.raises(NotImplementedError):
-        MM.extract_audio_features(df, fake=False)
+    with _pytest.raises(Exception, match="non-WAV"):
+        MM.extract_audio_features(df, fake=False).collect()
+
+
+def _make_ppm(w, h, rgb):
+    import numpy as np
+
+    px = np.zeros((h, w, 3), dtype=np.uint8)
+    px[:, :] = rgb
+    return MM.write_ppm(px)
+
+
+def test_ppm_decode_is_real(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(_make_ppm(20, 10, (200, 100, 50))))],
+        "media_id bigint, content binary",
+    )
+    r = MM.decode_image(df, fake=False).collect()[0]  # no PIL needed for PPM
+    assert (r.width, r.height, r.n_channels) == (20, 10, 3)
+
+
+def test_ppm_header_comments_and_bad_magic():
+    import numpy as np
+    import pytest as _pytest
+
+    data = b"P6 # comment\n# another\n3 2\n255\n" + bytes(range(18))
+    w, h, px = MM.parse_ppm(data)
+    assert (w, h) == (3, 2) and px.shape == (2, 3, 3) and px[0, 0, 0] == 0
+    with _pytest.raises(ValueError):
+        MM.parse_ppm(b"P5 1 1 255 x")  # grayscale pgm: not P6
+    with _pytest.raises(ValueError):
+        MM.parse_ppm(b"P6\n4 4\n255\nxx")  # truncated pixels
+    assert MM.parse_ppm(MM.write_ppm(np.arange(12, dtype=np.uint8).reshape(2, 2, 3)))[
+        2
+    ].tolist() == np.arange(12, dtype=np.uint8).reshape(2, 2, 3).tolist()
+
+
+def test_image_stats_real_pixels(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(_make_ppm(4, 4, (10, 20, 30)))),
+         (2, bytearray(_make_ppm(2, 2, (0, 255, 0))))],
+        "media_id bigint, content binary",
+    )
+    rows = {r.media_id: r for r in MM.image_stats(df).collect()}
+    assert (rows[1].mean_r, rows[1].mean_g, rows[1].mean_b) == (10.0, 20.0, 30.0)
+    assert (rows[2].mean_r, rows[2].mean_g, rows[2].mean_b) == (0.0, 255.0, 0.0)
+
+
+def test_resize_image_executes_and_roundtrips(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(_make_ppm(1024, 512, (7, 8, 9)))),
+         (2, bytearray(_make_ppm(100, 50, (1, 2, 3))))],  # already small
+        "media_id bigint, content binary",
+    )
+    rows = {r.media_id: r for r in MM.resize_image(df, max_side=256).collect()}
+    assert (rows[1].width, rows[1].height) == (256, 128)
+    # output is itself decodable PPM with preserved pixel values
+    w, h, px = MM.parse_ppm(bytes(rows[1].content))
+    assert (w, h) == (256, 128) and px[0, 0].tolist() == [7, 8, 9]
+    assert (rows[2].width, rows[2].height) == (100, 50)  # pass-through
+    assert bytes(rows[2].content) == _make_ppm(100, 50, (1, 2, 3))
+
+
+def test_wav_features_are_real(spark):
+    import numpy as np
+
+    # 1 second of a full-scale square wave at 8 kHz: RMS = 1 (in units
+    # of full scale) up to int16 quantization
+    samples = np.tile(np.array([32767, -32768], dtype=np.int16), 4000)
+    wav = MM.write_wav(samples, 8000)
+    df = spark.createDataFrame(
+        [(1, bytearray(wav))], "media_id bigint, content binary"
+    )
+    r = MM.extract_audio_features(df, fake=False).collect()[0]
+    assert r.sample_rate == 8000
+    assert r.duration_ms == 1000
+    assert abs(r.rms - 1.0) < 1e-4
+
+
+def test_wav_parser_rejects_non_pcm():
+    import pytest as _pytest
+    import struct
+
+    fmt = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)  # IEEE float
+    data = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", 0)
+    )
+    with _pytest.raises(ValueError, match="PCM16"):
+        MM.parse_wav(data)
+    with _pytest.raises(ValueError):
+        MM.parse_wav(b"nonsense")
 
 
 def test_resize_plan_aspect_ratio(spark):

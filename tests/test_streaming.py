@@ -318,3 +318,60 @@ def test_stream_static_enrichment_join(spark, tmp_path):
     assert not q.isActive
     rows = {r.uid: r.tier for r in spark.read.parquet(out).collect()}
     assert rows == {1: "gold", 2: "basic", 3: None}
+
+
+def test_streaming_count_min_matches_batch_and_survives_replay(spark, tmp_path):
+    """Count-min maintained across micro-batches == sketch built in one
+    batch over all the data; replaying a batch id rewrites its partition
+    instead of double-counting; compaction preserves the cells."""
+    from yaetos_spark.operators.sketches import count_min_build, count_min_estimate
+    from yaetos_spark.streaming.sketch import (
+        compact_count_min,
+        read_count_min,
+        sketch_batch_exactly_once,
+        streaming_count_min,
+    )
+
+    src = str(tmp_path / "words")
+    skd = str(tmp_path / "sketch")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        stream = spark.readStream.schema("word string").parquet(src)
+        q = streaming_count_min(stream, skd, ckpt, "word", depth=3, width=64)
+        q.awaitTermination(timeout=120)
+        assert not q.isActive
+
+    b1 = [("a",)] * 3 + [("b",)] * 2
+    b2 = [("a",)] * 1 + [("c",)] * 4
+    spark.createDataFrame(b1, "word string").coalesce(1).write.mode("append").parquet(src)
+    run()
+    spark.createDataFrame(b2, "word string").coalesce(1).write.mode("append").parquet(src)
+    run()
+
+    whole = spark.createDataFrame(b1 + b2, "word string")
+    batch_sketch = count_min_build(whole, "word", depth=3, width=64)
+    maintained = read_count_min(spark, skd)
+    keys = whole.distinct()
+
+    def ests(sk):
+        return {
+            r["word"]: r["est"]
+            for r in count_min_estimate(sk, keys, "word", depth=3, width=64).collect()
+        }
+
+    assert ests(maintained) == ests(batch_sketch) == {"a": 4, "b": 2, "c": 4}
+
+    # replay batch 0 (foreachBatch at-least-once): partition rewritten,
+    # not double-added
+    replay = spark.createDataFrame(b1, "word string")
+    sketch_batch_exactly_once(replay, 0, skd, "word", depth=3, width=64)
+    assert ests(read_count_min(spark, skd)) == {"a": 4, "b": 2, "c": 4}
+
+    # compaction folds history partitions without changing the cells
+    compact_count_min(spark, skd)
+    assert ests(read_count_min(spark, skd)) == {"a": 4, "b": 2, "c": 4}
+    import os
+
+    parts = [d for d in os.listdir(skd) if d.startswith("_batch_id=")]
+    assert parts == ["_batch_id=-1"]

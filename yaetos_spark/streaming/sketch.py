@@ -1,0 +1,102 @@
+"""Streaming count-min maintenance: a frequency sketch of an unbounded
+key stream, kept exactly-once across micro-batches.
+
+The problem with summing a sketch in place under foreachBatch is that
+replayed batches (foreachBatch is at-least-once) would double-count —
+cell sums are not idempotent.  Same recipe as
+``upsert.append_batch_exactly_once``: each micro-batch writes its OWN
+partial sketch (<= depth*width rows by construction, regardless of
+batch size) into a ``_batch_id=<id>`` partition via dynamic partition
+overwrite, so a replay rewrites its partition with identical content
+instead of double-adding.  The partition layout IS the commit log.
+
+Reading the sketch is merge-on-read (cell-wise sum across batch
+partitions — sketches are linear); ``compact_count_min`` folds history
+into one partition when the batch count grows.  This is the standard
+production shape for per-day / per-hour sketch rollups at 100 TB: the
+full corpus is never re-scanned, and partial sketches are tiny.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from yaetos_spark.operators.sketches import count_min_build
+
+BATCH_COL = "_batch_id"
+
+
+def sketch_batch_exactly_once(
+    batch_df: DataFrame,
+    batch_id: int,
+    sketch_dir: str,
+    key: str,
+    depth: int = 4,
+    width: int = 8192,
+    seed: int = 42,
+    weight: str | None = None,
+) -> None:
+    """Build this batch's partial sketch and land it in its own
+    ``_batch_id`` partition (replay-safe: same batch id always rewrites
+    the same partition with the same cells)."""
+    spark = batch_df.sparkSession
+    partial = count_min_build(
+        batch_df, key, depth=depth, width=width, seed=seed, weight=weight
+    ).withColumn(BATCH_COL, F.lit(int(batch_id)))
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        partial.write.mode("overwrite").partitionBy(BATCH_COL).parquet(sketch_dir)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def streaming_count_min(
+    stream_df: DataFrame,
+    sketch_dir: str,
+    checkpoint_dir: str,
+    key: str,
+    depth: int = 4,
+    width: int = 8192,
+    seed: int = 42,
+    weight: str | None = None,
+):
+    """Maintain the sketch from a stream (trigger availableNow; re-run
+    to fold newly arrived data through the shared checkpoint)."""
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        sketch_batch_exactly_once(
+            batch_df, batch_id, sketch_dir, key,
+            depth=depth, width=width, seed=seed, weight=weight,
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_count_min(spark, sketch_dir: str) -> DataFrame:
+    """Current merged sketch: cell-wise sum over all batch partitions
+    (sketches are linear, so merge-on-read is exact)."""
+    return (
+        spark.read.parquet(sketch_dir)
+        .groupBy("row", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def compact_count_min(spark, sketch_dir: str) -> None:
+    """Fold all batch partitions into a single ``_batch_id=-1`` history
+    partition so merge-on-read stays O(1) partitions as batches
+    accumulate.  Safe against the dynamic-overwrite read-own-input
+    hazard via localCheckpoint before the write; replaying compaction
+    is idempotent (same merged cells)."""
+    merged = read_count_min(spark, sketch_dir).withColumn(BATCH_COL, F.lit(-1))
+    merged = merged.localCheckpoint(eager=True)
+    # static overwrite replaces the WHOLE directory: history partitions
+    # are absorbed into _batch_id=-1, later batches re-add their own
+    merged.write.mode("overwrite").partitionBy(BATCH_COL).parquet(sketch_dir)
