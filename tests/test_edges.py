@@ -79,9 +79,17 @@ def test_multi_path_union(spark, tmp_path):
 
 
 def test_excel_gated(spark, tmp_path):
+    # corrupt zip: loud failure, not silent empty frame
     (tmp_path / "f.xlsx").write_bytes(b"PK\x03\x04 not really xlsx")
-    with pytest.raises((NotImplementedError, Exception)):
+    with pytest.raises(Exception):
         load_input(spark, {"path": str(tmp_path / "f.xlsx"), "type": "xlsx"})
+    # legacy binary .xls stays gated without xlrd (xlsx_lite is zip-XML only)
+    (tmp_path / "f.xls").write_bytes(b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1 legacy")
+    try:
+        import xlrd  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError, match="openpyxl/xlrd"):
+            load_input(spark, {"path": str(tmp_path / "f.xls"), "type": "xls"})
 
 
 def test_spark_submit_builder():

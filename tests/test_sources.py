@@ -198,29 +198,73 @@ def test_pickle_write_roundtrip(spark, tmp_path):
         save_output(df, {"path": path, "type": "pickle"})
 
 
-def test_excel_write_gate(spark, tmp_path):
-    """No openpyxl in this image — the xlsx branch must fail with the
-    capability gate, not an AttributeError deep in pandas."""
-    import pytest
-
+def test_excel_write_read_roundtrip(spark, tmp_path):
+    """.xlsx works WITHOUT openpyxl: the stdlib xlsx_lite codec backs
+    both save_output and load_input, so a write→read roundtrip through
+    a real zip-of-SpreadsheetML file preserves values and dtypes."""
+    from yaetos_spark.sources.readers import load_input
     from yaetos_spark.sources.writers import save_output
 
-    df = spark.createDataFrame([(1, "a")], "id int, v string")
+    df = spark.createDataFrame(
+        [(1, "a", 1.5, True), (2, "b,é <&>", 2.0, False), (3, None, None, None)],
+        "id int, v string, x double, flag boolean",
+    )
+    path = str(tmp_path / "out.xlsx")
+    save_output(df, {"path": path, "type": "xlsx"})
+    back = load_input(
+        spark,
+        {"path": path, "type": "xlsx", "schema": "id int, v string, x double, flag boolean"},
+    )
+    assert sorted(back.collect()) == sorted(df.collect())
+    # excel kwargs beyond the stdlib subset still need openpyxl
     try:
         import openpyxl  # noqa: F401
-
-        has_openpyxl = True
     except ImportError:
-        has_openpyxl = False
-    path = str(tmp_path / "out.xlsx")
-    if has_openpyxl:
-        save_output(df, {"path": path, "type": "xlsx"})
-        import pandas as pd
+        import pytest
 
-        assert len(pd.read_excel(path)) == 1
-    else:
         with pytest.raises(NotImplementedError, match="openpyxl"):
-            save_output(df, {"path": path, "type": "xlsx"})
+            save_output(
+                df, {"path": str(tmp_path / "s.xlsx"), "type": "xlsx",
+                     "write_kwargs": {"sheet_name": "S2"}}
+            )
+
+
+def test_xlsx_lite_codec_details(tmp_path):
+    """Parser details beyond the roundtrip: sparse cell refs, shared-
+    string dedup, inline strings, rich-text runs, and >26 columns."""
+    import zipfile
+
+    from yaetos_spark.sources import xlsx_lite as XL
+
+    assert XL._col_name(0) == "A" and XL._col_name(27) == "AB"
+    assert XL._col_index("AB") == 27
+
+    path = str(tmp_path / "t.xlsx")
+    XL.write_xlsx(path, ["a", "b", "c"], [(1, "dup", None), (2.5, "dup", -3)])
+    header, rows = XL.read_xlsx(path)
+    assert header == ["a", "b", "c"]
+    assert rows == [(1, "dup", None), (2.5, "dup", -3)]
+    with zipfile.ZipFile(path) as zf:  # "dup" stored once (shared strings)
+        assert zf.read("xl/sharedStrings.xml").count(b"dup") == 1
+
+    # hand-crafted sheet exercising inline strings + rich-text runs,
+    # the producer shapes our own writer doesn't emit
+    ns = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    sheet = (
+        f'<worksheet xmlns="{ns}"><sheetData>'
+        '<row r="1"><c r="A1" t="inlineStr"><is><t>h1</t></is></c>'
+        '<c r="B1" t="s"><v>0</v></c></row>'
+        '<row r="2"><c r="B2"><v>7</v></c></row>'  # A2 missing → None
+        "</sheetData></worksheet>"
+    )
+    sst = f'<sst xmlns="{ns}"><si><r><t>ri</t></r><r><t>ch</t></r></si></sst>'
+    path2 = str(tmp_path / "h.xlsx")
+    with zipfile.ZipFile(path2, "w") as zf:
+        zf.writestr("xl/worksheets/sheet1.xml", sheet)
+        zf.writestr("xl/sharedStrings.xml", sst)
+    header, rows = XL.read_xlsx(path2)
+    assert header == ["h1", "rich"]
+    assert rows == [(None, 7)]
 
 
 def test_airflow_dag_golden_file():

@@ -204,15 +204,34 @@ def expand_path_combinations(template: str, **values: list[str]) -> list[str]:
 
 
 def _load_excel(spark: SparkSession, path: str, schema, kwargs) -> DataFrame:
+    """pandas shim when openpyxl is present (full feature set:
+    sheet_name/skiprows/... kwargs pass through, reference:
+    yaetos/excel_utils.py:8-30); otherwise the stdlib ``xlsx_lite``
+    codec reads the pandas-roundtrippable subset, so .xlsx works in
+    images without codec libs.  Legacy binary .xls always needs xlrd."""
     try:
         import pandas as pd
 
         pdf = pd.read_excel(path, **kwargs)
+        return spark.createDataFrame(pdf, schema=schema) if schema else spark.createDataFrame(pdf)
     except ImportError as exc:  # openpyxl/xlrd not installed in this image
-        raise NotImplementedError(
-            "excel input requires openpyxl/xlrd (pandas shim at the edge)"
-        ) from exc
-    return spark.createDataFrame(pdf, schema=schema) if schema else spark.createDataFrame(pdf)
+        if kwargs or not str(path).endswith(".xlsx"):
+            raise NotImplementedError(
+                "excel input beyond plain .xlsx requires openpyxl/xlrd "
+                "(pandas shim at the edge)"
+            ) from exc
+    from yaetos_spark.sources.xlsx_lite import read_xlsx
+
+    header, rows = read_xlsx(path)
+    if not schema:
+        return spark.createDataFrame(rows, schema=header)
+    # xlsx has no int/float/date types — coerce inferred columns to the
+    # declared schema with casts rather than strict row verification
+    from pyspark.sql.types import StructType
+
+    target = StructType.fromDDL(schema) if isinstance(schema, str) else schema
+    df = spark.createDataFrame(rows, schema=[f.name for f in target.fields])
+    return df.select(*(F.col(f.name).cast(f.dataType) for f in target.fields))
 
 
 def _load_pickle(spark: SparkSession, path: str) -> DataFrame:

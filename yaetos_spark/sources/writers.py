@@ -130,9 +130,27 @@ def _save_pandas_edge(df: DataFrame, otype: str, path: str, mode: str, kwargs: d
     try:
         pdf.to_excel(path, index=False, **kwargs)
     except (ImportError, ModuleNotFoundError) as exc:  # no openpyxl in this image
-        raise NotImplementedError(
-            "excel output requires openpyxl (pandas shim at the edge)"
-        ) from exc
+        if kwargs or not str(path).endswith(".xlsx"):
+            raise NotImplementedError(
+                "excel output beyond plain .xlsx requires openpyxl "
+                "(pandas shim at the edge)"
+            ) from exc
+        from yaetos_spark.sources.xlsx_lite import write_xlsx
+
+        # stdlib fallback: numbers/bools inline, text via sharedStrings,
+        # NaN/NaT → blank cells (pandas to_excel parity); numpy scalars
+        # → python natives via .item() so the codec's isinstance
+        # dispatch sees int/float/bool, not int32/bool_
+        def native(v):
+            if v is None or v != v:  # NaN/NaT-safe
+                return None
+            return v.item() if hasattr(v, "item") else v
+
+        rows = [
+            tuple(native(v) for v in rec)
+            for rec in pdf.itertuples(index=False, name=None)
+        ]
+        write_xlsx(path, [str(c) for c in pdf.columns], rows)
 
 
 def _write_metadata_sidecar(path: str, job_name: str, now: dt.datetime | None) -> None:
