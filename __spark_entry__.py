@@ -3697,6 +3697,41 @@ GROUP BY p1, p2 HAVING count(*) >= 2
 """
 
 
+def _bloom_join_revenue(spark, sf_dir):
+    """Bloom-prefiltered shuffle join: build a bitmap of URGENT orders'
+    keys DISTRIBUTEDLY (operators/sketches.py::bloom_build — only
+    m/64 longs reach the driver, never the keys), prune lineitem with a
+    pure-codegen membership expression BEFORE the join shuffle, then
+    join + aggregate.  The inner join removes bloom false positives, so
+    the result is EXACTLY the unpruned join — which is what the oracle
+    computes.  The 100 TB shape for a dim side too big to broadcast
+    whole but whose key set fits a few-MB bitmap."""
+    from yaetos_spark.operators.sketches import bloom_prefilter
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    li = _t(spark, sf_dir, "lineitem")
+    pruned = bloom_prefilter(li, "l_orderkey", o, "o_orderkey", fpp=0.01)
+    return (
+        pruned.join(o, pruned["l_orderkey"] == o["o_orderkey"])
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_BLOOM_JOIN_SQL = """
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
 def _user_skew_report(spark, sf_dir):
     """Heavy-hitter report over events.user_id — the pre-shuffle skew
     measurement (see skew.py:skew_report) that decides whether a key
@@ -3917,6 +3952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_median_contract": _approx_median_contract,
         "part_pairs_support": _part_pairs_support,
         "user_skew_report": _user_skew_report,
+        "bloom_join_revenue": _bloom_join_revenue,
         "event_transitions": _event_transitions,
         "user_sessions": _user_sessions,
         "conditional_agg": _conditional_agg,
@@ -4013,6 +4049,7 @@ def oracle_sql() -> dict[str, str]:
         "rfm_segments": _RFM_SQL,
         "part_pairs_support": _PART_PAIRS_SQL,
         "user_skew_report": _USER_SKEW_SQL,
+        "bloom_join_revenue": _BLOOM_JOIN_SQL,
         "event_transitions": _EVENT_TRANSITIONS_SQL,
         "pivot_status": _PIVOT_SQL,
         "cube_counts": _CUBE_SQL,

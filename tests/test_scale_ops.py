@@ -274,3 +274,70 @@ def test_count_min_weighted(spark):
         for r in count_min_estimate(sk, keys, "word", depth=4, width=512).collect()
     }
     assert est == {"a": 15, "b": 7}
+
+
+def test_bloom_no_false_negatives_and_fpp_bounded(spark):
+    from pyspark.sql import functions as F
+
+    from yaetos_spark.operators import sketches as SK
+
+    member = spark.range(0, 500).select((F.col("id") * 3).alias("k"))
+    m, k = SK.bloom_params(500, 0.01)
+    bitmap = SK.bloom_build(member, "k", m, k)
+    probe = spark.range(0, 10_000).select(F.col("id").alias("k"))
+    hits = probe.filter(SK.bloom_might_contain(bitmap, F.col("k"), m, k))
+    got = {r.k for r in hits.collect()}
+    truth = {i * 3 for i in range(500)}
+    assert truth <= got  # NO false negatives, ever
+    fp = len(got - truth) / (10_000 - 500)
+    assert fp < 0.03  # ~1% target with slack
+
+
+def test_bloom_prefilter_join_is_exact(spark):
+    from pyspark.sql import functions as F
+
+    from yaetos_spark.operators import sketches as SK
+
+    small = spark.range(0, 300).select((F.col("id") * 7).alias("k"), F.lit("d").alias("v"))
+    big = spark.range(0, 5_000).select(F.col("id").alias("k"), (F.col("id") % 9).alias("x"))
+    pruned = SK.bloom_prefilter(big, "k", small, "k", fpp=0.01)
+    a = sorted(pruned.join(small, "k").select("k", "x", "v").collect())
+    b = sorted(big.join(small, "k").select("k", "x", "v").collect())
+    assert a == b and len(a) == 300
+
+
+def test_bloom_membership_is_codegen_expression(spark):
+    """The membership test must stay JVM-side: no BatchEvalPython /
+    ArrowEvalPython in the plan, and the filter sits at the scan."""
+    from pyspark.sql import functions as F
+
+    from yaetos_spark.operators import sketches as SK
+
+    m, k = SK.bloom_params(100, 0.01)
+    bitmap = SK.bloom_build(spark.range(100).select(F.col("id").alias("k")), "k", m, k)
+    plan = (
+        spark.range(1000)
+        .select(F.col("id").alias("k"))
+        .filter(SK.bloom_might_contain(bitmap, F.col("k"), m, k))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "EvalPython" not in plan
+
+
+def test_bloom_arrow_path_matches_inline(spark):
+    """The large-bitmap Arrow probe and the inline codegen expression
+    must select exactly the same rows (same xxhash64 positions, same
+    bitmap) — only the lookup mechanism differs."""
+    from pyspark.sql import functions as F
+
+    from yaetos_spark.operators import sketches as SK
+
+    member = spark.range(0, 400).select((F.col("id") * 11).alias("k"))
+    m, k = SK.bloom_params(400, 0.01)
+    bitmap = SK.bloom_build(member, "k", m, k)
+    big = spark.range(0, 8_000).select(F.col("id").alias("k"), (F.col("id") % 5).alias("v"))
+    inline = big.filter(SK.bloom_might_contain(bitmap, F.col("k"), m, k))
+    arrow = SK._bloom_prefilter_arrow(big, "k", bitmap, m, k, 77)
+    assert sorted(inline.collect()) == sorted(arrow.collect())

@@ -166,7 +166,9 @@ def lsh_bucket_ids(
     planes = _hyperplanes(dim, n_planes, seed)
     bucket = F.lit(0).cast("long")
     for i, p in enumerate(planes):
-        plane_col = F.array(*[F.lit(float(x)) for x in p])
+        # one py4j call per plane (element-wise F.lit would round-trip
+        # the gateway dim times per plane — seconds of driver latency)
+        plane_col = F.lit([float(x) for x in p]).cast("array<double>")
         bit = F.when(dot(F.col(vec_col), plane_col) > 0, F.lit(2 ** i)).otherwise(F.lit(0))
         bucket = bucket + bit.cast("long")
     return emb.withColumn("bucket", bucket)
@@ -303,7 +305,7 @@ def _ivf_assign_expr(emb: DataFrame, centroids, vec_col: str) -> DataFrame:
     # array_position takes the FIRST max — same tie rule as np.argmax.
     scores = []
     for cvec in centroids:
-        c = F.array(*[F.lit(float(x)) for x in cvec])
+        c = F.lit([float(x) for x in cvec]).cast("array<double>")
         scores.append(dot(F.col(vec_col), c) / norm(c))
     arr = F.array(*scores)
     cell = (F.array_position(arr, F.array_max(arr)) - 1).cast("int")

@@ -119,3 +119,195 @@ def count_min_estimate(
     return joined.groupBy(key).agg(
         F.min(F.coalesce("cnt", F.lit(0))).alias("est")
     )
+
+
+# ---------------------------------------------------------------------
+# Bloom filter — membership sketch for join pruning
+# ---------------------------------------------------------------------
+
+
+def bloom_params(expected_items: int, fpp: float = 0.01) -> tuple[int, int]:
+    """Optimal (m_bits, k_hashes) for ``expected_items`` keys at the
+    target false-positive rate: ``m = -n ln p / (ln 2)^2``,
+    ``k = (m/n) ln 2`` (Bloom 1970).  m is rounded up to a multiple of
+    64 so the bitmap packs exactly into longs."""
+    import math
+
+    n = max(expected_items, 1)
+    m = math.ceil(-n * math.log(fpp) / (math.log(2) ** 2))
+    m = ((m + 63) // 64) * 64
+    k = max(1, round(m / n * math.log(2)))
+    return m, k
+
+
+def bloom_build(
+    df: DataFrame, key: str, m_bits: int, k_hashes: int, seed: int = 77
+) -> list[int]:
+    """Build the bitmap DISTRIBUTEDLY and return it as ``m_bits/64``
+    longs.  One pass: each key explodes into its k bit positions (the
+    frame is distinct-key-sized if the caller pre-distincts; raw is
+    also fine — duplicate bits are idempotent), positions groupBy their
+    64-bit word with a ``bit_or`` of shifted bits (map-side
+    combinable), and only ``m/64`` (word, bits) rows reach the driver —
+    never the keys themselves.  Same driver-traffic contract as the
+    ntile boundary collect in windows.py."""
+    n_words = m_bits // 64
+    pos = df.select(
+        F.explode(
+            F.array(*[
+                F.pmod(F.xxhash64(F.col(key), F.lit(seed + i)), F.lit(m_bits))
+                for i in range(k_hashes)
+            ])
+        ).alias("_pos")
+    )
+    words = (
+        pos.select(
+            (F.col("_pos") / 64).cast("int").alias("_word"),
+            F.expr("shiftleft(1L, cast(_pos % 64 as int))").alias("_bit"),
+        )
+        .groupBy("_word")
+        .agg(F.expr("bit_or(_bit)").alias("_bits"))
+        .collect()
+    )
+    bitmap = [0] * n_words
+    for r in words:
+        bitmap[r["_word"]] = r["_bits"]
+    return bitmap
+
+
+def bloom_might_contain(
+    bitmap: list[int], key_col, m_bits: int, k_hashes: int, seed: int = 77
+):
+    """Boolean Column: True iff every one of the key's k bits is set.
+    Pure JVM expression, so it rides whole-stage codegen and can sit
+    directly in a ``.filter`` before a shuffle — no Python in the hot
+    path.  The k positions go into ONE array tested with ``forall``, so
+    the bitmap literal appears exactly once in the plan (k copies of an
+    m/64-long array literal would blow the plan up the way a per-
+    centroid when-chain does — the ivf_assign lesson).  Meant for
+    bitmaps up to ~8k longs (512k bits); above that use the Arrow path
+    in ``bloom_prefilter``."""
+    # ONE py4j call for the whole bitmap literal — element-wise F.lit
+    # would round-trip the gateway per word (~2ms each, seconds for a
+    # few-hundred-word bitmap)
+    arr = F.lit(bitmap).cast("array<long>")
+    positions = F.array(*[
+        F.pmod(F.xxhash64(key_col, F.lit(seed + i)), F.lit(m_bits))
+        for i in range(k_hashes)
+    ])
+    return F.forall(
+        positions,
+        lambda pos: F.getbit(
+            F.element_at(arr, (pos / 64).cast("int") + 1), (pos % 64).cast("int")
+        )
+        == 1,
+    )
+
+
+# above this many longs, the inline array literal stops being a
+# reasonable Catalyst plan; switch to an Arrow-batched numpy probe
+MAX_INLINE_BLOOM_WORDS = 8192
+
+
+def _bloom_prefilter_arrow(
+    big: DataFrame, big_key: str, bitmap: list[int], m_bits: int, k_hashes: int, seed: int
+) -> DataFrame:
+    """Large-bitmap path: ship the bitmap to executors once as a numpy
+    array (closure-captured, Arrow workers cache it per batch-stream)
+    and test membership vectorized per batch.  xxhash64 must match the
+    JVM build side bit-for-bit, so the BUILD also computed positions
+    with Spark's xxhash64 — here we re-derive positions JVM-side first
+    and only do the bitmap lookup in Python, keeping the two hash
+    implementations from ever having to agree."""
+    import numpy as np
+
+    words = np.array(bitmap, dtype=np.uint64)
+    pos_cols = [
+        F.pmod(F.xxhash64(F.col(big_key), F.lit(seed + i)), F.lit(m_bits)).alias(f"_p{i}")
+        for i in range(k_hashes)
+    ]
+    with_pos = big.select(F.struct(*big.columns).alias("_row"), *pos_cols)
+
+    def probe(batches):
+        for pdf in batches:
+            mask = np.ones(len(pdf), dtype=bool)
+            for i in range(k_hashes):
+                p = pdf[f"_p{i}"].to_numpy().astype(np.uint64)
+                mask &= (words[p >> np.uint64(6)] >> (p & np.uint64(63))) & np.uint64(1) == 1
+            yield pdf.loc[mask, ["_row"]]
+
+    kept = with_pos.mapInPandas(probe, schema=with_pos.select("_row").schema)
+    return kept.select("_row.*")
+
+
+def bloom_prefilter(
+    big: DataFrame,
+    big_key: str,
+    small: DataFrame,
+    small_key: str,
+    fpp: float = 0.01,
+    expected_items: int | None = None,
+    seed: int = 77,
+) -> DataFrame:
+    """Prune ``big`` to rows whose key MIGHT appear in ``small`` before
+    an expensive shuffle join — the classic 100 TB pattern for a dim
+    side that is too big to broadcast-hash-join but whose key SET fits
+    a few-MB bitmap.  No false negatives, so ``bloom_prefilter(...)
+    .join(small, ...)`` ("inner"/"semi") is exactly equal to the
+    unpruned join; false positives only cost shuffled bytes.  The
+    reference has no counterpart (closest: full joins in its SQL jobs);
+    Spark's own runtime bloom (spark.sql.optimizer.runtime.bloomFilter)
+    does this automatically only within one query — this operator makes
+    it explicit and reusable across queries/jobs.
+
+    Small bitmaps (<= MAX_INLINE_BLOOM_WORDS longs) inline as one array
+    literal and filter in whole-stage codegen; bigger ones switch to an
+    Arrow-batched numpy probe (positions still computed JVM-side with
+    the same xxhash64 as the build).
+    """
+    if expected_items is None:
+        # sizing only needs an order of magnitude: approx_count_distinct
+        # is one pass, no exact-distinct shuffle; pad for its ±5% rsd
+        expected_items = int(
+            small.agg(F.approx_count_distinct(small_key).alias("n")).collect()[0]["n"] * 1.15
+        )
+    m_bits, k_hashes = bloom_params(expected_items, fpp)
+    bitmap = bloom_build(
+        small.select(small_key).distinct(), small_key, m_bits, k_hashes, seed
+    )
+    if len(bitmap) > MAX_INLINE_BLOOM_WORDS:
+        return _bloom_prefilter_arrow(big, big_key, bitmap, m_bits, k_hashes, seed)
+    return big.filter(
+        bloom_might_contain(bitmap, F.col(big_key), m_bits, k_hashes, seed)
+    )
+
+
+def bloom_prefilter(
+    big: DataFrame,
+    big_key: str,
+    small: DataFrame,
+    small_key: str,
+    fpp: float = 0.01,
+    expected_items: int | None = None,
+    seed: int = 77,
+) -> DataFrame:
+    """Prune ``big`` to rows whose key MIGHT appear in ``small`` before
+    an expensive shuffle join — the classic 100 TB pattern for a dim
+    side that is too big to broadcast-hash-join but whose key SET fits
+    a few-MB bitmap.  No false negatives, so ``bloom_prefilter(...)
+    .join(small, ...)`` ("inner"/"semi") is exactly equal to the
+    unpruned join; false positives only cost shuffled bytes.  The
+    reference has no counterpart (closest: full joins in its SQL jobs);
+    Spark's own runtime bloom (spark.sql.optimizer.runtime.bloomFilter)
+    does this automatically only within one query — this operator makes
+    it explicit and reusable across queries/jobs.
+    """
+    if expected_items is None:
+        expected_items = small.select(small_key).distinct().count()
+    m_bits, k_hashes = bloom_params(expected_items, fpp)
+    bitmap = bloom_build(
+        small.select(small_key).distinct(), small_key, m_bits, k_hashes, seed
+    )
+    return big.filter(
+        bloom_might_contain(bitmap, F.col(big_key), m_bits, k_hashes, seed)
+    )
