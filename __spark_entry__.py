@@ -3697,6 +3697,35 @@ GROUP BY p1, p2 HAVING count(*) >= 2
 """
 
 
+def _hll_distinct_contract(spark, sf_dir):
+    """Mergeable-HLL contract: our register-frame HLL
+    (operators/sketches.py::hll_build/hll_estimate — the persistable /
+    streaming-maintainable variant of approx_count_distinct) must land
+    within 3% of the exact distinct customer count.  Measured error:
+    0% / 0.87% / 1.14% at sf0.001/0.01/0.1 (rsd(p=12) = 1.6%).  The
+    oracle recomputes the exact count and asserts the contract
+    tautologically, so a hash mismatch means the sketch drifted."""
+    from yaetos_spark.operators.sketches import hll_build, hll_estimate
+
+    o = _t(spark, sf_dir, "orders")
+    exact = o.select(F.countDistinct("o_custkey").alias("n_exact"))
+    est = hll_estimate(hll_build(o, "o_custkey", p=12), p=12)
+    return exact.crossJoin(est).select(
+        F.col("n_exact").cast("long").alias("n_exact"),
+        (F.abs(F.col("est") - F.col("n_exact")) <= 0.03 * F.col("n_exact")).alias(
+            "within_3pct"
+        ),
+        (F.col("est") > 0).alias("est_positive"),
+    )
+
+
+_HLL_CONTRACT_SQL = """
+SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_exact,
+       TRUE AS within_3pct, TRUE AS est_positive
+FROM orders
+"""
+
+
 def _bloom_join_revenue(spark, sf_dir):
     """Bloom-prefiltered shuffle join: build a bitmap of URGENT orders'
     keys DISTRIBUTEDLY (operators/sketches.py::bloom_build — only
@@ -3953,6 +3982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_pairs_support": _part_pairs_support,
         "user_skew_report": _user_skew_report,
         "bloom_join_revenue": _bloom_join_revenue,
+        "hll_distinct_contract": _hll_distinct_contract,
         "event_transitions": _event_transitions,
         "user_sessions": _user_sessions,
         "conditional_agg": _conditional_agg,
@@ -4050,6 +4080,7 @@ def oracle_sql() -> dict[str, str]:
         "part_pairs_support": _PART_PAIRS_SQL,
         "user_skew_report": _USER_SKEW_SQL,
         "bloom_join_revenue": _BLOOM_JOIN_SQL,
+        "hll_distinct_contract": _HLL_CONTRACT_SQL,
         "event_transitions": _EVENT_TRANSITIONS_SQL,
         "pivot_status": _PIVOT_SQL,
         "cube_counts": _CUBE_SQL,

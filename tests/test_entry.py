@@ -121,6 +121,7 @@ def test_no_nested_loop_joins_anywhere(spark):
         "semi_anti_counts",
         "lsh_ann_pairs",  # recall report: crossJoin of two 1-row aggs
         "cms_heavy_hitters",  # est<=total contract: 1-row total-count agg
+        "hll_distinct_contract",  # crossJoin of two 1-row aggs (exact x est)
     }
     for name, fn in qs.items():
         if name in single_row_broadcasts:

@@ -341,3 +341,40 @@ def test_bloom_arrow_path_matches_inline(spark):
     inline = big.filter(SK.bloom_might_contain(bitmap, F.col("k"), m, k))
     arrow = SK._bloom_prefilter_arrow(big, "k", bitmap, m, k, 77)
     assert sorted(inline.collect()) == sorted(arrow.collect())
+
+
+def test_hll_estimate_accuracy_and_merge(spark):
+    from pyspark.sql import functions as F
+
+    from yaetos_spark.operators import sketches as SK
+
+    df = spark.range(10_000).select((F.col("id") * 7919).alias("k"))
+    est = SK.hll_estimate(SK.hll_build(df, "k", p=12), p=12).collect()[0]["est"]
+    assert abs(est - 10_000) / 10_000 < 0.05  # ~3x rsd(p=12)=1.6%
+
+    # merge(a, b) == build(a union b), register-exact
+    a = spark.range(0, 3_000).select(F.col("id").alias("k"))
+    b = spark.range(2_000, 6_000).select(F.col("id").alias("k"))
+    merged = {
+        (r.bucket, r.rho)
+        for r in SK.hll_merge(SK.hll_build(a, "k"), SK.hll_build(b, "k")).collect()
+    }
+    whole = {(r.bucket, r.rho) for r in SK.hll_build(a.union(b), "k").collect()}
+    assert merged == whole
+
+    # duplicates don't move the estimate: registers are max-based
+    dup = df.union(df).union(df)
+    assert (
+        SK.hll_estimate(SK.hll_build(dup, "k", p=12), p=12).collect()[0]["est"] == est
+    )
+
+
+def test_hll_small_range_uses_linear_counting(spark):
+    from pyspark.sql import functions as F
+
+    from yaetos_spark.operators import sketches as SK
+
+    df = spark.range(40).select(F.col("id").alias("k"))
+    est = SK.hll_estimate(SK.hll_build(df, "k", p=12), p=12).collect()[0]["est"]
+    # linear counting is near-exact when n << m=4096
+    assert abs(est - 40) <= 2

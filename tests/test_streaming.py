@@ -375,3 +375,51 @@ def test_streaming_count_min_matches_batch_and_survives_replay(spark, tmp_path):
 
     parts = [d for d in os.listdir(skd) if d.startswith("_batch_id=")]
     assert parts == ["_batch_id=-1"]
+
+
+def test_streaming_hll_matches_batch_and_survives_replay(spark, tmp_path):
+    """HLL registers maintained across micro-batches == registers from
+    one batch over all data; replaying a batch id rewrites its
+    partition; compaction preserves the registers."""
+    from yaetos_spark.operators.sketches import hll_build, hll_estimate
+    from yaetos_spark.streaming.sketch import (
+        compact_hll,
+        hll_batch_exactly_once,
+        read_hll,
+        streaming_hll,
+    )
+
+    src = str(tmp_path / "keys")
+    skd = str(tmp_path / "hll")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        stream = spark.readStream.schema("k long").parquet(src)
+        q = streaming_hll(stream, skd, ckpt, "k", p=10)
+        q.awaitTermination(timeout=120)
+        assert not q.isActive
+
+    b1 = [(i,) for i in range(0, 800)]
+    b2 = [(i,) for i in range(500, 1500)]
+    spark.createDataFrame(b1, "k long").coalesce(1).write.mode("append").parquet(src)
+    run()
+    spark.createDataFrame(b2, "k long").coalesce(1).write.mode("append").parquet(src)
+    run()
+
+    whole = spark.createDataFrame(b1 + b2, "k long")
+    regs_stream = {(r.bucket, r.rho) for r in read_hll(spark, skd).collect()}
+    regs_batch = {(r.bucket, r.rho) for r in hll_build(whole, "k", p=10).collect()}
+    assert regs_stream == regs_batch
+
+    est = hll_estimate(read_hll(spark, skd), p=10).collect()[0]["est"]
+    assert abs(est - 1500) / 1500 < 0.10  # rsd(p=10) ~3.2%
+
+    # replay batch 0: registers unchanged (partition rewritten)
+    hll_batch_exactly_once(spark.createDataFrame(b1, "k long"), 0, skd, "k", p=10)
+    assert {(r.bucket, r.rho) for r in read_hll(spark, skd).collect()} == regs_batch
+
+    compact_hll(spark, skd)
+    assert {(r.bucket, r.rho) for r in read_hll(spark, skd).collect()} == regs_batch
+    import os
+
+    assert [d for d in os.listdir(skd) if d.startswith("_batch_id=")] == ["_batch_id=-1"]

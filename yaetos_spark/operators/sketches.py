@@ -311,3 +311,73 @@ def bloom_prefilter(
     return big.filter(
         bloom_might_contain(bitmap, F.col(big_key), m_bits, k_hashes, seed)
     )
+
+
+# ---------------------------------------------------------------------
+# HyperLogLog — mergeable distinct-count sketch
+# ---------------------------------------------------------------------
+
+
+def hll_build(df: DataFrame, key: str, p: int = 12, seed: int = 99) -> DataFrame:
+    """HLL registers for ``df[key]`` as a DataFrame of
+    ``(bucket int, rho int)`` — at most ``2^p`` rows regardless of
+    input size (Flajolet et al. 2007).
+
+    Spark-first: bucket = top ``p`` bits of xxhash64, rho = leading-
+    zero count of the remaining ``64-p`` bits + 1, computed EXACTLY
+    JVM-side as ``(64-p) - length(bin(w)) + 1`` — ``bin()`` drops
+    leading zeros so ``length(bin(w))`` is w's integer bit-length,
+    with none of the float-``log2`` off-by-one risk near powers of
+    two.  One map-side-combinable max-agg; registers MERGE by
+    bucket-wise max (``hll_merge``), the roll-up path for per-day /
+    per-partition sketches.  Spark's own approx_count_distinct is this
+    sketch fused into one agg — this variant exists for cross-job and
+    streaming maintenance, where the REGISTERS are the persisted state.
+    """
+    h = F.xxhash64(F.col(key), F.lit(seed))
+    # logical shifts: shiftrightunsigned keeps the top p bits unbiased,
+    # and the shiftleft/shiftrightunsigned pair masks to the low 64-p bits
+    bucket = F.shiftrightunsigned(h, 64 - p).cast("int")
+    w = F.shiftrightunsigned(F.shiftleft(h, p), p)
+    rho = F.when(w == 0, F.lit(64 - p + 1)).otherwise(
+        F.lit(64 - p) - F.length(F.bin(w)) + 1
+    )
+    return (
+        df.where(F.col(key).isNotNull())
+        .select(bucket.alias("bucket"), rho.cast("int").alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_merge(*sketches: DataFrame) -> DataFrame:
+    """Bucket-wise max of register frames built with identical
+    (p, seed)."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("bucket").agg(F.max("rho").alias("rho"))
+
+
+def hll_estimate(sketch: DataFrame, p: int = 12) -> DataFrame:
+    """Cardinality estimate from a register frame: one row
+    ``(est long)``.  Raw harmonic-mean estimator with the standard
+    small-range linear-counting correction (empty registers counted
+    via ``m - count(*)``); all arithmetic in one single-row agg over
+    the <=2^p register rows — no driver-side math on data."""
+    import math
+
+    m = 1 << p
+    alpha = 0.7213 / (1 + 1.079 / m)  # standard bias constant for m >= 128
+    agg = sketch.agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("_inv"),
+        F.count(F.lit(1)).alias("_nonzero"),
+    ).select(
+        (F.lit(alpha * m * m) / (F.col("_inv") + (F.lit(m) - F.col("_nonzero")))).alias("_raw"),
+        (F.lit(m) - F.col("_nonzero")).alias("_zeros"),
+    )
+    est = F.when(
+        (F.col("_raw") <= 2.5 * m) & (F.col("_zeros") > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("_zeros")),
+    ).otherwise(F.col("_raw"))
+    return agg.select(F.round(est).cast("long").alias("est"))

@@ -100,3 +100,71 @@ def compact_count_min(spark, sketch_dir: str) -> None:
     # static overwrite replaces the WHOLE directory: history partitions
     # are absorbed into _batch_id=-1, later batches re-add their own
     merged.write.mode("overwrite").partitionBy(BATCH_COL).parquet(sketch_dir)
+
+
+def hll_batch_exactly_once(
+    batch_df: DataFrame,
+    batch_id: int,
+    sketch_dir: str,
+    key: str,
+    p: int = 12,
+    seed: int = 99,
+) -> None:
+    """HLL registers for this batch into its own ``_batch_id``
+    partition — same replay-safe recipe as the count-min writer (HLL
+    registers are idempotent under max-merge, but per-batch partitions
+    additionally make REPLAYS rewrite instead of interleave)."""
+    from yaetos_spark.operators.sketches import hll_build
+
+    spark = batch_df.sparkSession
+    partial = hll_build(batch_df, key, p=p, seed=seed).withColumn(
+        BATCH_COL, F.lit(int(batch_id))
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        partial.write.mode("overwrite").partitionBy(BATCH_COL).parquet(sketch_dir)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def streaming_hll(
+    stream_df: DataFrame,
+    sketch_dir: str,
+    checkpoint_dir: str,
+    key: str,
+    p: int = 12,
+    seed: int = 99,
+):
+    """Maintain a distinct-count sketch of an unbounded key stream:
+    each micro-batch lands <=2^p register rows; the current cardinality
+    estimate reads register-max across batch partitions — the full
+    stream is never re-scanned."""
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        hll_batch_exactly_once(batch_df, batch_id, sketch_dir, key, p=p, seed=seed)
+
+    return (
+        stream_df.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_hll(spark, sketch_dir: str) -> DataFrame:
+    """Current merged registers: bucket-wise max over all batch
+    partitions (HLL merge is max, so merge-on-read is exact)."""
+    return (
+        spark.read.parquet(sketch_dir)
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def compact_hll(spark, sketch_dir: str) -> None:
+    """Fold all batch partitions into ``_batch_id=-1`` (idempotent,
+    read-own-input-safe via localCheckpoint)."""
+    merged = read_hll(spark, sketch_dir).withColumn(BATCH_COL, F.lit(-1))
+    merged = merged.localCheckpoint(eager=True)
+    merged.write.mode("overwrite").partitionBy(BATCH_COL).parquet(sketch_dir)
