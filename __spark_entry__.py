@@ -3697,6 +3697,60 @@ GROUP BY p1, p2 HAVING count(*) >= 2
 """
 
 
+def _corpus_line_dedup(spark, sf_dir):
+    """C4-style corpus-level boilerplate removal, oracle-checked
+    value-exact: synthesize line structure deterministically (the word
+    ' batch ' becomes a newline — DuckDB reproduces it with replace()),
+    drop every trimmed line occurring in >= 3 distinct docs via
+    operators/curation.py::dedup_corpus_lines, and hash the reassembled
+    text so the oracle verifies line ORDER, not just counts."""
+    from yaetos_spark.operators.curation import dedup_corpus_lines
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.regexp_replace("text", " batch ", "\n").alias("text")
+    )
+    out = dedup_corpus_lines(d, min_docs=3)
+    return out.select(
+        "doc_id",
+        F.md5(F.col("text_clean")).alias("clean_md5"),
+        "n_kept",
+        "n_removed",
+    ).orderBy("doc_id")
+
+
+_CORPUS_LINE_DEDUP_SQL = """
+WITH d AS (
+  SELECT doc_id, replace(text, ' batch ', chr(10)) AS t FROM documents
+),
+keyed AS (
+  SELECT doc_id,
+         generate_subscripts(string_split(t, chr(10)), 1) AS pos,
+         unnest(string_split(t, chr(10))) AS line,
+         trim(unnest(string_split(t, chr(10)))) AS key
+  FROM d
+),
+hot AS (
+  SELECT key FROM (
+    SELECT key, count(DISTINCT doc_id) AS n FROM keyed WHERE key <> '' GROUP BY key
+  ) WHERE n >= 3
+),
+agg AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text_clean,
+         count(*) AS n_kept
+  FROM keyed WHERE key NOT IN (SELECT key FROM hot) GROUP BY doc_id
+),
+removed AS (
+  SELECT doc_id, count(*) AS n_removed
+  FROM keyed WHERE key IN (SELECT key FROM hot) GROUP BY doc_id
+)
+SELECT d.doc_id, md5(coalesce(a.text_clean, '')) AS clean_md5,
+       CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(coalesce(r.n_removed, 0) AS BIGINT) AS n_removed
+FROM d LEFT JOIN agg a USING (doc_id) LEFT JOIN removed r USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 def _hll_distinct_contract(spark, sf_dir):
     """Mergeable-HLL contract: our register-frame HLL
     (operators/sketches.py::hll_build/hll_estimate — the persistable /
@@ -3983,6 +4037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_skew_report": _user_skew_report,
         "bloom_join_revenue": _bloom_join_revenue,
         "hll_distinct_contract": _hll_distinct_contract,
+        "corpus_line_dedup": _corpus_line_dedup,
         "event_transitions": _event_transitions,
         "user_sessions": _user_sessions,
         "conditional_agg": _conditional_agg,
@@ -4081,6 +4136,7 @@ def oracle_sql() -> dict[str, str]:
         "user_skew_report": _USER_SKEW_SQL,
         "bloom_join_revenue": _BLOOM_JOIN_SQL,
         "hll_distinct_contract": _HLL_CONTRACT_SQL,
+        "corpus_line_dedup": _CORPUS_LINE_DEDUP_SQL,
         "event_transitions": _EVENT_TRANSITIONS_SQL,
         "pivot_status": _PIVOT_SQL,
         "cube_counts": _CUBE_SQL,

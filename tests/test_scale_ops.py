@@ -378,3 +378,36 @@ def test_hll_small_range_uses_linear_counting(spark):
     est = SK.hll_estimate(SK.hll_build(df, "k", p=12), p=12).collect()[0]["est"]
     # linear counting is near-exact when n << m=4096
     assert abs(est - 40) <= 2
+
+
+def test_dedup_corpus_lines_semantics(spark):
+    from yaetos_spark.operators.curation import dedup_corpus_lines
+
+    docs = spark.createDataFrame(
+        [
+            (1, "unique one\nCOOKIE BANNER\nreal content A"),
+            (2, "COOKIE BANNER\nreal content B\n  COOKIE BANNER  "),
+            (3, "COOKIE BANNER\nother text"),
+            (4, "all mine\nall mine too"),
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.text_clean, r.n_kept, r.n_removed)
+        for r in dedup_corpus_lines(docs, min_docs=3).collect()
+    }
+    # hot line removed wherever it appears, trim-matched (doc 2's
+    # padded copy goes too), order of survivors preserved
+    assert out[1] == ("unique one\nreal content A", 2, 1)
+    assert out[2] == ("real content B", 1, 2)
+    assert out[3] == ("other text", 1, 1)
+    # below-threshold lines untouched; empty doc keeps its empty line
+    assert out[4] == ("all mine\nall mine too", 2, 0)
+    assert out[5] == ("", 1, 0)
+    # threshold is distinct-doc count, not occurrence count
+    dup_in_one = spark.createDataFrame(
+        [(1, "x\nx\nx"), (2, "y")], "doc_id long, text string"
+    )
+    out2 = {r.doc_id: r.n_removed for r in dedup_corpus_lines(dup_in_one, min_docs=2).collect()}
+    assert out2 == {1: 0, 2: 0}

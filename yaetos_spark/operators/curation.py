@@ -323,3 +323,73 @@ def rebalance_groups(
         .where(F.col("_rk") <= int(quota))
         .drop("_rk")
     )
+
+
+def dedup_corpus_lines(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 3,
+    delimiter: str = "\n",
+) -> DataFrame:
+    """C4/RefinedWeb-style corpus-level line dedup: drop every line
+    that occurs (exactly, after trim) in >= ``min_docs`` DISTINCT
+    documents — boilerplate headers, cookie banners, nav text — and
+    reassemble each document from its surviving lines in order.
+
+    Returns ``(id_col, text_clean, n_kept, n_removed)``.
+
+    Scale shape: posexplode lines (narrow) → distinct (line, doc) →
+    count per line → the HOT-line frame is only the lines above the
+    threshold (tiny vs the corpus) and broadcasts into an anti-join;
+    reassembly is one groupBy(doc) with sort_array over (pos, line)
+    structs, so no window and no single-partition stage.  The count
+    uses two-phase distinct aggregation (map-side partials) — the one
+    full-corpus shuffle is on the line hash, as it must be.
+    """
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), delimiter)).alias("_pos", "_line"),
+    ).withColumn("_key", F.trim(F.col("_line")))
+
+    hot = (
+        lines.where(F.col("_key") != "")
+        .select("_key", id_col)
+        .distinct()
+        .groupBy("_key")
+        .agg(F.count(F.lit(1)).alias("_docs"))
+        .where(F.col("_docs") >= min_docs)
+        .select("_key")
+    )
+
+    kept = lines.join(F.broadcast(hot), "_key", "left_anti")
+    removed = lines.join(F.broadcast(hot), "_key", "left_semi")
+
+    reassembled = (
+        kept.groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                delimiter,
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("_pos"), F.col("_line")))
+                    ),
+                    lambda s: s["_line"],
+                ),
+            ).alias("text_clean"),
+            F.count(F.lit(1)).alias("n_kept"),
+        )
+    )
+    n_removed = removed.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_removed"))
+    # docs whose every line was removed keep an empty-text row
+    base = docs.select(id_col)
+    return (
+        base.join(reassembled, id_col, "left")
+        .join(n_removed, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce("n_removed", F.lit(0)).cast("long").alias("n_removed"),
+        )
+    )
