@@ -3697,6 +3697,53 @@ GROUP BY p1, p2 HAVING count(*) >= 2
 """
 
 
+def _zorder_top_orders(spark, sf_dir):
+    """Morton-key arithmetic oracle-checked end-to-end: z-order
+    (operators/layout.py::zorder_key) over two mod-256
+    dimensions of o_orderkey whose min/max are exactly 0/255 at every
+    SF, so each rank equals its value and the
+    oracle can re-interleave the bits with integer shift/mask SQL.  Top
+    20 by key — any defect in normalization, getbit, or interleaving
+    order flips the hash."""
+    from yaetos_spark.operators.layout import zorder_key
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_orderkey") % 256).cast("int").alias("a"),
+        ((F.col("o_orderkey") * 7) % 256).cast("int").alias("b"),
+    )
+    keyed, key = zorder_key(o, ["a", "b"], bits_per_col=8)
+    return (
+        keyed.select("o_orderkey", F.col(key).alias("zkey"))
+        .orderBy(F.desc("zkey"), "o_orderkey")
+        .limit(20)
+    )
+
+
+_ZORDER_SQL = """
+WITH m AS (
+  SELECT o_orderkey,
+         CAST(o_orderkey % 256 AS BIGINT) AS a,
+         CAST((o_orderkey * 7) % 256 AS BIGINT) AS b
+  FROM orders
+)
+SELECT o_orderkey,
+       CAST(
+         (((a >> 0) & 1) << 0)  | (((b >> 0) & 1) << 1)  |
+         (((a >> 1) & 1) << 2)  | (((b >> 1) & 1) << 3)  |
+         (((a >> 2) & 1) << 4)  | (((b >> 2) & 1) << 5)  |
+         (((a >> 3) & 1) << 6)  | (((b >> 3) & 1) << 7)  |
+         (((a >> 4) & 1) << 8)  | (((b >> 4) & 1) << 9)  |
+         (((a >> 5) & 1) << 10) | (((b >> 5) & 1) << 11) |
+         (((a >> 6) & 1) << 12) | (((b >> 6) & 1) << 13) |
+         (((a >> 7) & 1) << 14) | (((b >> 7) & 1) << 15)
+       AS BIGINT) AS zkey
+FROM m
+ORDER BY zkey DESC, o_orderkey
+LIMIT 20
+"""
+
+
 def _corpus_line_dedup(spark, sf_dir):
     """C4-style corpus-level boilerplate removal, oracle-checked
     value-exact: synthesize line structure deterministically (the word
@@ -4038,6 +4085,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_join_revenue": _bloom_join_revenue,
         "hll_distinct_contract": _hll_distinct_contract,
         "corpus_line_dedup": _corpus_line_dedup,
+        "zorder_top_orders": _zorder_top_orders,
         "event_transitions": _event_transitions,
         "user_sessions": _user_sessions,
         "conditional_agg": _conditional_agg,
@@ -4137,6 +4185,7 @@ def oracle_sql() -> dict[str, str]:
         "bloom_join_revenue": _BLOOM_JOIN_SQL,
         "hll_distinct_contract": _HLL_CONTRACT_SQL,
         "corpus_line_dedup": _CORPUS_LINE_DEDUP_SQL,
+        "zorder_top_orders": _ZORDER_SQL,
         "event_transitions": _EVENT_TRANSITIONS_SQL,
         "pivot_status": _PIVOT_SQL,
         "cube_counts": _CUBE_SQL,

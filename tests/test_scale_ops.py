@@ -411,3 +411,89 @@ def test_dedup_corpus_lines_semantics(spark):
     )
     out2 = {r.doc_id: r.n_removed for r in dedup_corpus_lines(dup_in_one, min_docs=2).collect()}
     assert out2 == {1: 0, 2: 0}
+
+
+def test_zorder_key_locality_beats_single_sort(spark):
+    """Morton key correctness + the property it exists for: with a 2-D
+    clustered layout, BOTH dimensions get tight per-file ranges,
+    whereas a single-column sort leaves the other dimension's ranges
+    full-width."""
+    from pyspark.sql import functions as F
+
+    from yaetos_spark.operators.layout import zorder_key, zorder_layout
+
+    df = spark.createDataFrame(
+        [(x, y) for x in range(64) for y in range(64)], "x int, y int"
+    )
+    keyed, key = zorder_key(df, ["x", "y"], bits_per_col=6)
+    rows = keyed.collect()
+    # interleave exactness: ranks are the values themselves (min=0,
+    # max=63 at 6 bits), so the key must equal bit-interleaved (x, y)
+    for r in rows[:200]:
+        expect = 0
+        for b in range(6):
+            expect |= ((r.x >> b) & 1) << (2 * b) | ((r.y >> b) & 1) << (2 * b + 1)
+        assert r._zorder == expect, (r.x, r.y)
+
+    clustered = zorder_layout(df, ["x", "y"], bits_per_col=6, num_files=16)
+    widths = (
+        clustered.withColumn("_pid", F.spark_partition_id())
+        .groupBy("_pid")
+        .agg(
+            (F.max("x") - F.min("x")).alias("wx"),
+            (F.max("y") - F.min("y")).alias("wy"),
+        )
+        .collect()
+    )
+    # every partition covers a sub-square in BOTH dims (64-wide domain;
+    # 16 Morton tiles are 16x16, allow boundary slop)
+    assert all(w.wx <= 32 and w.wy <= 32 for w in widths), widths
+    assert clustered.count() == 64 * 64
+
+
+def test_zorder_write_spec_and_row_preservation(spark, tmp_path):
+    import os
+
+    import pyarrow.parquet as pq
+
+    from yaetos_spark.sources.writers import save_output
+
+    df = spark.createDataFrame(
+        [(i % 100, (i * 7) % 100, i) for i in range(5000)], "a int, b int, id int"
+    )
+    out = str(tmp_path / "z")
+    save_output(
+        df,
+        {"path": out, "type": "parquet", "zorder_by": ["a", "b"],
+         "repartition": 8, "mode": "overwrite"},
+    )
+    files = [f for f in os.listdir(out) if f.endswith(".parquet")]
+    assert len(files) == 8
+    ids, wa, wb = [], [], []
+    for f in files:
+        t = pq.read_table(os.path.join(out, f), columns=["a", "b", "id"])
+        a = t.column("a").to_pylist(); b = t.column("b").to_pylist()
+        wa.append(max(a) - min(a)); wb.append(max(b) - min(b))
+        ids.extend(t.column("id").to_pylist())
+    assert sorted(ids) == list(range(5000))  # clustering lost no rows
+    # per-file ranges shrink in BOTH dims (full width is 99; a plain
+    # single-column sort leaves the other dim at ~99 in every file).
+    # z-ranges crossing quadrant boundaries can span wide, so bound the
+    # MEAN, not each file.
+    assert sum(wa) / len(wa) <= 70 and sum(wb) / len(wb) <= 70, (wa, wb)
+
+
+def test_zorder_key_validations(spark):
+    import pytest
+
+    from yaetos_spark.operators.layout import zorder_key
+
+    df = spark.createDataFrame([(1, 2)], "x int, y int")
+    with pytest.raises(ValueError, match="signed long"):
+        zorder_key(df, ["x", "y"], bits_per_col=32)
+    with pytest.raises(ValueError, match=">= 2"):
+        zorder_key(df, ["x"])
+    # constant / all-null columns degrade to rank 0, no crash
+    dfc = spark.createDataFrame([(1, None), (2, None)], "x int, y int")
+    keyed, _ = zorder_key(dfc, ["x", "y"], bits_per_col=4)
+    assert keyed.count() == 2

@@ -61,7 +61,20 @@ def save_output(df: DataFrame, spec: dict, job_name: str = "", now: dt.datetime 
 
     n_re = spec.get("repartition")
     n_co = spec.get("coalesce")
-    if n_re:
+    zorder_by = spec.get("zorder_by")
+    if zorder_by:
+        # multi-dimensional clustering: Morton-interleave the columns'
+        # bit ranks and range-partition + sort on the key, so row-group
+        # pruning works for filters on ANY clustered column (see
+        # operators/layout.py). The range partition IS this layout
+        # job's one shuffle (a repartition/coalesce count becomes its
+        # file count); use sort_by for the shuffle-free single-column
+        # form.
+        from yaetos_spark.operators.layout import zorder_layout
+
+        n = n_re or n_co
+        df = zorder_layout(df, list(zorder_by), num_files=int(n) if n else None)
+    elif n_re:
         df = df.repartition(int(n_re))
     elif n_co:
         df = df.coalesce(int(n_co))
