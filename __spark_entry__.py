@@ -2087,6 +2087,36 @@ FROM documents d LEFT JOIN comps c ON c.node = d.doc_id
 """
 
 
+def _near_dup_survivors(spark, sf_dir):
+    """The user-facing end of the dedup pipeline: the corpus AFTER
+    near-dup removal (operators/dedup.py::drop_near_duplicates — pair
+    gen → connected components → keep min-id representative →
+    anti-join).  Same pair semantics as `dedup_clusters`, so the oracle
+    extends that recursive CTE: survivors are docs that are not a
+    non-representative member of any component."""
+    docs = _t(spark, sf_dir, "documents")
+    out = D.drop_near_duplicates(docs, n=_NGRAM_N, threshold=_JACCARD_THRESHOLD)
+    return out.select("doc_id", "lang", "source", "n_chars").orderBy("doc_id")
+
+
+def _near_dup_survivors_oracle() -> str:
+    base = _dedup_clusters_oracle()
+    # same CTE chain, different final projection: drop non-representative
+    # cluster members instead of labeling them
+    final = (
+        "SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS cluster_id\n"
+        "FROM documents d LEFT JOIN comps c ON c.node = d.doc_id"
+    )
+    assert final in base
+    return base.replace(
+        final,
+        "SELECT d.doc_id, d.lang, d.source, d.n_chars\n"
+        "FROM documents d LEFT JOIN comps c ON c.node = d.doc_id\n"
+        "WHERE coalesce(c.comp, d.doc_id) = d.doc_id\n"
+        "ORDER BY d.doc_id",
+    )
+
+
 def _forecast_revenue(spark, sf_dir):
     """TPC-H Q6 shape: tight filter + single sum — the pushdown
     showcase (every predicate reaches the parquet scan)."""
@@ -4103,6 +4133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "posexplode_words": _posexplode_words,
         "value_histogram": _value_histogram,
         "dedup_clusters": _dedup_clusters,
+        "near_dup_survivors": _near_dup_survivors,
         "forecast_revenue": _forecast_revenue,
         "priority_exists": _priority_exists,
         "tumbling_window_counts": _tumbling_window_counts,
@@ -4210,6 +4241,7 @@ def oracle_sql() -> dict[str, str]:
         "posexplode_words": _POSEXPLODE_SQL,
         "value_histogram": _HISTOGRAM_SQL,
         "dedup_clusters": _dedup_clusters_oracle(),
+        "near_dup_survivors": _near_dup_survivors_oracle(),
         "forecast_revenue": _FORECAST_SQL,
         "priority_exists": _PRIORITY_EXISTS_SQL,
         "tumbling_window_counts": _TUMBLING_SQL,

@@ -316,3 +316,84 @@ def test_count_min_never_undercounts(spark, words, width):
     for w, c in exact.items():
         assert est[w] >= c
         assert est[w] <= len(words)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(-(2**40), 2**40)),
+            st.one_of(
+                st.none(),
+                st.text(
+                    alphabet=st.characters(
+                        codec="utf-8", exclude_categories=("Cs", "Cc")
+                    ),
+                    max_size=12,
+                ),
+            ),
+            st.one_of(st.none(), st.booleans()),
+            st.one_of(
+                st.none(),
+                st.floats(allow_nan=False, allow_infinity=False, width=64),
+            ),
+        ),
+        max_size=30,
+    )
+)
+@settings(**SETTINGS)
+def test_xlsx_roundtrip_property(tmp_path_factory, rows):
+    """write_xlsx → read_xlsx is the identity on the pandas-subset
+    value domain (ints / UTF-8 text / bools / floats / None), modulo
+    the xlsx number model: a whole float comes back int (per-column
+    harmonization restores float if any cell is fractional)."""
+    from yaetos_spark.sources import xlsx_lite as XL
+
+    path = str(tmp_path_factory.mktemp("xl") / "t.xlsx")
+    XL.write_xlsx(path, ["i", "s", "b", "f"], rows)
+    header, got = XL.read_xlsx(path)
+    assert header == ["i", "s", "b", "f"]
+    assert len(got) == len(rows)
+    for (i0, s0, b0, f0), (i1, s1, b1, f1) in zip(rows, got):
+        assert i1 == i0 and b1 is b0
+        assert s1 == s0 or (s0 is None and s1 is None)
+        if f0 is None:
+            assert f1 is None
+        elif f0 == int(f0) and abs(f0) < 2**53:
+            assert f1 == f0  # value preserved; int/float per column rules
+        else:
+            assert f1 == float(repr(f0))  # repr round-trip is exact
+
+
+@given(
+    st.lists(st.tuples(st.integers(0, 1023), st.integers(0, 1023)), min_size=2, max_size=60)
+)
+@settings(**SETTINGS)
+def test_zorder_key_matches_python_reference(spark, pts):
+    """The JVM Morton key equals a pure-python interleave of the
+    min/max-normalized ranks for any point set."""
+    from yaetos_spark.operators.layout import zorder_key
+
+    df = spark.createDataFrame(pts, "x long, y long")
+    keyed, key = zorder_key(df, ["x", "y"], bits_per_col=10)
+    got = {(r.x, r.y, r._zorder) for r in keyed.collect()}
+
+    xs = [p[0] for p in pts]; ys = [p[1] for p in pts]
+
+    def rank(v, lo, hi):
+        if hi == lo:
+            return 0
+        scaled = (v - lo) / (hi - lo) * 1023
+        # Spark round() = HALF_UP on the decimal repr
+        import decimal
+
+        return int(decimal.Decimal(repr(scaled)).quantize(0, rounding=decimal.ROUND_HALF_UP))
+
+    def interleave(a, b):
+        out = 0
+        for bit in range(10):
+            out |= ((a >> bit) & 1) << (2 * bit) | ((b >> bit) & 1) << (2 * bit + 1)
+        return out
+
+    for x, y in pts:
+        expect = interleave(rank(x, min(xs), max(xs)), rank(y, min(ys), max(ys)))
+        assert (x, y, expect) in got, (x, y, expect)

@@ -497,3 +497,25 @@ def test_zorder_key_validations(spark):
     dfc = spark.createDataFrame([(1, None), (2, None)], "x int, y int")
     keyed, _ = zorder_key(dfc, ["x", "y"], bits_per_col=4)
     assert keyed.count() == 2
+
+
+def test_drop_near_duplicates_one_survivor_per_cluster(spark):
+    from yaetos_spark.operators.dedup import drop_near_duplicates
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),  # ~dup of 1
+            (5, "the quick brown fox jumps over a lazy dog"),    # ~dup of 1
+            (3, "completely different text about spark engines"),
+            (4, "another unrelated document entirely here now"),
+        ],
+        "doc_id long, text string",
+    )
+    out = sorted(r.doc_id for r in drop_near_duplicates(docs, n=3, threshold=0.3).collect())
+    # cluster {1,2,5} keeps min id 1; singletons 3,4 survive untouched
+    assert out == [1, 3, 4]
+    # all original columns come through
+    assert drop_near_duplicates(docs, n=3, threshold=0.3).columns == ["doc_id", "text"]
+    # threshold nobody meets: everything survives
+    assert drop_near_duplicates(docs, n=3, threshold=0.99).count() == 5

@@ -345,3 +345,32 @@ def blocked_fuzzy_pairs(
         )
         .where(F.col("dist") <= max_dist)
     )
+
+
+def drop_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """End-to-end near-dup REMOVAL: the full curation pipeline a user
+    actually runs — candidate pairs (shingle equi-join, exact Jaccard
+    >= threshold), duplicate clusters (iterative connected components),
+    keep ONE representative per cluster (the min id), return the
+    surviving rows of ``df`` with all columns.
+
+    Exactly one survivor per cluster; singletons always survive.  All
+    pieces are the scale-shaped operators above (:func:`jaccard_pairs`
+    never materializes non-candidate pairs; components iterate with
+    bounded lineage via localCheckpoint) — this just composes them and
+    anti-joins the losers, so the heavy shuffles are the shingle join
+    and the component iterations, both already bounded.
+    """
+    from yaetos_spark.operators.graph import dedup_clusters
+
+    pairs = jaccard_pairs(df, text_col, id_col, n, threshold, max_df).select("id1", "id2")
+    clusters = dedup_clusters(df, pairs, id_col)
+    losers = clusters.where(F.col("cluster_id") != F.col(id_col)).select(id_col)
+    return df.join(losers, id_col, "left_anti")
