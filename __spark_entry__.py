@@ -3727,6 +3727,68 @@ GROUP BY p1, p2 HAVING count(*) >= 2
 """
 
 
+def _regression_stats(spark, sf_dir):
+    """Native bivariate aggregate surface — corr / covar_samp /
+    regr_slope / regr_intercept / regr_r2 — contract-checked against
+    the textbook formulas computed from EXACT decimal sums (the _dsum
+    trick: decimal Σx, Σy, Σxy, Σx², Σy² are engine-exact, the final
+    few double ops deterministic).  The oracle recomputes the decimal
+    sums and asserts the contracts tautologically, so a hash mismatch
+    means a native aggregate drifted from its definition."""
+    li = _t(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity")
+    y = F.col("l_discount")
+    d = lambda c: c.cast("decimal(38,8)")  # noqa: E731
+    g = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d(x)).cast("double").alias("sx"),
+        F.sum(d(y)).cast("double").alias("sy"),
+        F.sum(d(x) * d(y)).cast("double").alias("sxy"),
+        F.sum(d(x) * d(x)).cast("double").alias("sxx"),
+        F.sum(d(y) * d(y)).cast("double").alias("syy"),
+        F.corr(x, y).alias("_corr"),
+        F.covar_samp(x, y).alias("_covar"),
+        F.regr_slope(y, x).alias("_slope"),
+        F.regr_intercept(y, x).alias("_icept"),
+        F.regr_r2(y, x).alias("_r2"),
+    )
+    n, sx, sy, sxy, sxx, syy = (F.col(c) for c in ("n", "sx", "sy", "sxy", "sxx", "syy"))
+    corr_f = (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    covar_f = (sxy - sx * sy / n) / (n - 1)
+    slope_f = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    icept_f = (sy - slope_f * sx) / n
+    r2_f = corr_f * corr_f
+
+    def ok(native, formula):
+        return F.abs(native - formula) <= 1e-9 * (F.abs(formula) + 1)
+
+    return g.select(
+        "l_returnflag",
+        n.cast("long").alias("n"),
+        "sx", "sy", "sxy", "sxx", "syy",
+        ok(F.col("_corr"), corr_f).alias("corr_ok"),
+        ok(F.col("_covar"), covar_f).alias("covar_ok"),
+        ok(F.col("_slope"), slope_f).alias("slope_ok"),
+        ok(F.col("_icept"), icept_f).alias("icept_ok"),
+        ok(F.col("_r2"), r2_f).alias("r2_ok"),
+    ).orderBy("l_returnflag")
+
+
+_REGRESSION_SQL = """
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(l_quantity AS DECIMAL(38,8))) AS DOUBLE) AS sx,
+       CAST(sum(CAST(l_discount AS DECIMAL(38,8))) AS DOUBLE) AS sy,
+       CAST(sum(CAST(l_quantity AS DECIMAL(38,8)) * CAST(l_discount AS DECIMAL(38,8))) AS DOUBLE) AS sxy,
+       CAST(sum(CAST(l_quantity AS DECIMAL(38,8)) * CAST(l_quantity AS DECIMAL(38,8))) AS DOUBLE) AS sxx,
+       CAST(sum(CAST(l_discount AS DECIMAL(38,8)) * CAST(l_discount AS DECIMAL(38,8))) AS DOUBLE) AS syy,
+       TRUE AS corr_ok, TRUE AS covar_ok, TRUE AS slope_ok,
+       TRUE AS icept_ok, TRUE AS r2_ok
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
 def _zorder_top_orders(spark, sf_dir):
     """Morton-key arithmetic oracle-checked end-to-end: z-order
     (operators/layout.py::zorder_key) over two mod-256
@@ -4116,6 +4178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct_contract": _hll_distinct_contract,
         "corpus_line_dedup": _corpus_line_dedup,
         "zorder_top_orders": _zorder_top_orders,
+        "regression_stats": _regression_stats,
         "event_transitions": _event_transitions,
         "user_sessions": _user_sessions,
         "conditional_agg": _conditional_agg,
@@ -4217,6 +4280,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_distinct_contract": _HLL_CONTRACT_SQL,
         "corpus_line_dedup": _CORPUS_LINE_DEDUP_SQL,
         "zorder_top_orders": _ZORDER_SQL,
+        "regression_stats": _REGRESSION_SQL,
         "event_transitions": _EVENT_TRANSITIONS_SQL,
         "pivot_status": _PIVOT_SQL,
         "cube_counts": _CUBE_SQL,

@@ -38,7 +38,10 @@ def plan_file_count(input_bytes: int, target_file_bytes: int) -> int:
 
 class CompactJob(SparkJob):
     """params: ``target_file_bytes`` (default 128 MiB), optional
-    ``cluster_by`` column for sort-within-partitions."""
+    ``cluster_by`` — one column sorts within partitions (shuffle-free);
+    two or more Z-order the rewrite (operators/layout.py: the
+    compaction shuffle doubles as the clustering shuffle, so
+    multi-dimensional data skipping costs nothing extra here)."""
 
     def transform(self, **dfs):
         (df,) = dfs.values()
@@ -50,9 +53,15 @@ class CompactJob(SparkJob):
             if path and "://" not in path and os.path.exists(path)
             else None
         )
+        cluster_by = self.params.get("cluster_by")
+        if isinstance(cluster_by, str):
+            cluster_by = [cluster_by]
+        if cluster_by and len(cluster_by) >= 2:
+            from yaetos_spark.operators.layout import zorder_layout
+
+            return zorder_layout(df, cluster_by, num_files=n_files)
         if n_files is not None:
             df = df.repartition(n_files)
-        cluster_by = self.params.get("cluster_by")
         if cluster_by:
-            df = df.sortWithinPartitions(F.col(cluster_by))
+            df = df.sortWithinPartitions(F.col(cluster_by[0]))
         return df

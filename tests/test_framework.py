@@ -414,6 +414,41 @@ def test_compact_job_right_sizes_output(spark, tmp_path):
     assert back.count() == 2000
 
 
+def test_compact_job_zorders_on_multi_cluster_by(spark, tmp_path):
+    """Two+ cluster_by columns make the compaction rewrite Z-ordered:
+    every output file gets a sub-range in BOTH dimensions."""
+    from jobs.generic.compact_job import CompactJob
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(x, y) for x in range(80) for y in range(80)], "x int, y int"
+    ).repartition(4).write.parquet(src)
+
+    out = str(tmp_path / "zc")
+    job = CompactJob(
+        {
+            "inputs": {"src": {"path": src, "type": "parquet"}},
+            "output": {"path": out, "type": "parquet"},
+            "target_file_bytes": 4 * 1024,  # force several output files
+            "cluster_by": ["x", "y"],
+            "add_created_at": False,
+        }
+    )
+    job.etl(spark)
+    import pyarrow.parquet as pq
+
+    files = [f for f in os.listdir(out) if f.endswith(".parquet")]
+    assert len(files) >= 4
+    wx, wy, n = [], [], 0
+    for f in files:
+        t = pq.read_table(os.path.join(out, f), columns=["x", "y"])
+        xs = t.column("x").to_pylist(); ys = t.column("y").to_pylist()
+        wx.append(max(xs) - min(xs)); wy.append(max(ys) - min(ys))
+        n += len(xs)
+    assert n == 6400
+    assert sum(wx) / len(wx) < 60 and sum(wy) / len(wy) < 60, (wx, wy)
+
+
 def test_report_job_renders_html(spark, tmp_path):
     from jobs.generic.report_job import ReportJob
 

@@ -314,6 +314,9 @@ def distributed_ntile_multi(
     sizes: dict[int, dict[int, int]] = {i: {} for i in range(len(specs))}
     for r in pairs.groupBy("_m", "_b").agg(F.count(F.lit(1)).alias("n")).collect():
         sizes[r["_m"]][r["_b"]] = r["n"]
+    # parts is materialized now; the base frame's cache slot is dead
+    # weight from here on (parts carries the data the final job needs)
+    df.unpersist()
 
     out = parts
     for i, (order_col, n, band_name) in enumerate(specs):
