@@ -481,3 +481,64 @@ def test_rollup_job_first_build_and_maintenance(spark):
     maintained = job.transform(delta=p2, prev_rollup=first)
     rows2 = {r.k: (r.n, r.total, r.lo, r.hi) for r in maintained.collect()}
     assert rows2 == {"a": (2, 4.0, 1.0, 3.0), "b": (1, 2.0, 2.0, 2.0)}
+
+
+def test_chained_pipeline_reads_written_artifact(spark, tmp_path):
+    """A dependency that WROTE its output hands downstream the disk
+    artifact, not its in-memory plan — compounding plans otherwise
+    blow up iterative consumers (the dedup pipeline OOM'd Catalyst
+    before this). No-output jobs still chain in memory."""
+    from yaetos_spark.job import SparkJob
+    from yaetos_spark.plans.flow import Flow
+    from yaetos_spark.plans.registry import Registry
+
+    src = spark.createDataFrame([(i, f"d{i}") for i in range(10)], "id long, v string")
+    src.write.parquet(str(tmp_path / "raw"))
+
+    class A(SparkJob):
+        def transform(self, raw):
+            return raw.withColumn("x", F.length("v"))
+
+    class B(SparkJob):
+        def transform(self, a):
+            # a scan of A's written parquet has no Project/Generate from
+            # A's plan — just a FileScan
+            plan = a._jdf.queryExecution().optimizedPlan().toString()
+            assert "Relation" in plan and "length" not in plan, plan
+            return a.groupBy("x").count()
+
+    classes = {"a": A, "b": B}
+    manifest = {
+        "jobs": {
+            "a": {
+                "inputs": {"raw": {"path": str(tmp_path / "raw"), "type": "parquet"}},
+                "output": {"path": str(tmp_path / "a_out"), "type": "parquet"},
+                "add_created_at": False,
+            },
+            "b": {
+                "dependencies": ["a"],
+                "inputs": {"a": {"from": "a"}},
+                "add_created_at": False,
+            },
+        }
+    }
+    flow = Flow(Registry(manifest), chain_dependencies=True)
+    out = flow.run_pipeline(spark, "b", lambda name, params: classes[name](params))
+    assert out.count() > 0
+
+
+def test_registry_llm_pipeline_end_to_end(spark):
+    """The shipped conf/jobs.yml LLM chain: corpus line dedup feeds the
+    near-dup dedup job through {{latest}} + from: chaining."""
+    import shutil
+
+    from yaetos_spark.cli import main
+
+    shutil.rmtree("/tmp/yaetos_spark_out", ignore_errors=True)
+    main(["--job_name=dedup_documents", "--dependencies"])
+    import glob
+
+    clean = spark.read.parquet(glob.glob("/tmp/yaetos_spark_out/clean_lines/*")[0])
+    assert "n_removed" in clean.columns and clean.count() == 500
+    deduped = spark.read.parquet(glob.glob("/tmp/yaetos_spark_out/dedup/*")[0])
+    assert 0 < deduped.count() <= 500

@@ -165,6 +165,11 @@ class SparkJob:
         if out_spec.get("path"):
             out_spec["path"] = expand_path(out_spec["path"], self.params, self._now, self.spark)
             save_output(output, out_spec, job_name=self.job_name, now=self._now)
+            # let a chaining Flow hand downstream jobs the WRITTEN
+            # artifact instead of this plan (fresh lineage — a chain of
+            # jobs otherwise compounds plans until iterative consumers
+            # blow up Catalyst)
+            self.written_output = (out_spec["path"], out_spec.get("type"))
         return output
 
 

@@ -29,10 +29,15 @@ def connected_components(
 ) -> DataFrame:
     """(node, component) for every node appearing in ``edges``;
     component = smallest node id reachable."""
-    # persist the edge list first: building the symmetric closure and
-    # the initial labels would otherwise recompute the (often
-    # expensive) pair-generation plan once per branch
-    edges = edges.select(F.col(src).alias("id1"), F.col(dst).alias("id2")).persist()
+    # localCheckpoint the edge list first: it materializes once (the
+    # symmetric closure and initial labels would otherwise recompute
+    # the often-expensive pair-generation plan per branch) AND
+    # truncates the caller's lineage — the iteration multiplies its
+    # base plan, so a fat upstream plan (e.g. a chained pipeline)
+    # would otherwise blow up Catalyst before the first checkpoint
+    edges = edges.select(
+        F.col(src).alias("id1"), F.col(dst).alias("id2")
+    ).localCheckpoint(eager=True)
     sym = (
         edges.select(F.col("id1").alias("a"), F.col("id2").alias("b"))
         .unionByName(edges.select(F.col("id2").alias("a"), F.col("id1").alias("b")))

@@ -63,4 +63,16 @@ class Flow:
             job = job_factory(job_name, params)
             last = job.etl(spark)
             outputs[job_name] = last
+            # chain the WRITTEN artifact when there is one: downstream
+            # jobs get a clean scan (column-prunable, lineage-free)
+            # instead of the upstream plan — in-memory chaining remains
+            # for no-output jobs. Mirrors the reference, where each job
+            # reads its inputs from the previous job's output path.
+            written = getattr(job, "written_output", None)
+            if written and written[1] in ("parquet", "orc", "csv", "json"):
+                from yaetos_spark.sources.readers import load_input
+
+                outputs[job_name] = load_input(
+                    spark, {"path": written[0], "type": written[1]}
+                )
         return last
