@@ -542,3 +542,47 @@ def test_registry_llm_pipeline_end_to_end(spark):
     assert "n_removed" in clean.columns and clean.count() == 500
     deduped = spark.read.parquet(glob.glob("/tmp/yaetos_spark_out/dedup/*")[0])
     assert 0 < deduped.count() <= 500
+
+
+def test_retention_job_dry_run_then_apply(spark, tmp_path):
+    from jobs.generic.retention_job import RetentionJob, plan_retention
+
+    root = tmp_path / "ds"
+    stamps = [
+        "date20240101_time000000_utc",
+        "date20240102_time000000_utc",
+        "date20240103_time000000_utc",
+        "date20240104_time120000_utc",
+    ]
+    for s in stamps:
+        (root / s).mkdir(parents=True)
+        (root / s / "part-0.parquet").write_bytes(b"x")
+    (root / "not_a_run").mkdir()  # foreign dir must never be touched
+
+    plan = plan_retention([str(root)], keep=2)
+    assert [(p[1], p[2]) for p in plan] == [
+        (stamps[0], "delete"), (stamps[1], "delete"),
+        (stamps[2], "keep"), (stamps[3], "keep"),
+    ]
+
+    # dry run: reports, deletes nothing
+    job = RetentionJob({"retention": [str(root)], "keep": 2, "add_created_at": False})
+    job.spark = spark
+    out = {(r.run, r.action) for r in job.transform().collect()}
+    assert (stamps[0], "delete") in out
+    assert sorted(os.listdir(root)) == sorted(stamps + ["not_a_run"])
+
+    # apply: old runs gone, kept runs + foreign dir intact
+    job2 = RetentionJob(
+        {"retention": [str(root)], "keep": 2, "apply": True, "add_created_at": False}
+    )
+    job2.spark = spark
+    job2.transform()
+    assert sorted(os.listdir(root)) == sorted(stamps[2:] + ["not_a_run"])
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="keep"):
+        bad = RetentionJob({"retention": [str(root)], "keep": 0})
+        bad.spark = spark
+        bad.transform()

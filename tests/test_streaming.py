@@ -423,3 +423,48 @@ def test_streaming_hll_matches_batch_and_survives_replay(spark, tmp_path):
     import os
 
     assert [d for d in os.listdir(skd) if d.startswith("_batch_id=")] == ["_batch_id=-1"]
+
+
+def test_streaming_top_k_matches_batch_exact(spark, tmp_path):
+    """Maintained heavy hitters across micro-batches == exact batch
+    top-k over all the data (wide sketch -> estimates exact); replayed
+    batch changes nothing."""
+    from yaetos_spark.streaming.sketch import (
+        read_top_k,
+        streaming_top_k,
+        topk_batch_exactly_once,
+    )
+
+    src = str(tmp_path / "words")
+    std = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        stream = spark.readStream.schema("word string").parquet(src)
+        q = streaming_top_k(stream, std, ckpt, "word", depth=3, width=1024,
+                            candidates_per_batch=8)
+        q.awaitTermination(timeout=120)
+        assert not q.isActive
+
+    # heavy keys split ACROSS batches; light keys everywhere
+    b1 = [("hh1",)] * 30 + [("hh2",)] * 10 + [(f"x{i}",) for i in range(20)]
+    b2 = [("hh2",)] * 25 + [("hh3",)] * 12 + [(f"y{i}",) for i in range(20)]
+    spark.createDataFrame(b1, "word string").coalesce(1).write.mode("append").parquet(src)
+    run()
+    spark.createDataFrame(b2, "word string").coalesce(1).write.mode("append").parquet(src)
+    run()
+
+    got = [(r.word, r.est) for r in read_top_k(spark, std, "word", k=3, depth=3, width=1024).collect()]
+    assert got == [("hh1", 30), ("hh2", 35), ("hh3", 12)] or got == [
+        ("hh2", 35), ("hh1", 30), ("hh3", 12)
+    ]
+    # ordering is by estimate desc
+    assert got[0][0] == "hh2" and got[0][1] == 35
+
+    # replay batch 0: same state (partition rewritten, not re-added)
+    topk_batch_exactly_once(
+        spark.createDataFrame(b1, "word string"), 0, std, "word",
+        depth=3, width=1024, candidates_per_batch=8,
+    )
+    again = [(r.word, r.est) for r in read_top_k(spark, std, "word", k=3, depth=3, width=1024).collect()]
+    assert again == got

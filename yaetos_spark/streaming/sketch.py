@@ -168,3 +168,92 @@ def compact_hll(spark, sketch_dir: str) -> None:
     merged = read_hll(spark, sketch_dir).withColumn(BATCH_COL, F.lit(-1))
     merged = merged.localCheckpoint(eager=True)
     merged.write.mode("overwrite").partitionBy(BATCH_COL).parquet(sketch_dir)
+
+
+def topk_batch_exactly_once(
+    batch_df: DataFrame,
+    batch_id: int,
+    state_dir: str,
+    key: str,
+    depth: int = 4,
+    width: int = 8192,
+    seed: int = 42,
+    candidates_per_batch: int = 64,
+) -> None:
+    """Heavy-hitter state for one micro-batch: the batch's partial CMS
+    (under ``cms/``) plus its exact batch-local top-N keys (under
+    ``cand/``), each in a replay-safe ``_batch_id`` partition.  Any key
+    that is ever a global heavy hitter is a batch-local top-N in at
+    least the batches that made it heavy, so the candidate union plus
+    CMS estimates recovers the global top-k without ever storing the
+    full key universe (the standard streaming heavy-hitters recipe:
+    candidates bound the keys you score, the sketch scores them)."""
+    spark = batch_df.sparkSession
+    sketch_batch_exactly_once(
+        batch_df, batch_id, f"{state_dir}/cms", key,
+        depth=depth, width=width, seed=seed,
+    )
+    top = (
+        batch_df.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .orderBy(F.desc("_n"), key)
+        .limit(candidates_per_batch)
+        .select(key)
+        .withColumn(BATCH_COL, F.lit(int(batch_id)))
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        top.write.mode("overwrite").partitionBy(BATCH_COL).parquet(f"{state_dir}/cand")
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def streaming_top_k(
+    stream_df: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    key: str,
+    depth: int = 4,
+    width: int = 8192,
+    seed: int = 42,
+    candidates_per_batch: int = 64,
+):
+    """Maintain heavy-hitter state from a stream (availableNow; re-run
+    to fold new arrivals through the shared checkpoint)."""
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        topk_batch_exactly_once(
+            batch_df, batch_id, state_dir, key,
+            depth=depth, width=width, seed=seed,
+            candidates_per_batch=candidates_per_batch,
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_top_k(
+    spark,
+    state_dir: str,
+    key: str,
+    k: int = 10,
+    depth: int = 4,
+    width: int = 8192,
+    seed: int = 42,
+) -> DataFrame:
+    """Current top-k: distinct candidate keys scored against the
+    merged CMS (broadcast — the sketch is <= depth*width cells), top k
+    by estimate.  Estimates inherit the CMS one-sided guarantee:
+    est >= true count, so a true heavy hitter in the candidate set can
+    only rank HIGHER, never drop out."""
+    from yaetos_spark.operators.sketches import count_min_estimate
+
+    cms = read_count_min(spark, f"{state_dir}/cms")
+    cand = spark.read.parquet(f"{state_dir}/cand").select(key).distinct()
+    est = count_min_estimate(cms, cand, key, depth=depth, width=width, seed=seed)
+    return est.orderBy(F.desc("est"), key).limit(k)
