@@ -3727,6 +3727,67 @@ GROUP BY p1, p2 HAVING count(*) >= 2
 """
 
 
+def _bitwise_aggs(spark, sf_dir):
+    """Bitwise surface: &, |, ^, ~, shifts as scalars and
+    bit_and/bit_or/bit_xor/bit_count as aggregates (the primitives the
+    bloom builder leans on), value-checked against DuckDB's identical
+    operators."""
+    li = _t(spark, sf_dir, "lineitem")
+    k = F.col("l_orderkey")
+    return (
+        li.select(
+            "l_returnflag",
+            "l_linenumber",
+            (k.bitwiseAND(F.lit(255))).alias("low"),
+            (k.bitwiseOR(F.lit(4096))).alias("ored"),
+            (k.bitwiseXOR(F.col("l_partkey"))).alias("xored"),
+            F.bitwise_not(k).alias("inv"),
+            F.bit_count(k).alias("pop"),
+            F.expr("shiftleft(l_linenumber, 3)").alias("shl"),
+            F.expr("shiftright(l_partkey, 2)").alias("shr"),
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.expr("bit_and(low)").alias("band"),
+            F.expr("bit_or(low)").alias("bor"),
+            F.expr("bit_xor(xored)").alias("bxor"),
+            F.sum("pop").cast("long").alias("sum_pop"),
+            F.sum("inv").cast("long").alias("sum_inv"),
+            F.sum("ored").cast("long").alias("sum_or"),
+            F.sum("shl").cast("long").alias("sum_shl"),
+            F.sum("shr").cast("long").alias("sum_shr"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_BITWISE_SQL = """
+WITH b AS (
+  SELECT l_returnflag,
+         l_orderkey & 255 AS low,
+         l_orderkey | 4096 AS ored,
+         xor(l_orderkey, l_partkey) AS xored,
+         ~l_orderkey AS inv,
+         bit_count(l_orderkey) AS pop,
+         l_linenumber << 3 AS shl,
+         l_partkey >> 2 AS shr
+  FROM lineitem
+)
+SELECT l_returnflag,
+       CAST(bit_and(low) AS BIGINT) AS band,
+       CAST(bit_or(low) AS BIGINT) AS bor,
+       CAST(bit_xor(xored) AS BIGINT) AS bxor,
+       CAST(sum(pop) AS BIGINT) AS sum_pop,
+       CAST(sum(inv) AS BIGINT) AS sum_inv,
+       CAST(sum(ored) AS BIGINT) AS sum_or,
+       CAST(sum(shl) AS BIGINT) AS sum_shl,
+       CAST(sum(shr) AS BIGINT) AS sum_shr
+FROM b
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
 def _regression_stats(spark, sf_dir):
     """Native bivariate aggregate surface — corr / covar_samp /
     regr_slope / regr_intercept / regr_r2 — contract-checked against
@@ -4179,6 +4240,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_line_dedup": _corpus_line_dedup,
         "zorder_top_orders": _zorder_top_orders,
         "regression_stats": _regression_stats,
+        "bitwise_aggs": _bitwise_aggs,
         "event_transitions": _event_transitions,
         "user_sessions": _user_sessions,
         "conditional_agg": _conditional_agg,
@@ -4281,6 +4343,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_line_dedup": _CORPUS_LINE_DEDUP_SQL,
         "zorder_top_orders": _ZORDER_SQL,
         "regression_stats": _REGRESSION_SQL,
+        "bitwise_aggs": _BITWISE_SQL,
         "event_transitions": _EVENT_TRANSITIONS_SQL,
         "pivot_status": _PIVOT_SQL,
         "cube_counts": _CUBE_SQL,
