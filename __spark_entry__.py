@@ -3727,6 +3727,47 @@ GROUP BY p1, p2 HAVING count(*) >= 2
 """
 
 
+def _spearman_by_type(spark, sf_dir):
+    """Grouped-map applyInPandas (the UDAF surface, SURVEY §2.12)
+    value-checked to the last bit: per-event-type Spearman rank
+    correlation of (user_id, value) via operators/stats.py::
+    spearman_per_group.  Doubled average ranks are integers, so all
+    sums are exact and the single float division mirrors the oracle's
+    SQL ops — the hash matches despite a rank-based statistic computed
+    in pandas on one side and window SQL on the other."""
+    from yaetos_spark.operators.stats import spearman_per_group
+
+    ev = _t(spark, sf_dir, "events")
+    return spearman_per_group(ev, "event_type", "user_id", "value").orderBy("event_type")
+
+
+_SPEARMAN_SQL = """
+WITH r AS (
+  SELECT event_type,
+         2 * rank() OVER (PARTITION BY event_type ORDER BY user_id)
+           + count(*) OVER (PARTITION BY event_type, user_id) - 1 AS rx2,
+         2 * rank() OVER (PARTITION BY event_type ORDER BY value)
+           + count(*) OVER (PARTITION BY event_type, value) - 1 AS ry2
+  FROM events
+),
+s AS (
+  SELECT event_type,
+         CAST(count(*) AS DECIMAL(38,0)) AS n,
+         CAST(sum(rx2) AS DECIMAL(38,0)) AS sx,
+         CAST(sum(ry2) AS DECIMAL(38,0)) AS sy,
+         CAST(sum(rx2 * ry2) AS DECIMAL(38,0)) AS sxy,
+         CAST(sum(rx2 * rx2) AS DECIMAL(38,0)) AS sxx,
+         CAST(sum(ry2 * ry2) AS DECIMAL(38,0)) AS syy
+  FROM r GROUP BY event_type
+)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+         / sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)) AS rho
+FROM s
+ORDER BY event_type
+"""
+
+
 def _bitwise_aggs(spark, sf_dir):
     """Bitwise surface: &, |, ^, ~, shifts as scalars and
     bit_and/bit_or/bit_xor/bit_count as aggregates (the primitives the
@@ -4241,6 +4282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_top_orders": _zorder_top_orders,
         "regression_stats": _regression_stats,
         "bitwise_aggs": _bitwise_aggs,
+        "spearman_by_type": _spearman_by_type,
         "event_transitions": _event_transitions,
         "user_sessions": _user_sessions,
         "conditional_agg": _conditional_agg,
@@ -4344,6 +4386,7 @@ def oracle_sql() -> dict[str, str]:
         "zorder_top_orders": _ZORDER_SQL,
         "regression_stats": _REGRESSION_SQL,
         "bitwise_aggs": _BITWISE_SQL,
+        "spearman_by_type": _SPEARMAN_SQL,
         "event_transitions": _EVENT_TRANSITIONS_SQL,
         "pivot_status": _PIVOT_SQL,
         "cube_counts": _CUBE_SQL,

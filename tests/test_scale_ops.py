@@ -519,3 +519,44 @@ def test_drop_near_duplicates_one_survivor_per_cluster(spark):
     assert drop_near_duplicates(docs, n=3, threshold=0.3).columns == ["doc_id", "text"]
     # threshold nobody meets: everything survives
     assert drop_near_duplicates(docs, n=3, threshold=0.99).count() == 5
+
+
+def test_spearman_per_group_matches_manual(spark):
+    from yaetos_spark.operators.stats import spearman_per_group
+
+    # group g: perfect monotone -> rho = 1; group h has ties in both vars
+    rows = (
+        [("g", i, float(i * i)) for i in range(1, 8)]
+        + [("h", 1, 5.0), ("h", 1, 3.0), ("h", 2, 5.0), ("h", 4, 1.0)]
+        + [("z", 1, 2.0), ("z", 1, 2.0)]  # all-ties: rho undefined -> NULL
+    )
+    df = spark.createDataFrame(rows, "grp string, x long, y double")
+    out = {r.grp: (r.n, r.rho) for r in spearman_per_group(df, "grp", "x", "y").collect()}
+    assert out["g"] == (7, 1.0)
+    assert out["z"] == (2, None)
+
+    # manual average-rank spearman for group h
+    import math
+
+    def avg_ranks(vals):
+        order = sorted(range(len(vals)), key=lambda i: vals[i])
+        ranks = [0.0] * len(vals)
+        i = 0
+        while i < len(order):
+            j = i
+            while j + 1 < len(order) and vals[order[j + 1]] == vals[order[i]]:
+                j += 1
+            r = (i + j) / 2 + 1
+            for k in range(i, j + 1):
+                ranks[order[k]] = r
+            i = j + 1
+        return ranks
+
+    xs = [1, 1, 2, 4]; ys = [5.0, 3.0, 5.0, 1.0]
+    rx, ry = avg_ranks(xs), avg_ranks(ys)
+    n = 4
+    sx, sy = sum(rx), sum(ry)
+    sxy = sum(a * b for a, b in zip(rx, ry))
+    sxx = sum(a * a for a in rx); syy = sum(b * b for b in ry)
+    expect = (n * sxy - sx * sy) / math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    assert abs(out["h"][1] - expect) < 1e-12

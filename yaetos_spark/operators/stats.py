@@ -63,3 +63,52 @@ def ols_per_group(
         F.col("_sy").cast("double") - slope * F.col("_sx").cast("double")
     ) / F.col("n")
     return agg.select(*keys, "n", slope.alias("slope"), intercept.alias("intercept"))
+
+
+def spearman_per_group(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-group Spearman rank correlation via grouped-map
+    ``applyInPandas`` — the UDAF surface (SURVEY §2.12): whole-group
+    logic that aggregate functions can't express lands as one pandas
+    function per group, Arrow-batched.
+
+    Bit-identical across engines despite being rank-based: average
+    ranks with ties are halves, so DOUBLED ranks are integers; every
+    sum is exact integer arithmetic and only the final
+    ``num / sqrt(da * db)`` runs in floating point — the same three
+    IEEE ops the oracle's SQL performs, so even the DuckDB value hash
+    matches.  Returns ``(group, n, rho)``; rho is NULL for degenerate
+    groups (all ties in either variable).
+
+    Scale contract: grouped-map semantics — each GROUP must fit one
+    worker (the inherent applyInPandas shape).  For unbounded groups
+    use the aggregate-only :func:`ols_per_group` family instead.
+    """
+    import math
+
+    import pandas as pd
+
+    gtype = dict(df.dtypes)[group_col]
+    schema = f"{group_col} {gtype}, n long, rho double"
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        # average ranks doubled -> exact integers (ties make .5 ranks)
+        rx2 = (2 * pdf[x_col].rank(method="average")).round().astype("int64")
+        ry2 = (2 * pdf[y_col].rank(method="average")).round().astype("int64")
+        sx, sy = int(rx2.sum()), int(ry2.sum())
+        sxy = int((rx2 * ry2).sum())
+        sxx = int((rx2 * rx2).sum())
+        syy = int((ry2 * ry2).sum())
+        num = n * sxy - sx * sy
+        da, db = n * sxx - sx * sx, n * syy - sy * sy
+        rho = float(num) / math.sqrt(float(da) * float(db)) if da and db else None
+        return pd.DataFrame(
+            [(pdf[group_col].iloc[0], n, rho)], columns=[group_col, "n", "rho"]
+        )
+
+    return df.select(group_col, x_col, y_col).groupBy(group_col).applyInPandas(fit, schema)
