@@ -3727,6 +3727,36 @@ GROUP BY p1, p2 HAVING count(*) >= 2
 """
 
 
+def _histogram_quantile_contract(spark, sf_dir):
+    """Mergeable-histogram quantile contract: estimates from the
+    fixed-boundary cell sketch (operators/sketches.py — the
+    streaming-maintainable quantile path) must land within 2 buckets
+    of mass of the exact rank.  Checked rank-wise: the exact CDF at
+    the estimate must be within 2/n_buckets of the target q."""
+    from yaetos_spark.operators.sketches import (
+        histogram_boundaries,
+        histogram_build,
+        histogram_quantile,
+    )
+
+    o = _t(spark, sf_dir, "orders").select(F.col("o_totalprice").cast("double").alias("v"))
+    n_buckets = 128
+    bounds = histogram_boundaries(o, "v", n_buckets=n_buckets)
+    cells = histogram_build(o, "v", bounds)
+    rows = []
+    for q in (0.1, 0.5, 0.9, 0.99):
+        est = histogram_quantile(cells, bounds, q)
+        cdf_at_est = o.where(F.col("v") <= est).count() / o.count()
+        rows.append((q, abs(cdf_at_est - q) <= 2.0 / n_buckets))
+    return spark.createDataFrame(rows, "q double, within_2_buckets boolean")
+
+
+_HISTOGRAM_CONTRACT_SQL = """
+SELECT q, TRUE AS within_2_buckets
+FROM (VALUES (0.1), (0.5), (0.9), (0.99)) AS t(q)
+"""
+
+
 def _spearman_by_type(spark, sf_dir):
     """Grouped-map applyInPandas (the UDAF surface, SURVEY §2.12)
     value-checked to the last bit: per-event-type Spearman rank
@@ -4283,6 +4313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regression_stats": _regression_stats,
         "bitwise_aggs": _bitwise_aggs,
         "spearman_by_type": _spearman_by_type,
+        "histogram_quantile_contract": _histogram_quantile_contract,
         "event_transitions": _event_transitions,
         "user_sessions": _user_sessions,
         "conditional_agg": _conditional_agg,
@@ -4387,6 +4418,7 @@ def oracle_sql() -> dict[str, str]:
         "regression_stats": _REGRESSION_SQL,
         "bitwise_aggs": _BITWISE_SQL,
         "spearman_by_type": _SPEARMAN_SQL,
+        "histogram_quantile_contract": _HISTOGRAM_CONTRACT_SQL,
         "event_transitions": _EVENT_TRANSITIONS_SQL,
         "pivot_status": _PIVOT_SQL,
         "cube_counts": _CUBE_SQL,

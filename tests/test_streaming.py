@@ -468,3 +468,55 @@ def test_streaming_top_k_matches_batch_exact(spark, tmp_path):
     )
     again = [(r.word, r.est) for r in read_top_k(spark, std, "word", k=3, depth=3, width=1024).collect()]
     assert again == got
+
+
+def test_streaming_histogram_quantiles_track_exact(spark, tmp_path):
+    """Histogram maintained across micro-batches answers quantiles
+    within one bucket of the exact value; cells equal a single-batch
+    build; replay is idempotent."""
+    from yaetos_spark.operators.sketches import (
+        histogram_boundaries,
+        histogram_build,
+        histogram_quantile,
+    )
+    from yaetos_spark.streaming.sketch import (
+        histogram_batch_exactly_once,
+        read_histogram,
+        streaming_histogram,
+    )
+
+    src = str(tmp_path / "vals")
+    skd = str(tmp_path / "hist")
+    ckpt = str(tmp_path / "ckpt")
+
+    # freeze boundaries on a historical sample covering the range
+    hist = spark.range(0, 1000).select((F.col("id").cast("double")).alias("v"))
+    bounds = histogram_boundaries(hist, "v", n_buckets=64)
+
+    def run():
+        stream = spark.readStream.schema("v double").parquet(src)
+        q = streaming_histogram(stream, skd, ckpt, "v", bounds)
+        q.awaitTermination(timeout=120)
+        assert not q.isActive
+
+    b1 = [(float(i),) for i in range(0, 500)]
+    b2 = [(float(i),) for i in range(500, 1000)]
+    spark.createDataFrame(b1, "v double").coalesce(1).write.mode("append").parquet(src)
+    run()
+    spark.createDataFrame(b2, "v double").coalesce(1).write.mode("append").parquet(src)
+    run()
+
+    merged = read_histogram(spark, skd)
+    whole = histogram_build(spark.createDataFrame(b1 + b2, "v double"), "v", bounds)
+    assert {(r.bucket, r.cnt) for r in merged.collect()} == {
+        (r.bucket, r.cnt) for r in whole.collect()
+    }
+    # quantiles within ~2 buckets of exact (boundary snap + bucket mass)
+    for q, exact in ((0.5, 499.5), (0.9, 899.0), (0.99, 989.0)):
+        est = histogram_quantile(merged, bounds, q)
+        assert abs(est - exact) <= 1000 / 64 * 2, (q, est)
+
+    # replay: same cells
+    before = {(r.bucket, r.cnt) for r in read_histogram(spark, skd).collect()}
+    histogram_batch_exactly_once(spark.createDataFrame(b1, "v double"), 0, skd, "v", bounds)
+    assert {(r.bucket, r.cnt) for r in read_histogram(spark, skd).collect()} == before

@@ -381,3 +381,65 @@ def hll_estimate(sketch: DataFrame, p: int = 12) -> DataFrame:
         F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("_zeros")),
     ).otherwise(F.col("_raw"))
     return agg.select(F.round(est).cast("long").alias("est"))
+
+
+# ---------------------------------------------------------------------
+# Fixed-boundary histogram — mergeable quantile sketch
+# ---------------------------------------------------------------------
+
+
+def histogram_boundaries(
+    df: DataFrame, col: str, n_buckets: int = 256
+) -> list[float]:
+    """Freeze bucket boundaries from a sample of the distribution (one
+    percentile_approx pass).  Boundaries must be FIXED before partial
+    sketches are built — that is what makes per-batch histograms
+    mergeable by plain cell addition (the same contract as count-min's
+    fixed (depth, width, seed))."""
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    row = df.agg(F.percentile_approx(col, qs, 10_000).alias("b")).collect()[0]["b"]
+    uniq: list[float] = []
+    for b in row or []:
+        b = float(b)
+        if not uniq or b > uniq[-1]:
+            uniq.append(b)
+    return uniq
+
+
+def histogram_build(df: DataFrame, col: str, boundaries: list[float]) -> DataFrame:
+    """Histogram cells ``(bucket int, cnt long)`` for ``df[col]``
+    against fixed ``boundaries`` — one map-side-combinable groupBy,
+    at most ``len(boundaries)+1`` output rows.  Merge = cell-wise sum
+    (see the streaming writer in streaming/sketch.py)."""
+    barr = F.lit([float(b) for b in boundaries]).cast("array<double>")
+    bucket = F.size(F.filter(barr, lambda b: b < F.col(col).cast("double")))
+    return (
+        df.where(F.col(col).isNotNull())
+        .select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def histogram_quantile(
+    sketch: DataFrame, boundaries: list[float], q: float
+) -> float:
+    """q-quantile estimate from histogram cells: walk the cumulative
+    counts to the target rank and return that bucket's upper boundary.
+    Error is bounded by one bucket of probability mass (~1/n_buckets
+    of the distribution the boundaries were frozen on).  The cell
+    frame is <= n_buckets+1 rows — collecting it is a bounded driver
+    probe, same contract as the ntile boundary collect."""
+    cells = sorted(
+        (r["bucket"], r["cnt"]) for r in sketch.collect()
+    )
+    total = sum(c for _, c in cells)
+    if not total:
+        raise ValueError("empty sketch")
+    target = q * total
+    acc = 0
+    for b, c in cells:
+        acc += c
+        if acc >= target:
+            return boundaries[min(b, len(boundaries) - 1)]
+    return boundaries[-1]

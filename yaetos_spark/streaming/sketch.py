@@ -257,3 +257,60 @@ def read_top_k(
     cand = spark.read.parquet(f"{state_dir}/cand").select(key).distinct()
     est = count_min_estimate(cms, cand, key, depth=depth, width=width, seed=seed)
     return est.orderBy(F.desc("est"), key).limit(k)
+
+
+def histogram_batch_exactly_once(
+    batch_df: DataFrame,
+    batch_id: int,
+    sketch_dir: str,
+    col: str,
+    boundaries: list[float],
+) -> None:
+    """This batch's histogram cells into a replay-safe ``_batch_id``
+    partition.  Boundaries are frozen by the caller (e.g. from a
+    historical sample via ``histogram_boundaries``) — fixed boundaries
+    are what make per-batch cells mergeable by plain addition."""
+    from yaetos_spark.operators.sketches import histogram_build
+
+    spark = batch_df.sparkSession
+    partial = histogram_build(batch_df, col, boundaries).withColumn(
+        BATCH_COL, F.lit(int(batch_id))
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        partial.write.mode("overwrite").partitionBy(BATCH_COL).parquet(sketch_dir)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def streaming_histogram(
+    stream_df: DataFrame,
+    sketch_dir: str,
+    checkpoint_dir: str,
+    col: str,
+    boundaries: list[float],
+):
+    """Maintain a quantile-answering histogram of an unbounded value
+    stream: each micro-batch lands <= n_buckets+1 cell rows; quantiles
+    read merge-on-read cell sums (streaming p50/p99 without ever
+    re-scanning the stream)."""
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        histogram_batch_exactly_once(batch_df, batch_id, sketch_dir, col, boundaries)
+
+    return (
+        stream_df.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_histogram(spark, sketch_dir: str) -> DataFrame:
+    """Current merged cells: bucket-wise sum across batch partitions."""
+    return (
+        spark.read.parquet(sketch_dir)
+        .groupBy("bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
