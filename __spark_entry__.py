@@ -3727,6 +3727,73 @@ GROUP BY p1, p2 HAVING count(*) >= 2
 """
 
 
+def _right_join_nations(spark, sf_dir):
+    """RIGHT OUTER join surface (every other outer variant is already
+    oracle-checked): suppliers right-joined to nations keeps nations
+    with no suppliers as null-count rows."""
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        s.join(n, s["s_nationkey"] == n["n_nationkey"], "right")
+        .groupBy("n_name")
+        .agg(
+            F.count(F.col("s_suppkey")).alias("n_suppliers"),
+            _dsum(F.coalesce(F.col("s_acctbal"), F.lit(0.0)), 2).alias("total_bal"),
+        )
+        .orderBy("n_name")
+    )
+
+
+_RIGHT_JOIN_SQL = """
+SELECT n_name, CAST(count(s_suppkey) AS BIGINT) AS n_suppliers,
+       CAST(sum(CAST(coalesce(s_acctbal, 0.0) AS DECIMAL(28,2))) AS DOUBLE) AS total_bal
+FROM supplier RIGHT JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+
+def _train_val_test_split(spark, sf_dir):
+    """Deterministic split assignment (operators/curation.py::
+    assign_splits) value-checked exactly: the md5-uniform arithmetic is
+    identical SQL in DuckDB, so per-split counts AND the exact member
+    sets (via min/max/sum of ids per split) hash-match."""
+    from yaetos_spark.operators.curation import assign_splits
+
+    d = _t(spark, sf_dir, "documents")
+    out = assign_splits(d, fractions={"train": 0.8, "val": 0.1, "test": 0.1})
+    return (
+        out.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("doc_id").cast("long").alias("sum_ids"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .orderBy("split")
+    )
+
+
+_SPLIT_SQL = f"""
+WITH u AS (
+  SELECT doc_id,
+         {_hex_long_sql("md5(CAST(doc_id AS VARCHAR) || 'split')", 1)} / 4294967296.0 AS uv
+  FROM documents
+),
+lab AS (
+  SELECT doc_id,
+         CASE WHEN uv < 0.8 THEN 'train'
+              WHEN uv < 0.9 THEN 'val'
+              ELSE 'test' END AS split
+  FROM u
+)
+SELECT split, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+       min(doc_id) AS min_id, max(doc_id) AS max_id
+FROM lab GROUP BY split ORDER BY split
+"""
+
+
 def _histogram_quantile_contract(spark, sf_dir):
     """Mergeable-histogram quantile contract: estimates from the
     fixed-boundary cell sketch (operators/sketches.py — the
@@ -4314,6 +4381,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bitwise_aggs": _bitwise_aggs,
         "spearman_by_type": _spearman_by_type,
         "histogram_quantile_contract": _histogram_quantile_contract,
+        "train_val_test_split": _train_val_test_split,
+        "right_join_nations": _right_join_nations,
         "event_transitions": _event_transitions,
         "user_sessions": _user_sessions,
         "conditional_agg": _conditional_agg,
@@ -4419,6 +4488,8 @@ def oracle_sql() -> dict[str, str]:
         "bitwise_aggs": _BITWISE_SQL,
         "spearman_by_type": _SPEARMAN_SQL,
         "histogram_quantile_contract": _HISTOGRAM_CONTRACT_SQL,
+        "train_val_test_split": _SPLIT_SQL,
+        "right_join_nations": _RIGHT_JOIN_SQL,
         "event_transitions": _EVENT_TRANSITIONS_SQL,
         "pivot_status": _PIVOT_SQL,
         "cube_counts": _CUBE_SQL,

@@ -746,3 +746,37 @@ def test_incremental_rollup_equals_full_recompute(spark):
 
     with _pytest.raises(ValueError, match="not decomposable"):
         rollup_delta(part1, ["k"], {"d": ("count_distinct", "v")})
+
+
+def test_extract_frames_real_container(spark):
+    import numpy as np
+
+    frames = [
+        np.full((4, 6, 3), (i * 10, i * 20, i * 30), dtype=np.uint8) for i in range(7)
+    ]
+    video = MM.write_ppm_video(frames)
+    # container walk finds every frame at the right offset
+    got = list(MM.iter_ppm_frames(video))
+    assert len(got) == 7
+    for i, (_, fb) in enumerate(got):
+        w, h, px = MM.parse_ppm(fb)
+        assert (w, h) == (6, 4) and px[0, 0].tolist() == [i * 10, i * 20, i * 30]
+
+    df = spark.createDataFrame([(1, bytearray(video))], "media_id bigint, content binary")
+    rows = {r.frame_idx: r for r in MM.extract_frames(df, every_n=3).collect()}
+    assert sorted(rows) == [0, 3, 6]  # every 3rd frame sampled
+    # each emitted frame is itself decodable and downstream-composable
+    stats = MM.image_stats(
+        MM.extract_frames(df, every_n=3).select(
+            F.col("frame_idx").alias("media_id"), "content"
+        )
+    ).collect()
+    by_idx = {r.media_id: (r.mean_r, r.mean_g, r.mean_b) for r in stats}
+    assert by_idx[3] == (30.0, 60.0, 90.0)
+
+    # frames with per-frame dimension changes still walk correctly
+    mixed = MM.write_ppm_video([
+        np.zeros((2, 2, 3), dtype=np.uint8), np.zeros((5, 3, 3), dtype=np.uint8)
+    ])
+    sizes = [MM.parse_ppm(fb)[:2] for _, fb in MM.iter_ppm_frames(mixed)]
+    assert sizes == [(2, 2), (3, 5)]

@@ -393,3 +393,39 @@ def dedup_corpus_lines(
             F.coalesce("n_removed", F.lit(0)).cast("long").alias("n_removed"),
         )
     )
+
+
+def assign_splits(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    fractions: dict[str, float] | None = None,
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: each row gets a
+    ``split`` label from the md5-uniform of its id — a pure projection
+    (zero shuffles), stable across runs, engines, partitionings, and
+    re-ingestions of the same ids (the property that stops eval
+    contamination when the corpus is rebuilt).  ``salt`` decorrelates
+    this split from any other md5-derived decision on the same ids
+    (e.g. bernoulli_sample).  Fractions must sum to <= 1; mass left
+    over falls into the LAST label."""
+    fractions = fractions or {"train": 0.98, "val": 0.01, "test": 0.01}
+    if sum(fractions.values()) > 1 + 1e-9:
+        raise ValueError(f"fractions sum to {sum(fractions.values())} > 1")
+    uniform = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 8),
+            16, 10,
+        ).cast("long")
+        / F.lit(float(2**32))
+    )
+    labels = list(fractions)
+    expr = F.lit(labels[-1])
+    acc = 0.0
+    cuts = []
+    for name in labels[:-1]:
+        acc += fractions[name]
+        cuts.append((name, acc))
+    for name, cut in reversed(cuts):
+        expr = F.when(uniform < F.lit(cut), F.lit(name)).otherwise(expr)
+    return df.withColumn("split", expr)

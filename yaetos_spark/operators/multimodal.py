@@ -270,6 +270,68 @@ def resize_image(df: DataFrame, max_side: int = 256) -> DataFrame:
     return df.select("media_id", "content").mapInPandas(_resize, schema=_RESIZED_SCHEMA)
 
 
+_FRAME_SCHEMA = "media_id long, frame_idx int, width int, height int, content binary"
+
+
+def write_ppm_video(frames) -> bytes:
+    """Toy video container for tests: concatenated P6 frames (the
+    format real pipelines would replace with mp4+codec — here the
+    CONTAINER walk and frame sampling are the real part)."""
+    return b"".join(write_ppm(f) for f in frames)
+
+
+def iter_ppm_frames(data: bytes):
+    """Walk a concatenated-P6 buffer yielding (offset, frame_bytes).
+    Re-parses each header to compute the frame's exact byte length —
+    no index needed, tolerant of per-frame dimension changes."""
+    i, n = 0, len(data)
+    while i < n:
+        w, h, _ = parse_ppm(data[i:])
+        # find the exact header length: skip magic, then 3 tokens with
+        # interleaved whitespace/comments, then ONE whitespace byte
+        j = i + 2
+        seen = 0
+        while seen < 3 and j < n:
+            c = data[j:j+1]
+            if c in b" \t\r\n":
+                j += 1
+            elif c == b"#":
+                while j < n and data[j:j+1] != b"\n":
+                    j += 1
+            else:
+                while j < n and data[j:j+1] not in b" \t\r\n#":
+                    j += 1
+                seen += 1
+        j += 1  # the single whitespace byte before pixel data
+        frame_len = (j - i) + w * h * 3
+        yield i, data[i : i + frame_len]
+        i += frame_len
+
+
+def extract_frames(df: DataFrame, every_n: int = 30) -> DataFrame:
+    """REAL frame extraction for concatenated-PPM video content: walk
+    the container, keep every ``every_n``-th frame, emit each as its
+    own decodable PPM row (ready for image_stats / resize_image
+    downstream).  Arrow-batched mapInPandas; only (media_id, content)
+    cross the boundary, frames fan out as rows — the production video
+    shape with the codec swapped for the no-codec container."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                data = bytes(content)
+                for idx, (_, frame) in enumerate(iter_ppm_frames(data)):
+                    if idx % every_n == 0:
+                        w, h, _ = parse_ppm(frame)
+                        out.append((mid, idx, w, h, frame))
+            yield pd.DataFrame(
+                out, columns=["media_id", "frame_idx", "width", "height", "content"]
+            )
+
+    return df.select("media_id", "content").mapInPandas(_extract, schema=_FRAME_SCHEMA)
+
+
 def frame_sample_plan(df: DataFrame, every_n: int = 30) -> DataFrame:
     """Video frame-sampling *plan*: emits one row per sampled frame
     index based on fake frame counts derived from size (decode stub).
