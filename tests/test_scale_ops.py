@@ -560,3 +560,37 @@ def test_spearman_per_group_matches_manual(spark):
     sxx = sum(a * a for a in rx); syy = sum(b * b for b in ry)
     expect = (n * sxy - sx * sy) / math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
     assert abs(out["h"][1] - expect) < 1e-12
+
+
+def test_assign_splits_deterministic_and_decorrelated(spark):
+    from pyspark.sql import functions as F
+
+    from yaetos_spark.operators.curation import assign_splits, bernoulli_sample
+
+    df = spark.range(5000).select(F.col("id").alias("doc_id"))
+    out = assign_splits(df, fractions={"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r.split: r.n for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert abs(counts["train"] - 4000) < 200 and abs(counts["val"] - 500) < 120
+
+    # deterministic: identical assignment on re-run
+    a = sorted((r.doc_id, r.split) for r in out.collect())
+    b = sorted((r.doc_id, r.split) for r in assign_splits(
+        df, fractions={"train": 0.8, "val": 0.1, "test": 0.1}).collect())
+    assert a == b
+
+    # salt decorrelates from bernoulli_sample's unsalted uniform: the
+    # val+test 10%+10% tail must NOT be the same rows a p=0.2 sample keeps
+    tail = {r.doc_id for r in out.where(F.col("split") != "train").collect()}
+    kept = {r.doc_id for r in bernoulli_sample(df, 0.2).collect()}
+    overlap = len(tail & kept) / len(tail)
+    assert 0.05 < overlap < 0.4  # ~independent (0.2 expected), not ~1.0
+
+    import pytest
+
+    with pytest.raises(ValueError, match="fractions"):
+        assign_splits(df, fractions={"a": 0.9, "b": 0.2})
+
+    # plan is a pure projection: no exchange
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

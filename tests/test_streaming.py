@@ -520,3 +520,55 @@ def test_streaming_histogram_quantiles_track_exact(spark, tmp_path):
     before = {(r.bucket, r.cnt) for r in read_histogram(spark, skd).collect()}
     histogram_batch_exactly_once(spark.createDataFrame(b1, "v double"), 0, skd, "v", bounds)
     assert {(r.bucket, r.cnt) for r in read_histogram(spark, skd).collect()} == before
+
+
+def test_native_session_window_stream(spark, tmp_path):
+    """Spark's built-in session_window (gap-based session agg with
+    watermark) — the declarative alternative to the custom
+    applyInPandasWithState sessionizer; sessions emit once the
+    watermark passes their close."""
+    src = str(tmp_path / "ev")
+    out = str(tmp_path / "sess")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        stream = (
+            spark.readStream.schema("user_id long, sec long")
+            .parquet(src)
+            .withColumn("ts", F.timestamp_seconds(F.col("sec")).cast("timestamp_ltz"))
+            .withWatermark("ts", "30 minutes")
+        )
+        agg = (
+            stream.groupBy(F.session_window("ts", "30 minutes"), F.col("user_id"))
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                "user_id",
+                F.unix_timestamp("session_window.start").alias("start_sec"),
+                "n_events",
+            )
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout=120)
+        assert not q.isActive
+
+    spark.createDataFrame(
+        [(1, 1000), (1, 1500), (2, 2000)], "user_id long, sec long"
+    ).coalesce(1).write.mode("append").parquet(src)
+    run()
+    # far-future event pushes the watermark past every open session
+    spark.createDataFrame([(9, 10_000_000)], "user_id long, sec long") \
+        .coalesce(1).write.mode("append").parquet(src)
+    run()
+    rows = {
+        (r.user_id, r.start_sec, r.n_events)
+        for r in spark.read.parquet(out).collect()
+    }
+    # user 1's two events merge into one session (gap 500s < 30min)
+    assert (1, 1000, 2) in rows and (2, 2000, 1) in rows
