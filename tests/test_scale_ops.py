@@ -594,3 +594,45 @@ def test_assign_splits_deterministic_and_decorrelated(spark):
     # plan is a pure projection: no exchange
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_incremental_dedup_against_index(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from yaetos_spark.operators.dedup import build_signature_index, dedup_against_index
+
+    idx = str(tmp_path / "sig_index")
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "completely different text about spark engines and shuffles"),
+        ],
+        "doc_id long, text string",
+    )
+    build_signature_index(corpus, idx)
+
+    batch = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog today"),   # dup of 1
+            (11, "a genuinely fresh document about parquet row groups"),
+            (12, "a genuinely fresh document about parquet row group"),  # ~dup of 11
+            (13, "another brand new unrelated piece of text entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    out = dedup_against_index(batch, idx, threshold=0.5)
+    ids = sorted(r.doc_id for r in out.collect())
+    # 10 drops (matches indexed doc 1), 11/12 collapse within-batch to 11
+    assert ids == [11, 13]
+    # index grew by exactly the survivors
+    assert sorted(r.id for r in spark.read.parquet(idx).select("id").collect()) == [1, 2, 11, 13]
+
+    # replaying the same batch now drops EVERYTHING (survivors indexed)
+    again = dedup_against_index(batch, idx, threshold=0.5, update_index=False)
+    assert again.count() == 0
+
+    # cold start with no index: pure within-batch dedup, index seeded
+    idx2 = str(tmp_path / "fresh_index")
+    out2 = dedup_against_index(batch, idx2, threshold=0.5)
+    assert sorted(r.doc_id for r in out2.collect()) == [10, 11, 13]
+    assert spark.read.parquet(idx2).count() == 3

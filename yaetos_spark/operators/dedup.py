@@ -374,3 +374,119 @@ def drop_near_duplicates(
     clusters = dedup_clusters(df, pairs, id_col)
     losers = clusters.where(F.col("cluster_id") != F.col(id_col)).select(id_col)
     return df.join(losers, id_col, "left_anti")
+
+
+def _band_rows(signatures: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(id, band, sig) rows from a signature frame — the LSH bucket
+    keys, derivable from signatures alone (no text re-shingling)."""
+    r = num_hashes // bands
+    structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws("_", *[F.col(f"mh{b * r + j}") for j in range(r)]).alias("sig"),
+        )
+        for b in range(bands)
+    ]
+    return signatures.select("id", F.explode(F.array(*structs)).alias("bs")).select(
+        "id", "bs.band", "bs.sig"
+    )
+
+
+def build_signature_index(
+    df: DataFrame,
+    index_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Seed (or append to) the persisted minhash-signature index from a
+    corpus — the state that makes dedup INCREMENTAL: new batches check
+    against signatures (tiny: num_hashes longs per doc), never against
+    the 100 TB of text."""
+    minhash_signatures(df, text_col, id_col, n, num_hashes).write.mode(mode).parquet(
+        index_dir
+    )
+
+
+def dedup_against_index(
+    new_docs: DataFrame,
+    index_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    update_index: bool = True,
+) -> DataFrame:
+    """Incremental near-dup dedup — the production shape: dedup a NEW
+    batch within itself (exact-Jaccard, full drop_near_duplicates
+    semantics) and against the persisted index (banded-LSH candidates
+    from signatures, minhash-ESTIMATED Jaccard >= threshold drops the
+    new doc), then append the survivors' signatures so the next batch
+    sees them.  Returns the surviving rows of ``new_docs``.
+
+    Cross-batch verification is signature-estimated (the index stores
+    num_hashes longs per doc, not text — exact verification would mean
+    keeping the corpus online); within-batch stays exact.  Every join
+    is an equi-join on band buckets or ids; the index side is read as
+    a plain columnar scan.
+    """
+    spark = new_docs.sparkSession
+    within = drop_near_duplicates(new_docs, text_col, id_col, n, threshold)
+
+    new_sigs = minhash_signatures(within, text_col, id_col, n, num_hashes)
+    # localCheckpoint: the signature agg is reused by candidates AND the
+    # index append, and truncating here keeps the estimate join flat
+    new_sigs = new_sigs.localCheckpoint(eager=True)
+    try:
+        old_sigs = spark.read.parquet(index_dir)
+        have_index = True
+    except Exception:
+        have_index = False
+
+    if have_index:
+        cand = (
+            _band_rows(new_sigs, num_hashes, bands)
+            .join(
+                _band_rows(old_sigs, num_hashes, bands)
+                .withColumnRenamed("id", "old_id"),
+                ["band", "sig"],
+            )
+            .select("id", "old_id")
+            .distinct()
+        )
+        ns = new_sigs.select(
+            F.col("id").alias("_nid"),
+            *[F.col(f"mh{i}").alias(f"nmh{i}") for i in range(num_hashes)],
+        )
+        os_ = old_sigs.select(
+            F.col("id").alias("_oid"),
+            *[F.col(f"mh{i}").alias(f"omh{i}") for i in range(num_hashes)],
+        )
+        matches = sum(
+            (F.col(f"nmh{i}") == F.col(f"omh{i}")).cast("int")
+            for i in range(num_hashes)
+        )
+        dup_new_ids = (
+            cand.join(ns, cand["id"] == ns["_nid"])
+            .join(os_, cand["old_id"] == os_["_oid"])
+            .select(F.col("id"), (matches / num_hashes).alias("est_j"))
+            .where(F.col("est_j") >= threshold)
+            .select("id")
+            .distinct()
+        )
+        survivors = within.join(
+            dup_new_ids.withColumnRenamed("id", id_col), id_col, "left_anti"
+        )
+    else:
+        survivors = within
+
+    if update_index:
+        surv_sigs = new_sigs.join(
+            survivors.select(F.col(id_col).alias("id")), "id", "left_semi"
+        )
+        surv_sigs.write.mode("append" if have_index else "overwrite").parquet(index_dir)
+    return survivors
