@@ -3727,6 +3727,57 @@ GROUP BY p1, p2 HAVING count(*) >= 2
 """
 
 
+def _gopher_filter_verdicts(spark, sf_dir):
+    """Composite Gopher-style quality filter (operators/curation.py::
+    gopher_filter) with thresholds tuned so the corpus exercises both
+    outcomes of every rule; per-doc rule verdicts AND the conjunction
+    are value-checked (exact integer/rational signal arithmetic in
+    both engines)."""
+    from yaetos_spark.operators.curation import gopher_filter
+
+    d = _t(spark, sf_dir, "documents")
+    return gopher_filter(
+        d, min_words=30, max_words=90, max_top_word_frac=0.12,
+        max_dup_bigram_frac=0.05, min_avg_word_len=3.0, max_avg_word_len=10.0,
+    ).orderBy("doc_id")
+
+
+_GOPHER_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+),
+wc AS (
+  SELECT doc_id, max(cnt) AS max_cnt FROM (
+    SELECT doc_id, w, count(*) AS cnt
+    FROM (SELECT doc_id, unnest(t) AS w FROM toks) GROUP BY doc_id, w
+  ) GROUP BY doc_id
+),
+bg AS (
+  SELECT doc_id, count(*) AS n_bigrams, count(DISTINCT gram) AS n_distinct
+  FROM (
+    SELECT doc_id, t[i] || ' ' || t[i + 1] AS gram
+    FROM toks, unnest(range(1, len(t))) AS r(i) WHERE len(t) >= 2
+  ) GROUP BY doc_id
+),
+awl AS (
+  SELECT doc_id, sum(length(w)) AS total_chars
+  FROM (SELECT doc_id, unnest(t) AS w FROM toks) GROUP BY doc_id
+),
+m AS (
+  SELECT toks.doc_id,
+         CAST(len(toks.t) AS INT) AS n_words,
+         len(toks.t) BETWEEN 30 AND 90 AS ok_n_words,
+         wc.max_cnt / len(toks.t) <= 0.12 AS ok_top_word,
+         coalesce(1 - bg.n_distinct / bg.n_bigrams <= 0.05, TRUE) AS ok_dup_bigram,
+         awl.total_chars / len(toks.t) BETWEEN 3.0 AND 10.0 AS ok_word_len
+  FROM toks JOIN wc USING (doc_id) LEFT JOIN bg USING (doc_id) JOIN awl USING (doc_id)
+)
+SELECT doc_id, n_words, ok_n_words, ok_top_word, ok_dup_bigram, ok_word_len,
+       ok_n_words AND ok_top_word AND ok_dup_bigram AND ok_word_len AS passes
+FROM m ORDER BY doc_id
+"""
+
+
 def _right_join_nations(spark, sf_dir):
     """RIGHT OUTER join surface (every other outer variant is already
     oracle-checked): suppliers right-joined to nations keeps nations
@@ -4383,6 +4434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram_quantile_contract": _histogram_quantile_contract,
         "train_val_test_split": _train_val_test_split,
         "right_join_nations": _right_join_nations,
+        "gopher_filter_verdicts": _gopher_filter_verdicts,
         "event_transitions": _event_transitions,
         "user_sessions": _user_sessions,
         "conditional_agg": _conditional_agg,
@@ -4490,6 +4542,7 @@ def oracle_sql() -> dict[str, str]:
         "histogram_quantile_contract": _HISTOGRAM_CONTRACT_SQL,
         "train_val_test_split": _SPLIT_SQL,
         "right_join_nations": _RIGHT_JOIN_SQL,
+        "gopher_filter_verdicts": _GOPHER_SQL,
         "event_transitions": _EVENT_TRANSITIONS_SQL,
         "pivot_status": _PIVOT_SQL,
         "cube_counts": _CUBE_SQL,

@@ -636,3 +636,31 @@ def test_incremental_dedup_against_index(spark, tmp_path):
     out2 = dedup_against_index(batch, idx2, threshold=0.5)
     assert sorted(r.doc_id for r in out2.collect()) == [10, 11, 13]
     assert spark.read.parquet(idx2).count() == 3
+
+
+def test_gopher_filter_rules(spark):
+    from yaetos_spark.operators.curation import gopher_filter
+
+    docs = spark.createDataFrame(
+        [
+            (1, "one two three four five six seven eight nine ten"),  # ok
+            (2, "short doc"),                                          # too few words
+            (3, "spam spam spam spam spam spam spam spam spam here"),  # top-word + dup-bigram
+            (4, "aa bb cc dd ee ff gg hh ii jj"),                      # short words
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in gopher_filter(
+            docs, min_words=5, max_words=100, max_top_word_frac=0.5,
+            max_dup_bigram_frac=0.5, min_avg_word_len=3.0,
+        ).collect()
+    }
+    assert out[1].passes
+    assert not out[2].ok_n_words and not out[2].passes
+    assert not out[3].ok_top_word and not out[3].ok_dup_bigram
+    assert not out[4].ok_word_len  # avg len 2 < 3
+    # plan: zero shuffles (pure projection)
+    plan = gopher_filter(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

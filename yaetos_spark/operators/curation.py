@@ -429,3 +429,58 @@ def assign_splits(
     for name, cut in reversed(cuts):
         expr = F.when(uniform < F.lit(cut), F.lit(name)).otherwise(expr)
     return df.withColumn("split", expr)
+
+
+def gopher_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    max_top_word_frac: float = 0.2,
+    max_dup_bigram_frac: float = 0.2,
+    min_avg_word_len: float = 3.0,
+    max_avg_word_len: float = 10.0,
+) -> DataFrame:
+    """Gopher-style composite quality filter (Rae et al. 2021 §A1.1):
+    one narrow zero-shuffle projection emitting every rule verdict
+    plus the conjunction, so a pipeline can either drop failures or
+    audit per-rule failure rates.  Returns (id, n_words, ok_n_words,
+    ok_top_word, ok_dup_bigram, ok_word_len, passes).
+
+    Rules over the whitespace-token stream: document length in
+    [min_words, max_words]; most frequent word <= max_top_word_frac of
+    the doc; duplicate-bigram fraction <= max_dup_bigram_frac (absent
+    bigrams pass); mean word length in [min_avg_word_len,
+    max_avg_word_len].  All signals are exact integer/rational
+    arithmetic on token arrays — reproducible in any engine."""
+
+    def verdicts(t: Column) -> Column:
+        n_words = F.size(t)
+        max_count = F.array_max(
+            F.transform(
+                F.array_distinct(t), lambda w: F.size(F.filter(t, lambda x: x == w))
+            )
+        )
+        awl = F.aggregate(
+            t, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+        ) / n_words
+        bigrams = _ngram_strings(t, 2)
+        dup_bg = F.when(
+            F.size(bigrams) >= 1, 1 - F.size(F.array_distinct(bigrams)) / F.size(bigrams)
+        )
+        return F.struct(
+            n_words.alias("n_words"),
+            n_words.between(min_words, max_words).alias("ok_n_words"),
+            ((max_count / n_words) <= max_top_word_frac).alias("ok_top_word"),
+            F.coalesce(dup_bg <= max_dup_bigram_frac, F.lit(True)).alias("ok_dup_bigram"),
+            awl.between(min_avg_word_len, max_avg_word_len).alias("ok_word_len"),
+        )
+
+    out = df.select(F.col(id_col), _let(_tokens(text_col), verdicts).alias("_v")).select(
+        id_col, "_v.*"
+    )
+    return out.withColumn(
+        "passes",
+        F.col("ok_n_words") & F.col("ok_top_word") & F.col("ok_dup_bigram") & F.col("ok_word_len"),
+    )
