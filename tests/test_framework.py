@@ -540,8 +540,10 @@ def test_registry_llm_pipeline_end_to_end(spark):
 
     clean = spark.read.parquet(glob.glob("/tmp/yaetos_spark_out/clean_lines/*")[0])
     assert "n_removed" in clean.columns and clean.count() == 500
+    quality = spark.read.parquet(glob.glob("/tmp/yaetos_spark_out/quality/*")[0])
+    assert 0 < quality.count() < 500  # the filter must actually drop docs
     deduped = spark.read.parquet(glob.glob("/tmp/yaetos_spark_out/dedup/*")[0])
-    assert 0 < deduped.count() <= 500
+    assert 0 < deduped.count() <= quality.count()
 
 
 def test_retention_job_dry_run_then_apply(spark, tmp_path):
