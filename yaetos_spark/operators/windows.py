@@ -169,7 +169,7 @@ def _global_rank_with_total(
     # count pass and the rank pass could disagree on bucket membership).
     qs = [i / num_partitions for i in range(1, num_partitions)]
     bounds = df.agg(
-        F.percentile_approx(order_col, qs, 10_000).alias("b")
+        F.percentile_approx(order_col, qs, 2_000).alias("b")
     ).collect()[0]["b"] or []
     # strictly increasing boundary list (duplicates collapse — a hot
     # value always maps to one bucket)
@@ -286,7 +286,7 @@ def distributed_ntile_multi(
     # one job: boundaries for every metric
     brow = df.agg(
         *[
-            F.percentile_approx(c, qs, 10_000).alias(f"_bounds_{i}")
+            F.percentile_approx(c, qs, 2_000).alias(f"_bounds_{i}")
             for i, (c, _, _) in enumerate(specs)
         ]
     ).collect()[0]
