@@ -3727,6 +3727,81 @@ GROUP BY p1, p2 HAVING count(*) >= 2
 """
 
 
+def _array_set_ops(spark, sf_dir):
+    """Array SET functions (array_intersect / array_union /
+    array_except) over index arrays derived from the embedding column,
+    value-checked against DuckDB's list_* equivalents (sizes only —
+    set results are order-unspecified in both engines)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    v = F.col("embedding")
+    idx = F.sequence(F.lit(0), F.size(v) - 1)
+    a = F.filter(idx, lambda i: F.element_at(v, i + 1) > 0)
+    b = F.filter(idx, lambda i: i % 3 == 0)
+    per = emb.select(
+        "label",
+        F.size(F.array_intersect(a, b)).alias("n_int"),
+        F.size(F.array_union(a, b)).alias("n_union"),
+        F.size(F.array_except(a, b)).alias("n_exc"),
+    )
+    return (
+        per.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum("n_int").cast("long").alias("sum_int"),
+            F.sum("n_union").cast("long").alias("sum_union"),
+            F.sum("n_exc").cast("long").alias("sum_exc"),
+        )
+        .orderBy("label")
+    )
+
+
+_ARRAY_SET_SQL = """
+WITH per AS (
+  SELECT label,
+         list_filter(range(0, len(embedding)), i -> embedding[i + 1] > 0) AS a,
+         list_filter(range(0, len(embedding)), i -> i % 3 = 0) AS b
+  FROM embeddings
+)
+SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(sum(len(list_intersect(a, b))) AS BIGINT) AS sum_int,
+       CAST(sum(len(list_distinct(list_concat(a, b)))) AS BIGINT) AS sum_union,
+       CAST(sum(len(list_filter(a, x -> NOT list_contains(b, x)))) AS BIGINT) AS sum_exc
+FROM per GROUP BY label ORDER BY label
+"""
+
+
+def _explode_outer_counts(spark, sf_dir):
+    """explode_outer semantics: a row whose filtered array is EMPTY
+    still emits one null row (plain explode would drop it) — the
+    row-preserving fan-out incremental pipelines rely on.  The oracle
+    reproduces it arithmetically: each vector contributes
+    greatest(n, 1) rows, n non-null."""
+    emb = _t(spark, sf_dir, "embeddings")
+    c = F.filter(F.col("embedding"), lambda x: x > 0.4)
+    out = emb.select("label", F.explode_outer(c).alias("x"))
+    return (
+        out.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("x").alias("n_vals"),
+            F.sum(F.when(F.col("x").isNull(), 1).otherwise(0)).cast("long").alias("n_empty"),
+        )
+        .orderBy("label")
+    )
+
+
+_EXPLODE_OUTER_SQL = """
+WITH per AS (
+  SELECT label, len(list_filter(embedding, x -> x > 0.4)) AS n FROM embeddings
+)
+SELECT label,
+       CAST(sum(greatest(n, 1)) AS BIGINT) AS n_rows,
+       CAST(sum(n) AS BIGINT) AS n_vals,
+       CAST(sum(CASE WHEN n = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty
+FROM per GROUP BY label ORDER BY label
+"""
+
+
 def _gopher_filter_verdicts(spark, sf_dir):
     """Composite Gopher-style quality filter (operators/curation.py::
     gopher_filter) with thresholds tuned so the corpus exercises both
@@ -4435,6 +4510,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_val_test_split": _train_val_test_split,
         "right_join_nations": _right_join_nations,
         "gopher_filter_verdicts": _gopher_filter_verdicts,
+        "array_set_ops": _array_set_ops,
+        "explode_outer_counts": _explode_outer_counts,
         "event_transitions": _event_transitions,
         "user_sessions": _user_sessions,
         "conditional_agg": _conditional_agg,
@@ -4543,6 +4620,8 @@ def oracle_sql() -> dict[str, str]:
         "train_val_test_split": _SPLIT_SQL,
         "right_join_nations": _RIGHT_JOIN_SQL,
         "gopher_filter_verdicts": _GOPHER_SQL,
+        "array_set_ops": _ARRAY_SET_SQL,
+        "explode_outer_counts": _EXPLODE_OUTER_SQL,
         "event_transitions": _EVENT_TRANSITIONS_SQL,
         "pivot_status": _PIVOT_SQL,
         "cube_counts": _CUBE_SQL,
