@@ -588,3 +588,28 @@ def test_retention_job_dry_run_then_apply(spark, tmp_path):
         bad = RetentionJob({"retention": [str(root)], "keep": 0})
         bad.spark = spark
         bad.transform()
+
+
+def test_incremental_dedup_job_via_registry(spark):
+    """The shipped incremental_dedup registry job: first run seeds the
+    signature index with the survivors; re-running the same input drops
+    every document (all indexed)."""
+    import glob
+    import shutil
+
+    from yaetos_spark.cli import main
+
+    shutil.rmtree("/tmp/yaetos_spark_out", ignore_errors=True)
+    main(["--job_name=incremental_dedup"])
+    main(["--job_name=incremental_dedup"])
+    runs = sorted(glob.glob("/tmp/yaetos_spark_out/incr_dedup/*"))
+    assert len(runs) == 2
+    first = spark.read.parquet(runs[0]).count()
+    assert 0 < first <= 500
+    # 2nd run: empty output (written dir may hold only _SUCCESS)
+    try:
+        second = spark.read.parquet(runs[1]).count()
+    except Exception:
+        second = 0
+    assert second == 0
+    assert spark.read.parquet("/tmp/yaetos_spark_out/incr_dedup_index").count() == first

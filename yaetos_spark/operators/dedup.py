@@ -441,10 +441,15 @@ def dedup_against_index(
     # localCheckpoint: the signature agg is reused by candidates AND the
     # index append, and truncating here keeps the estimate join flat
     new_sigs = new_sigs.localCheckpoint(eager=True)
-    try:
-        old_sigs = spark.read.parquet(index_dir)
-        have_index = True
-    except Exception:
+    import os
+
+    if "://" in index_dir or os.path.exists(index_dir):
+        try:
+            old_sigs = spark.read.parquet(index_dir)
+            have_index = True
+        except Exception:  # remote dir absent: same cold-start path
+            have_index = False
+    else:  # local cold start: skip the read attempt (no JVM stack noise)
         have_index = False
 
     if have_index:
