@@ -3727,6 +3727,74 @@ GROUP BY p1, p2 HAVING count(*) >= 2
 """
 
 
+def _quantized_embeddings(spark, sf_dir):
+    """int8 embedding quantization (operators/similarity.py::
+    quantize_embeddings — the 4x memory lever for ANN indexes)
+    value-checked EXACTLY: q_i = floor(v_i/scale + 0.5) is the same
+    IEEE ops in DuckDB, so per-label sums of codes match bit-for-bit;
+    the reconstruction-error bound |v - q*scale| <= scale/2 is checked
+    as a contract."""
+    from yaetos_spark.operators.similarity import (
+        dequantize_embeddings,
+        quantize_embeddings,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = dequantize_embeddings(quantize_embeddings(emb))
+    err_ok = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            F.col("embedding_deq"),
+            lambda v, d: F.abs(v.cast("double") - d),
+        ),
+        F.lit(True),
+        lambda acc, e: acc & (e <= F.col("scale") / 2 + 1e-12),
+    )
+    return (
+        q.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum(F.aggregate(F.col("qvec"), F.lit(0).cast("long"), lambda a, x: a + x))
+            .cast("long")
+            .alias("sum_codes"),
+            F.sum(
+                F.aggregate(
+                    F.col("qvec"), F.lit(0).cast("long"), lambda a, x: a + F.abs(x)
+                )
+            )
+            .cast("long")
+            .alias("sum_abs_codes"),
+            F.min(err_ok.cast("int")).cast("boolean").alias("all_err_bounded"),
+        )
+        .orderBy("label")
+    )
+
+
+_QUANTIZED_SQL = """
+WITH q AS (
+  SELECT label,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127 AS scale,
+         embedding
+  FROM embeddings
+),
+codes AS (
+  SELECT label,
+         list_transform(
+           embedding,
+           x -> CASE WHEN scale = 0 THEN 0
+                     ELSE greatest(-127, least(127,
+                          CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS INT))) END
+         ) AS qvec
+  FROM q
+)
+SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(sum(list_sum(qvec)) AS BIGINT) AS sum_codes,
+       CAST(sum(list_sum(list_transform(qvec, c -> abs(c)))) AS BIGINT) AS sum_abs_codes,
+       TRUE AS all_err_bounded
+FROM codes GROUP BY label ORDER BY label
+"""
+
+
 def _array_set_ops(spark, sf_dir):
     """Array SET functions (array_intersect / array_union /
     array_except) over index arrays derived from the embedding column,
@@ -4510,6 +4578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_val_test_split": _train_val_test_split,
         "right_join_nations": _right_join_nations,
         "gopher_filter_verdicts": _gopher_filter_verdicts,
+        "quantized_embeddings": _quantized_embeddings,
         "array_set_ops": _array_set_ops,
         "explode_outer_counts": _explode_outer_counts,
         "event_transitions": _event_transitions,
@@ -4620,6 +4689,7 @@ def oracle_sql() -> dict[str, str]:
         "train_val_test_split": _SPLIT_SQL,
         "right_join_nations": _RIGHT_JOIN_SQL,
         "gopher_filter_verdicts": _GOPHER_SQL,
+        "quantized_embeddings": _QUANTIZED_SQL,
         "array_set_ops": _ARRAY_SET_SQL,
         "explode_outer_counts": _EXPLODE_OUTER_SQL,
         "event_transitions": _EVENT_TRANSITIONS_SQL,

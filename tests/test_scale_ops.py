@@ -664,3 +664,27 @@ def test_gopher_filter_rules(spark):
     # plan: zero shuffles (pure projection)
     plan = gopher_filter(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_quantize_embeddings_roundtrip_and_bound(spark):
+    from pyspark.sql import functions as F
+
+    from yaetos_spark.operators.similarity import (
+        dequantize_embeddings,
+        quantize_embeddings,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, -0.5, 0.25, 0.0]), (2, [0.0, 0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r.vec_id: r for r in dequantize_embeddings(quantize_embeddings(df)).collect()}
+    # scale = 1/127; codes = floor(v*127 + 0.5) — halves round toward
+    # +inf (the deterministic cross-engine choice): -63.5 -> -63
+    assert out[1].qvec == [127, -63, 32, 0]
+    assert out[2].qvec == [0, 0, 0, 0] and out[2].scale == 0.0
+    # reconstruction error bounded by scale/2 everywhere
+    for r in out.values():
+        if r.scale:
+            for v, d in zip(r.embedding, r.embedding_deq):
+                assert abs(v - d) <= r.scale / 2 + 1e-12

@@ -341,3 +341,42 @@ def _ivf_assign_arrow(emb: DataFrame, centroids, vec_col: str) -> DataFrame:
             yield pdf
 
     return emb.mapInPandas(assign, schema=out_schema)
+
+
+def quantize_embeddings(
+    emb: DataFrame, vec_col: str = "embedding", bits: int = 8
+) -> DataFrame:
+    """Symmetric per-vector int quantization — the memory lever for
+    ANN at scale (float32 -> int8 is 4x smaller indexes and 4x more
+    vectors per broadcast/executor).  Adds ``scale double`` and
+    ``qvec array<int>`` with q_i = floor(v_i/scale + 0.5) clamped to
+    [-qmax, qmax], scale = max|v|/qmax.  floor(x + 0.5) instead of
+    round(): identical halfway behavior in every engine, so the
+    quantized values are exactly reproducible (oracle-checkable).
+    Reconstruction v ~ q*scale has per-element error <= scale/2.
+    Zero vectors get scale 0 and all-zero codes."""
+    qmax = (1 << (bits - 1)) - 1
+    v = F.col(vec_col)
+    scale = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double")))) / qmax
+    out = emb.withColumn("scale", scale)
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.when(F.col("scale") == 0, F.lit(0)).otherwise(
+            F.greatest(
+                F.lit(-qmax),
+                F.least(
+                    F.lit(qmax),
+                    F.floor(x.cast("double") / F.col("scale") + 0.5).cast("int"),
+                ),
+            )
+        ),
+    )
+    return out.withColumn("qvec", q)
+
+
+def dequantize_embeddings(qdf: DataFrame) -> DataFrame:
+    """Inverse map: qvec*scale -> ``embedding_deq array<double>``."""
+    return qdf.withColumn(
+        "embedding_deq",
+        F.transform(F.col("qvec"), lambda q: q.cast("double") * F.col("scale")),
+    )
