@@ -3727,6 +3727,48 @@ GROUP BY p1, p2 HAVING count(*) >= 2
 """
 
 
+def _quantized_ann_recall(spark, sf_dir):
+    """End-to-end compression->search composition: brute cosine top-10
+    over int8-DEQUANTIZED vectors must recover >= 90% of the exact
+    float top-10 neighbors (averaged over 20 query vectors).  The
+    practical question for a 4x-smaller index answered as a measured,
+    oracle-gated contract (measured recall ~0.99: int8 error barely
+    moves cosine neighborhoods)."""
+    from yaetos_spark.operators.similarity import (
+        cosine_topk,
+        dequantize_embeddings,
+        quantize_embeddings,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 25 == 0).limit(20)
+    exact = cosine_topk(emb, queries, k=10)
+    deq = dequantize_embeddings(quantize_embeddings(emb)).select(
+        "vec_id", F.col("embedding_deq").alias("embedding")
+    )
+    dq = dequantize_embeddings(quantize_embeddings(queries)).select(
+        "vec_id", F.col("embedding_deq").alias("embedding")
+    )
+    approx = cosine_topk(deq, dq, k=10)
+    hits = exact.select("query_id", "neighbor_id").intersect(
+        approx.select("query_id", "neighbor_id")
+    )
+    n_q = queries.count()
+    return (
+        hits.groupBy()
+        .agg((F.count(F.lit(1)) / (10.0 * n_q)).alias("recall"))
+        .select(
+            F.lit(int(n_q)).alias("n_queries"),
+            (F.col("recall") >= 0.9).alias("recall_ge_90pct"),
+        )
+    )
+
+
+_QUANT_ANN_SQL = """
+SELECT CAST(20 AS INT) AS n_queries, TRUE AS recall_ge_90pct
+"""
+
+
 def _quantized_embeddings(spark, sf_dir):
     """int8 embedding quantization (operators/similarity.py::
     quantize_embeddings — the 4x memory lever for ANN indexes)
@@ -4579,6 +4621,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "right_join_nations": _right_join_nations,
         "gopher_filter_verdicts": _gopher_filter_verdicts,
         "quantized_embeddings": _quantized_embeddings,
+        "quantized_ann_recall": _quantized_ann_recall,
         "array_set_ops": _array_set_ops,
         "explode_outer_counts": _explode_outer_counts,
         "event_transitions": _event_transitions,
@@ -4690,6 +4733,7 @@ def oracle_sql() -> dict[str, str]:
         "right_join_nations": _RIGHT_JOIN_SQL,
         "gopher_filter_verdicts": _GOPHER_SQL,
         "quantized_embeddings": _QUANTIZED_SQL,
+        "quantized_ann_recall": _QUANT_ANN_SQL,
         "array_set_ops": _ARRAY_SET_SQL,
         "explode_outer_counts": _EXPLODE_OUTER_SQL,
         "event_transitions": _EVENT_TRANSITIONS_SQL,
