@@ -3727,6 +3727,87 @@ GROUP BY p1, p2 HAVING count(*) >= 2
 """
 
 
+def _intra_doc_line_dedup(spark, sf_dir):
+    """WITHIN-document repeated-line removal (the complement of
+    corpus_line_dedup): keep each distinct trimmed line's FIRST
+    occurrence per doc, reassemble in order, hash the text so the
+    oracle verifies order.  Same synthesized line structure as the
+    corpus-level query."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.regexp_replace("text", " the ", "\n").alias("text")
+    )
+    lines = d.select(
+        "doc_id", F.posexplode(F.split("text", "\n")).alias("pos", "line")
+    ).withColumn("key", F.trim("line"))
+    w = Window.partitionBy("doc_id", "key").orderBy("pos")
+    kept = lines.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1)
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    "\n",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                        lambda s: s["line"],
+                    ),
+                )
+            ).alias("clean_md5"),
+            F.count(F.lit(1)).alias("n_kept"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_INTRA_DOC_SQL = """
+WITH keyed AS (
+  SELECT doc_id,
+         generate_subscripts(string_split(replace(text, ' the ', chr(10)), chr(10)), 1) AS pos,
+         unnest(string_split(replace(text, ' the ', chr(10)), chr(10))) AS line,
+         trim(unnest(string_split(replace(text, ' the ', chr(10)), chr(10)))) AS key
+  FROM documents
+),
+kept AS (
+  SELECT doc_id, pos, line,
+         row_number() OVER (PARTITION BY doc_id, key ORDER BY pos) AS rn
+  FROM keyed
+)
+SELECT doc_id, md5(string_agg(line, chr(10) ORDER BY pos)) AS clean_md5,
+       CAST(count(*) AS BIGINT) AS n_kept
+FROM kept WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def _string_funcs2(spark, sf_dir):
+    """Second string-surface sweep: levenshtein, split_part, lpad/rpad,
+    reverse, repeat, left/right — against DuckDB's identical
+    functions."""
+    n = _t(spark, sf_dir, "nation")
+    return n.select(
+        "n_name",
+        F.levenshtein(F.col("n_name"), F.lit("FRANCE")).alias("lev_fr"),
+        F.split_part(F.col("n_name"), F.lit("A"), F.lit(2)).alias("second_part"),
+        F.lpad("n_name", 12, ".").alias("padded"),
+        F.rpad("n_name", 10, "-").alias("rpadded"),
+        F.reverse(F.col("n_name")).alias("rev"),
+        F.repeat(F.substring("n_name", 1, 2), 3).alias("rep"),
+        F.substring("n_name", 1, 3).alias("left3"),
+    ).orderBy("n_name")
+
+
+_STRING_FUNCS2_SQL = """
+SELECT n_name,
+       levenshtein(n_name, 'FRANCE') AS lev_fr,
+       split_part(n_name, 'A', 2) AS second_part,
+       lpad(n_name, 12, '.') AS padded,
+       rpad(n_name, 10, '-') AS rpadded,
+       reverse(n_name) AS rev,
+       repeat(substring(n_name, 1, 2), 3) AS rep,
+       substring(n_name, 1, 3) AS left3
+FROM nation ORDER BY n_name
+"""
+
+
 def _quantized_ann_recall(spark, sf_dir):
     """End-to-end compression->search composition: brute cosine top-10
     over int8-DEQUANTIZED vectors must recover >= 90% of the exact
@@ -4622,6 +4703,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_filter_verdicts": _gopher_filter_verdicts,
         "quantized_embeddings": _quantized_embeddings,
         "quantized_ann_recall": _quantized_ann_recall,
+        "intra_doc_line_dedup": _intra_doc_line_dedup,
+        "string_funcs2": _string_funcs2,
         "array_set_ops": _array_set_ops,
         "explode_outer_counts": _explode_outer_counts,
         "event_transitions": _event_transitions,
@@ -4734,6 +4817,8 @@ def oracle_sql() -> dict[str, str]:
         "gopher_filter_verdicts": _GOPHER_SQL,
         "quantized_embeddings": _QUANTIZED_SQL,
         "quantized_ann_recall": _QUANT_ANN_SQL,
+        "intra_doc_line_dedup": _INTRA_DOC_SQL,
+        "string_funcs2": _STRING_FUNCS2_SQL,
         "array_set_ops": _ARRAY_SET_SQL,
         "explode_outer_counts": _EXPLODE_OUTER_SQL,
         "event_transitions": _EVENT_TRANSITIONS_SQL,
