@@ -397,3 +397,20 @@ def test_zorder_key_matches_python_reference(spark, pts):
     for x, y in pts:
         expect = interleave(rank(x, min(xs), max(xs)), rank(y, min(ys), max(ys)))
         assert (x, y, expect) in got, (x, y, expect)
+
+
+@given(
+    st.sets(st.integers(0, 10**9), min_size=1, max_size=200),
+    st.sampled_from([0.001, 0.01, 0.05]),
+)
+@settings(**SETTINGS)
+def test_bloom_never_false_negative_property(spark, keys, fpp):
+    """The bloom invariant that makes join pruning EXACT: every member
+    key passes the membership test, for any key set and any fpp."""
+    from yaetos_spark.operators import sketches as SK
+
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    m, kh = SK.bloom_params(len(keys), fpp)
+    bitmap = SK.bloom_build(df, "k", m, kh)
+    hits = df.filter(SK.bloom_might_contain(bitmap, F.col("k"), m, kh)).count()
+    assert hits == len(keys)
