@@ -3727,6 +3727,65 @@ GROUP BY p1, p2 HAVING count(*) >= 2
 """
 
 
+def _date_try_funcs(spark, sf_dir):
+    """Second date sweep + try_/null-handling arithmetic: last_day,
+    quarter, weekofyear (ISO both engines), dayofweek (Spark Sunday=1
+    vs DuckDB Sunday=0 — mapped in the oracle), add_months clamping,
+    try_divide (null on zero), try_cast of a non-numeric string."""
+    o = _t(spark, sf_dir, "orders")
+    od = F.col("o_orderdate").cast("date")
+    per = o.select(
+        "o_orderpriority",
+        F.quarter(od).alias("q"),
+        F.weekofyear(od).alias("wk"),
+        F.dayofweek(od).alias("dow"),
+        F.last_day(od).alias("ld"),
+        F.add_months(od, 2).alias("am"),
+        F.try_divide(F.col("o_totalprice"), F.col("o_custkey") % 5).alias("td"),
+        F.expr("try_cast(o_orderpriority AS int)").alias("tc"),
+    )
+    return (
+        per.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("q").cast("long").alias("sum_q"),
+            F.sum("wk").cast("long").alias("sum_wk"),
+            F.sum("dow").cast("long").alias("sum_dow"),
+            F.max(F.col("ld").cast("string")).alias("max_last_day"),
+            F.max(F.col("am").cast("string")).alias("max_add_months"),
+            F.sum(F.col("td").isNull().cast("int")).cast("long").alias("n_div_null"),
+            _dsum(F.col("td"), 6).alias("sum_td"),
+            F.sum(F.col("tc").isNull().cast("int")).cast("long").alias("n_cast_null"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_DATE_TRY_SQL = """
+WITH per AS (
+  SELECT o_orderpriority,
+         quarter(CAST(o_orderdate AS DATE)) AS q,
+         weekofyear(CAST(o_orderdate AS DATE)) AS wk,
+         dayofweek(CAST(o_orderdate AS DATE)) + 1 AS dow,
+         last_day(CAST(o_orderdate AS DATE)) AS ld,
+         CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE) AS am,
+         o_totalprice / nullif(o_custkey % 5, 0) AS td,
+         TRY_CAST(o_orderpriority AS INT) AS tc
+  FROM orders
+)
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(q) AS BIGINT) AS sum_q,
+       CAST(sum(wk) AS BIGINT) AS sum_wk,
+       CAST(sum(dow) AS BIGINT) AS sum_dow,
+       CAST(max(ld) AS VARCHAR) AS max_last_day,
+       CAST(max(am) AS VARCHAR) AS max_add_months,
+       CAST(sum(CASE WHEN td IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_div_null,
+       CAST(sum(CAST(td AS DECIMAL(28,6))) AS DOUBLE) AS sum_td,
+       CAST(sum(CASE WHEN tc IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_cast_null
+FROM per GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
 def _intra_doc_line_dedup(spark, sf_dir):
     """WITHIN-document repeated-line removal (the complement of
     corpus_line_dedup): keep each distinct trimmed line's FIRST
@@ -4704,6 +4763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantized_embeddings": _quantized_embeddings,
         "quantized_ann_recall": _quantized_ann_recall,
         "intra_doc_line_dedup": _intra_doc_line_dedup,
+        "date_try_funcs": _date_try_funcs,
         "string_funcs2": _string_funcs2,
         "array_set_ops": _array_set_ops,
         "explode_outer_counts": _explode_outer_counts,
@@ -4818,6 +4878,7 @@ def oracle_sql() -> dict[str, str]:
         "quantized_embeddings": _QUANTIZED_SQL,
         "quantized_ann_recall": _QUANT_ANN_SQL,
         "intra_doc_line_dedup": _INTRA_DOC_SQL,
+        "date_try_funcs": _DATE_TRY_SQL,
         "string_funcs2": _STRING_FUNCS2_SQL,
         "array_set_ops": _ARRAY_SET_SQL,
         "explode_outer_counts": _EXPLODE_OUTER_SQL,
