@@ -3727,6 +3727,66 @@ GROUP BY p1, p2 HAVING count(*) >= 2
 """
 
 
+def _math_funcs(spark, sf_dir):
+    """IEEE-exact math surface: sqrt / sign / pow / factorial /
+    greatest / least, plus width_bucket (emulated arithmetically in
+    the oracle — same closed form).  Irrational doubles are summed via
+    the decimal trick (_dsum) so engine-dependent addition order can't
+    flip low bits."""
+    li = _t(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    per = li.select(
+        "l_returnflag",
+        F.sqrt(q).alias("sq"),
+        F.signum(q - 25).alias("sg"),
+        F.pow(q, 2).alias("p2"),
+        F.factorial((F.col("l_linenumber") % 7).cast("int")).alias("fct"),
+        F.width_bucket(q, F.lit(0.0), F.lit(60.0), F.lit(6)).alias("wb"),
+        F.greatest(q, F.col("l_discount") * 100).alias("gr"),
+        F.least(q, F.col("l_tax") * 100).alias("ls"),
+    )
+    return (
+        per.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _dsum(F.col("sq"), 6).alias("sum_sqrt"),
+            F.sum("sg").cast("long").alias("sum_sign"),
+            _dsum(F.col("p2"), 4).alias("sum_pow2"),
+            F.sum("fct").cast("long").alias("sum_fact"),
+            F.sum("wb").cast("long").alias("sum_wb"),
+            _dsum(F.col("gr"), 4).alias("sum_greatest"),
+            _dsum(F.col("ls"), 4).alias("sum_least"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_MATH_FUNCS_SQL = """
+WITH per AS (
+  SELECT l_returnflag,
+         sqrt(l_quantity) AS sq,
+         sign(l_quantity - 25) AS sg,
+         pow(l_quantity, 2) AS p2,
+         factorial(CAST(l_linenumber % 7 AS INT)) AS fct,
+         CASE WHEN l_quantity < 0 THEN 0
+              WHEN l_quantity >= 60 THEN 7
+              ELSE CAST(floor(l_quantity / 60.0 * 6) AS BIGINT) + 1 END AS wb,
+         greatest(l_quantity, l_discount * 100) AS gr,
+         least(l_quantity, l_tax * 100) AS ls
+  FROM lineitem
+)
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(sq AS DECIMAL(28,6))) AS DOUBLE) AS sum_sqrt,
+       CAST(sum(sg) AS BIGINT) AS sum_sign,
+       CAST(sum(CAST(p2 AS DECIMAL(28,4))) AS DOUBLE) AS sum_pow2,
+       CAST(sum(fct) AS BIGINT) AS sum_fact,
+       CAST(sum(wb) AS BIGINT) AS sum_wb,
+       CAST(sum(CAST(gr AS DECIMAL(28,4))) AS DOUBLE) AS sum_greatest,
+       CAST(sum(CAST(ls AS DECIMAL(28,4))) AS DOUBLE) AS sum_least
+FROM per GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 def _date_try_funcs(spark, sf_dir):
     """Second date sweep + try_/null-handling arithmetic: last_day,
     quarter, weekofyear (ISO both engines), dayofweek (Spark Sunday=1
@@ -4764,6 +4824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantized_ann_recall": _quantized_ann_recall,
         "intra_doc_line_dedup": _intra_doc_line_dedup,
         "date_try_funcs": _date_try_funcs,
+        "math_funcs": _math_funcs,
         "string_funcs2": _string_funcs2,
         "array_set_ops": _array_set_ops,
         "explode_outer_counts": _explode_outer_counts,
@@ -4879,6 +4940,7 @@ def oracle_sql() -> dict[str, str]:
         "quantized_ann_recall": _QUANT_ANN_SQL,
         "intra_doc_line_dedup": _INTRA_DOC_SQL,
         "date_try_funcs": _DATE_TRY_SQL,
+        "math_funcs": _MATH_FUNCS_SQL,
         "string_funcs2": _STRING_FUNCS2_SQL,
         "array_set_ops": _ARRAY_SET_SQL,
         "explode_outer_counts": _EXPLODE_OUTER_SQL,
