@@ -3727,6 +3727,32 @@ GROUP BY p1, p2 HAVING count(*) >= 2
 """
 
 
+def _encoding_funcs(spark, sf_dir):
+    """Encoding surface: hex of integers, base64 of UTF-8 bytes,
+    ascii, md5, sha2-256 — byte-identical across engines by
+    definition."""
+    s = _t(spark, sf_dir, "supplier")
+    return s.select(
+        "s_suppkey",
+        F.hex(F.col("s_suppkey")).alias("key_hex"),
+        F.base64(F.col("s_name").cast("binary")).alias("name_b64"),
+        F.ascii(F.col("s_name")).alias("first_ascii"),
+        F.md5(F.col("s_name")).alias("name_md5"),
+        F.sha2(F.col("s_name"), 256).alias("name_sha256"),
+    ).orderBy("s_suppkey")
+
+
+_ENCODING_SQL = """
+SELECT s_suppkey,
+       to_hex(s_suppkey) AS key_hex,
+       base64(encode(s_name)) AS name_b64,
+       ascii(s_name) AS first_ascii,
+       md5(s_name) AS name_md5,
+       sha256(s_name) AS name_sha256
+FROM supplier ORDER BY s_suppkey
+"""
+
+
 def _math_funcs(spark, sf_dir):
     """IEEE-exact math surface: sqrt / sign / pow / factorial /
     greatest / least, plus width_bucket (emulated arithmetically in
@@ -4825,6 +4851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "intra_doc_line_dedup": _intra_doc_line_dedup,
         "date_try_funcs": _date_try_funcs,
         "math_funcs": _math_funcs,
+        "encoding_funcs": _encoding_funcs,
         "string_funcs2": _string_funcs2,
         "array_set_ops": _array_set_ops,
         "explode_outer_counts": _explode_outer_counts,
@@ -4941,6 +4968,7 @@ def oracle_sql() -> dict[str, str]:
         "intra_doc_line_dedup": _INTRA_DOC_SQL,
         "date_try_funcs": _DATE_TRY_SQL,
         "math_funcs": _MATH_FUNCS_SQL,
+        "encoding_funcs": _ENCODING_SQL,
         "string_funcs2": _STRING_FUNCS2_SQL,
         "array_set_ops": _ARRAY_SET_SQL,
         "explode_outer_counts": _EXPLODE_OUTER_SQL,
