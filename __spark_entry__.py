@@ -3967,7 +3967,10 @@ def _quantized_ann_recall(spark, sf_dir):
     )
 
     emb = _t(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") % 25 == 0).limit(20)
+    # orderBy before limit: an unordered limit is re-planned per action,
+    # and this set feeds THREE actions (exact topk, quantized topk,
+    # count) — without a total order they could each see different rows
+    queries = emb.filter(F.col("vec_id") % 25 == 0).orderBy("vec_id").limit(20)
     exact = cosine_topk(emb, queries, k=10)
     deq = dequantize_embeddings(quantize_embeddings(emb)).select(
         "vec_id", F.col("embedding_deq").alias("embedding")

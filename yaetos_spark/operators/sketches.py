@@ -221,7 +221,10 @@ def _bloom_prefilter_arrow(
     implementations from ever having to agree."""
     import numpy as np
 
-    words = np.array(bitmap, dtype=np.uint64)
+    # Spark longs are signed; words with bit 63 set arrive as negative
+    # Python ints, which np.uint64 cannot take directly (DeprecationWarning
+    # on numpy 1.26, OverflowError on >= 2.0) — reinterpret via int64.
+    words = np.array(bitmap, dtype=np.int64).view(np.uint64)
     pos_cols = [
         F.pmod(F.xxhash64(F.col(big_key), F.lit(seed + i)), F.lit(m_bits)).alias(f"_p{i}")
         for i in range(k_hashes)
@@ -277,37 +280,6 @@ def bloom_prefilter(
     )
     if len(bitmap) > MAX_INLINE_BLOOM_WORDS:
         return _bloom_prefilter_arrow(big, big_key, bitmap, m_bits, k_hashes, seed)
-    return big.filter(
-        bloom_might_contain(bitmap, F.col(big_key), m_bits, k_hashes, seed)
-    )
-
-
-def bloom_prefilter(
-    big: DataFrame,
-    big_key: str,
-    small: DataFrame,
-    small_key: str,
-    fpp: float = 0.01,
-    expected_items: int | None = None,
-    seed: int = 77,
-) -> DataFrame:
-    """Prune ``big`` to rows whose key MIGHT appear in ``small`` before
-    an expensive shuffle join — the classic 100 TB pattern for a dim
-    side that is too big to broadcast-hash-join but whose key SET fits
-    a few-MB bitmap.  No false negatives, so ``bloom_prefilter(...)
-    .join(small, ...)`` ("inner"/"semi") is exactly equal to the
-    unpruned join; false positives only cost shuffled bytes.  The
-    reference has no counterpart (closest: full joins in its SQL jobs);
-    Spark's own runtime bloom (spark.sql.optimizer.runtime.bloomFilter)
-    does this automatically only within one query — this operator makes
-    it explicit and reusable across queries/jobs.
-    """
-    if expected_items is None:
-        expected_items = small.select(small_key).distinct().count()
-    m_bits, k_hashes = bloom_params(expected_items, fpp)
-    bitmap = bloom_build(
-        small.select(small_key).distinct(), small_key, m_bits, k_hashes, seed
-    )
     return big.filter(
         bloom_might_contain(bitmap, F.col(big_key), m_bits, k_hashes, seed)
     )

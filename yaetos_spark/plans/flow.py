@@ -75,4 +75,8 @@ class Flow:
                 outputs[job_name] = load_input(
                     spark, {"path": written[0], "type": written[1]}
                 )
+                # the caller should see the same DataFrame downstream
+                # jobs consume — acting on the pre-write plan would
+                # re-execute the whole upstream lineage
+                last = outputs[job_name]
         return last

@@ -80,8 +80,11 @@ def read_xlsx(path: str):
             for si in root.iter(f"{_NS}si"):
                 # a shared string may be split across rich-text runs
                 shared.append("".join(t.text or "" for t in si.iter(f"{_NS}t")))
+        # numeric sort: lexicographic would put sheet10 before sheet2,
+        # reading the wrong sheet from >=10-sheet workbooks
         sheet_names = sorted(
-            n for n in zf.namelist() if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)
+            (n for n in zf.namelist() if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)),
+            key=lambda n: int(re.search(r"sheet(\d+)", n).group(1)),
         )
         if not sheet_names:
             raise ValueError(f"no worksheet found in {path}")
