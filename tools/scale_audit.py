@@ -29,6 +29,25 @@ import __spark_entry__ as entrymod  # noqa: E402
 from yaetos_spark.session import get_spark  # noqa: E402
 
 
+def _env_signal() -> dict:
+    """Same environmental-noise fingerprint bench.py records (VERDICT
+    r4 item 1): 1-minute load average plus a fixed CPU-bound spin loop.
+    On a quiet host spin_sec is a stable constant (~0.64 here); an
+    inflated value marks the audit as contended, so its timings are
+    read as noisy rather than as plan regressions."""
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(20_000_000):
+        x += i
+    spin = time.perf_counter() - t0
+    try:
+        load1 = os.getloadavg()[0]
+    except OSError:
+        load1 = None
+    return {"load_avg_1m": round(load1, 2) if load1 is not None else None,
+            "spin_sec": round(spin, 3)}
+
+
 def run_audit(spark, sf_dir: str, names=None) -> dict:
     qs = entrymod.queries()
     names = list(names) if names else list(qs)
@@ -59,11 +78,14 @@ def main(argv: list[str]) -> int:
     )
     names = argv[1:] or None
 
+    env_before = _env_signal()
     spark = get_spark(app_name="scale_audit")
     t0 = time.time()
     results = run_audit(spark, sf_dir, names)
     errs = {k: v["err"] for k, v in results.items() if v["err"]}
     doc = {
+        "env_before": env_before,
+        "env_after": _env_signal(),
         "sf_dir": sf_dir,
         "n_queries": len(results),
         "n_errors": len(errs),
