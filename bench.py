@@ -65,6 +65,20 @@ HEADLINE = [
     "embedding_near_dup",
 ]
 
+# the scale-audit worst five (VERDICT r4 item 5): tracked with the same
+# median-of-3 + spin calibration so regressions in the heavy operators
+# show up round-over-round, but totaled SEPARATELY — BASELINE.md's
+# 11.5 s line covers exactly the 15 HEADLINE queries, and mixing these
+# in would break that comparison. Reference medians recorded in
+# BASELINE.md "round-5 heavy extension" table.
+HEAVY = [
+    "rfm_segments",
+    "pagerank_trade_graph",
+    "near_dup_survivors",
+    "ivf_ann_exactprobe",
+    "dedup_clusters",
+]
+
 
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -75,24 +89,29 @@ def main():
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
     qs = entrymod.queries()
-    times = {}
-    cold = {}
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
-    for name in HEADLINE:
-        t0 = time.time()
-        qs[name](spark, sf_dir).count()  # warm-up: codegen + fs caches
-        cold[name] = round(time.time() - t0, 3)
-        runs = []
-        for _ in range(n_runs):
+
+    def time_set(names):
+        times, cold = {}, {}
+        for name in names:
             t0 = time.time()
-            n = qs[name](spark, sf_dir).count()
-            runs.append(time.time() - t0)
-        times[name] = round(statistics.median(runs), 3)
-        print(
-            f"# {name}: median {times[name]}s of {[round(r, 3) for r in runs]} "
-            f"/ {cold[name]}s cold ({n} rows)",
-            file=sys.stderr,
-        )
+            n = qs[name](spark, sf_dir).count()  # warm-up: codegen + fs caches
+            cold[name] = round(time.time() - t0, 3)
+            runs = []
+            for _ in range(n_runs):
+                t0 = time.time()
+                n = qs[name](spark, sf_dir).count()
+                runs.append(time.time() - t0)
+            times[name] = round(statistics.median(runs), 3)
+            print(
+                f"# {name}: median {times[name]}s of {[round(r, 3) for r in runs]} "
+                f"/ {cold[name]}s cold ({n} rows)",
+                file=sys.stderr,
+            )
+        return times, cold
+
+    times, cold = time_set(HEADLINE)
+    heavy_times, heavy_cold = time_set(HEAVY)
     total = round(sum(times.values()), 3)
     print(json.dumps({
         "metric": "headline_queries_total_sec",
@@ -101,6 +120,9 @@ def main():
         "queries": times,
         "sf": sf,
         "cold_total_sec": round(sum(cold.values()), 3),
+        "heavy_queries": heavy_times,
+        "heavy_total_sec": round(sum(heavy_times.values()), 3),
+        "heavy_cold_total_sec": round(sum(heavy_cold.values()), 3),
         "env_before": env_before,
         "env_after": _env_signal(),
     }))
