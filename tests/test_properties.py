@@ -414,3 +414,140 @@ def test_bloom_never_false_negative_property(spark, keys, fpp):
     bitmap = SK.bloom_build(df, "k", m, kh)
     hits = df.filter(SK.bloom_might_contain(bitmap, F.col("k"), m, kh)).count()
     assert hits == len(keys)
+
+
+# ---------------------------------------------------------------------
+# Incremental rerun-criteria state machine (VERDICT r4 item 3).
+# SURVEY §7.3 flags the reference's own documented pitfalls
+# (yaetos/etl_utils.py:126-131): ``last_date`` looping past missing
+# days and ``output_empty`` stalling on legitimately-empty days. These
+# drive the PURE extracted loop (plans/incremental.py multi_pass_loop)
+# with random (day → has-data?) histories and random run schedules, so
+# hypothesis can cover hundreds of histories without Spark I/O. The
+# Spark wiring (watermark probe, partitioned appends) stays covered by
+# tests/test_framework.py::test_multi_pass_incremental.
+# ---------------------------------------------------------------------
+
+import datetime as _dt
+
+from yaetos_spark.plans.incremental import multi_pass_loop
+
+_BASE = _dt.date(2024, 3, 1)
+
+
+def _day(i: int) -> str:
+    return (_BASE + _dt.timedelta(days=i)).isoformat()
+
+
+class _World:
+    """Simulated materialized output: appends per processed period,
+    watermark = max day WITH DATA ever appended (= max(inc_field))."""
+
+    def __init__(self, has_data: list[bool]):
+        self.has_data = has_data
+        self.appends: list[int] = []  # day indices appended WITH data
+
+    def watermark(self):
+        return _day(max(self.appends)) if self.appends else None
+
+    def run_period(self, period: str) -> bool:
+        i = (_dt.date.fromisoformat(period) - _BASE).days
+        if 0 <= i < len(self.has_data) and self.has_data[i]:
+            self.appends.append(i)
+            return False
+        return True
+
+
+@given(
+    history=st.lists(st.booleans(), min_size=1, max_size=12),
+    data=st.data(),
+)
+@settings(max_examples=200, deadline=None)
+def test_last_date_terminates_and_appends_each_nonempty_day_once(history, data):
+    """Under ``last_date``, across ANY schedule of successive runs with
+    non-decreasing last_day: (a) every run terminates after at most
+    (last_day - start + 1) periods; (b) once the final run reaches the
+    end of history, every day WITH data was appended EXACTLY once —
+    no day skipped (no data loss) and no day double-appended (the
+    idempotence that makes incremental appends safe to re-run)."""
+    n = len(history)
+    # random non-decreasing run schedule whose last run covers everything
+    n_runs = data.draw(st.integers(1, 4), label="n_runs")
+    ends = sorted(data.draw(
+        st.lists(st.integers(0, n - 1), min_size=n_runs, max_size=n_runs),
+        label="ends",
+    ))
+    ends[-1] = n - 1
+    world = _World(history)
+    for end in ends:
+        processed = multi_pass_loop(
+            _day(0), _BASE + _dt.timedelta(days=end),
+            world.watermark(), "last_date", world.run_period,
+        )
+        # termination bound: one pass per period, never revisits within a run
+        assert len(processed) <= end + 1
+        assert processed == sorted(set(processed))
+    expect = [i for i in range(n) if history[i]]
+    assert sorted(world.appends) == expect
+    assert len(world.appends) == len(set(world.appends))
+
+
+@given(
+    history=st.lists(st.booleans(), min_size=1, max_size=12),
+)
+@settings(max_examples=200, deadline=None)
+def test_output_empty_stops_at_first_empty_and_stalls(history):
+    """``output_empty`` documented semantics: a run processes the prefix
+    of non-empty days plus AT MOST the first empty day, then stops; a
+    re-run with unchanged data makes no further progress past that day
+    (the reference's documented stall-on-legitimately-empty-day
+    pitfall, reproduced on purpose for parity)."""
+    n = len(history)
+    world = _World(history)
+    processed = multi_pass_loop(
+        _day(0), _BASE + _dt.timedelta(days=n - 1),
+        None, "output_empty", world.run_period,
+    )
+    first_empty = next((i for i, h in enumerate(history) if not h), None)
+    if first_empty is None:
+        assert processed == [_day(i) for i in range(n)]
+    else:
+        assert processed == [_day(i) for i in range(first_empty + 1)]
+        # unchanged data → the next run stalls at the same day
+        again = multi_pass_loop(
+            _day(0), _BASE + _dt.timedelta(days=n - 1),
+            None, "output_empty", world.run_period,
+        )
+        assert again == processed
+        # late data arriving for the empty day un-stalls the loop
+        world.has_data = list(history)
+        world.has_data[first_empty] = True
+        more = multi_pass_loop(
+            _day(0), _BASE + _dt.timedelta(days=n - 1),
+            None, "output_empty", world.run_period,
+        )
+        assert _day(first_empty) in more
+        assert len(more) > len(processed) or n == first_empty + 1
+
+
+@given(
+    history=st.lists(st.booleans(), min_size=1, max_size=12),
+)
+@settings(max_examples=200, deadline=None)
+def test_both_criterion_resumes_from_watermark_then_stops_on_empty(history):
+    """``both``: starts after the materialized watermark AND stops on
+    the first empty period. Repeated runs must still terminate (never
+    loop forever) and never append a data day twice."""
+    n = len(history)
+    world = _World(history)
+    for _ in range(n + 2):  # more runs than days: convergence must hold
+        processed = multi_pass_loop(
+            _day(0), _BASE + _dt.timedelta(days=n - 1),
+            world.watermark(), "both", world.run_period,
+        )
+        assert len(processed) <= n
+    assert len(world.appends) == len(set(world.appends))
+    # every data day BEFORE the first persistent empty gap is appended
+    first_empty = next((i for i, h in enumerate(history) if not h), n)
+    for i in range(first_empty):
+        assert i in world.appends

@@ -81,6 +81,37 @@ def filter_incremental_inputs(
     return out
 
 
+def multi_pass_loop(
+    first_day: str,
+    last_day,
+    watermark,
+    rerun_criteria: str,
+    run_period,
+) -> list[str]:
+    """The PURE rerun-criteria state machine — extracted from
+    :func:`run_multi_pass` so the loop's termination/skip behavior is
+    property-testable without Spark I/O (SURVEY §7.3 flags the
+    reference's own documented pitfalls here: ``last_date`` looping
+    past missing days, ``output_empty`` stalling on legitimately-empty
+    days — reference yaetos/etl_utils.py:126-131).
+
+    ``watermark`` is the max inc-field value already materialized (or
+    None on first build); ``run_period(period) -> bool`` executes one
+    period and returns whether its output was empty.
+    """
+    start = first_day
+    if rerun_criteria in ("last_date", "both") and watermark is not None:
+        last_date = dt.date.fromisoformat(str(watermark)[:10]) + dt.timedelta(days=1)
+        start = max(start, last_date.isoformat())
+    processed = []
+    for period in get_periods(start, last_day):
+        is_empty = run_period(period)
+        processed.append(period)
+        if is_empty and rerun_criteria in ("output_empty", "both"):
+            break
+    return processed
+
+
 def run_multi_pass(
     spark,
     make_job,
@@ -110,23 +141,21 @@ def run_multi_pass(
     probe_job = make_job(first_day)
     out_spec = probe_job.output_spec()
     inc_field = out_spec.get("inc_field")
-    start = first_day
+    watermark = None
     if rerun_criteria in ("last_date", "both") and inc_field and out_spec.get("path"):
-        last = get_output_max_timestamp(spark, out_spec["path"], inc_field, out_spec.get("type", "parquet"))
-        if last is not None:
-            last_date = dt.date.fromisoformat(str(last)[:10]) + dt.timedelta(days=1)
-            start = max(start, last_date.isoformat())
-    processed = []
-    for period in get_periods(start, last_day):
+        watermark = get_output_max_timestamp(
+            spark, out_spec["path"], inc_field, out_spec.get("type", "parquet")
+        )
+
+    def run_period(period: str) -> bool:
         job = make_job(period)
         out = job.etl(spark)
-        processed.append(period)
         is_empty = out is None or out.isEmpty()
-        if is_empty and rerun_criteria in ("output_empty", "both"):
-            break
         if out is not None:
             out.unpersist()
-    return processed
+        return is_empty
+
+    return multi_pass_loop(first_day, last_day, watermark, rerun_criteria, run_period)
 
 
 def min_of_max_timestamps(inputs: dict[str, DataFrame], specs: dict[str, dict]):
