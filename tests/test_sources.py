@@ -465,3 +465,112 @@ def test_partitioned_write_enables_dynamic_partition_pruning(spark, tmp_path):
     assert scan_lines, plan[:2000]
     # semantics unchanged by pruning: 3 matching dates x (20000/30 rows each)
     assert joined.count() == sum(1 for i in range(20000) if i % 30 % 10 == 3)
+
+
+def _write_foreign_xlsx(path):
+    """Raw-zip SpreadsheetML the way OTHER producers emit it — none of
+    the shapes our own write_xlsx uses: inline strings (t="inlineStr")
+    with NO sharedStrings.xml part at all, a styles.xml with s= style
+    refs on cells, an explicit <dimension>, sparse rows, a self-closing
+    empty cell, and ELEVEN worksheets so the lexicographic trap
+    (sheet10.xml sorting before sheet2.xml) is live."""
+    import zipfile
+
+    ct = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+        '<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>'
+        '<Default Extension="xml" ContentType="application/xml"/>'
+        '<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+        + "".join(
+            f'<Override PartName="/xl/worksheets/sheet{i}.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>'
+            for i in range(1, 12)
+        )
+        + '<Override PartName="/xl/styles.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.styles+xml"/>'
+        "</Types>"
+    )
+    rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>'
+        "</Relationships>"
+    )
+    wb = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
+        'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><sheets>'
+        + "".join(f'<sheet name="S{i}" sheetId="{i}" r:id="rId{i}"/>' for i in range(1, 12))
+        + "</sheets></workbook>"
+    )
+    wb_rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        + "".join(
+            f'<Relationship Id="rId{i}" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet{i}.xml"/>'
+            for i in range(1, 12)
+        )
+        + "</Relationships>"
+    )
+    styles = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<styleSheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        '<numFmts count="1"><numFmt numFmtId="164" formatCode="0.00"/></numFmts>'
+        '<fonts count="1"><font><sz val="11"/><name val="Calibri"/></font></fonts>'
+        '<fills count="1"><fill><patternFill patternType="none"/></fill></fills>'
+        '<borders count="1"><border/></borders>'
+        '<cellXfs count="2"><xf numFmtId="0"/><xf numFmtId="164" applyNumberFormat="1"/></cellXfs>'
+        "</styleSheet>"
+    )
+    sheet1 = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        '<dimension ref="A1:C4"/><sheetData>'
+        '<row r="1" spans="1:3"><c r="A1" t="inlineStr"><is><t>name</t></is></c>'
+        '<c r="B1" t="inlineStr"><is><t>score</t></is></c>'
+        '<c r="C1" t="inlineStr"><is><t>ok</t></is></c></row>'
+        '<row r="2" spans="1:3"><c r="A2" t="inlineStr"><is><t>alpha &amp; beta</t></is></c>'
+        '<c r="B2" s="1"><v>1.5</v></c><c r="C2" t="b"><v>1</v></c></row>'
+        '<row r="3" spans="1:3"><c r="A3" t="inlineStr"><is><t>gamma</t></is></c>'
+        '<c r="C3" t="b"><v>0</v></c></row>'
+        '<row r="4" spans="1:3"><c r="A4" t="inlineStr"><is><t>delta</t></is></c>'
+        '<c r="B4"><v>42</v></c><c r="C4"/></row>'
+        "</sheetData></worksheet>"
+    )
+    decoy = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        '<sheetData><row r="1"><c r="A1" t="inlineStr"><is><t>DECOY_{i}</t></is></c></row>'
+        "</sheetData></worksheet>"
+    )
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("[Content_Types].xml", ct)
+        zf.writestr("_rels/.rels", rels)
+        zf.writestr("xl/workbook.xml", wb)
+        zf.writestr("xl/_rels/workbook.xml.rels", wb_rels)
+        zf.writestr("xl/styles.xml", styles)
+        zf.writestr("xl/worksheets/sheet1.xml", sheet1)
+        for i in range(2, 12):
+            zf.writestr(f"xl/worksheets/sheet{i}.xml", decoy.format(i=i))
+
+
+def test_xlsx_lite_reads_foreign_producer_workbook(spark, tmp_path):
+    """xlsx_lite must parse workbooks OTHER tools emit, not just its
+    own output (VERDICT r4 item 6): inline strings without any
+    sharedStrings part, style attributes, sparse rows, self-closing
+    empty cells, XML entities, and sheet10-vs-sheet2 name ordering."""
+    from yaetos_spark.sources.xlsx_lite import read_xlsx
+
+    path = str(tmp_path / "foreign.xlsx")
+    _write_foreign_xlsx(path)
+    header, rows = read_xlsx(path)
+    assert header == ["name", "score", "ok"]
+    # column B harmonizes to float (pandas semantics: one float → all float)
+    assert rows == [
+        ("alpha & beta", 1.5, True),
+        ("gamma", None, False),
+        ("delta", 42.0, None),
+    ]
+    # and the Spark-facing reader path consumes it end-to-end
+    df = load_input(spark, {"path": path, "type": "xlsx"})
+    got = {tuple(r) for r in df.select("name", "score", "ok").collect()}
+    assert ("gamma", None, False) in got and len(got) == 3
