@@ -4677,8 +4677,10 @@ GROUP BY from_type, to_type
 # a fresh verdict describes the old code, so they re-enter the window
 # now regardless of verdict age.  Clear entries once re-verified.
 _VERIFY_NEXT = [
-    "rfm_segments",  # r4: three ntile passes fused into one multi-metric pass
-    "ivf_ann_exactprobe",  # r4: mapInPandas argmax assign path + 3-iter k-means
+    # (r4 entries rfm_segments / ivf_ann_exactprobe cleared: re-verified
+    # by the driver in CORRECTNESS_r04 on the changed code)
+    "quantized_ann_recall",  # r5: deterministic orderBy on the query-vector set
+    "bloom_join_revenue",  # r5: duplicate bloom_prefilter removed; Arrow path + approx sizing now live
 ]
 
 
