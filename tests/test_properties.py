@@ -551,3 +551,87 @@ def test_both_criterion_resumes_from_watermark_then_stops_on_empty(history):
     first_empty = next((i for i, h in enumerate(history) if not h), n)
     for i in range(first_empty):
         assert i in world.appends
+
+
+@given(
+    vals=st.lists(st.integers(-50, 50), min_size=1, max_size=60),
+    n=st.integers(2, 7),
+)
+@settings(**SETTINGS)
+def test_distributed_ntile_multi_matches_builtin(spark, vals, n):
+    """The fused multi-metric ntile must agree with Spark's built-in
+    global ntile on EVERY (value, band) — including duplicate-heavy
+    inputs where tie handling is the risky part. The key encoding
+    (value * K + unique id) mirrors production use (rfm_segments):
+    it makes the sort total, so built-in and distributed band
+    assignments are comparable row-by-row, not just as histograms."""
+    from pyspark.sql import Window as W
+
+    from yaetos_spark.operators.windows import distributed_ntile_multi
+
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    enc = 1000
+    keyed = df.withColumn("k", F.col("v") * enc + F.col("id"))
+    got = {
+        r.id: r.band
+        for r in distributed_ntile_multi(keyed, [("k", n, "band")], num_partitions=4)
+        .collect()
+    }
+    expect = {
+        r.id: r.band
+        for r in keyed.withColumn(
+            "band", F.ntile(n).over(W.orderBy("k"))
+        ).collect()
+    }
+    assert got == expect
+
+
+@st.composite
+def _edge_case(draw):
+    n_nodes = draw(st.integers(1, 14))
+    n_edges = draw(st.integers(0, 20))
+    edges = [
+        (draw(st.integers(0, n_nodes - 1)), draw(st.integers(0, n_nodes - 1)))
+        for _ in range(n_edges)
+    ]
+    # self-loops and duplicates stay IN — the operator must tolerate them
+    return n_nodes, edges
+
+
+@given(_edge_case())
+@settings(max_examples=5, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow])
+def test_connected_components_matches_union_find(spark, case):
+    """Iterative min-label propagation must produce exactly the
+    components a sequential union-find derives, for arbitrary graphs
+    including self-loops, duplicate and reversed edges, and isolated
+    chains — the operator dedup_clusters/near_dup_survivors build on."""
+    from yaetos_spark.operators.graph import connected_components
+
+    n_nodes, edge_list = case
+    if not edge_list:
+        return  # operator's domain: nodes appearing in edges
+    edges = spark.createDataFrame(edge_list, "id1 long, id2 long")
+    got = {r.node: r.comp for r in connected_components(edges).collect()}
+
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edge_list:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    touched = {x for e in edge_list for x in e}
+    # canonical label = min node id in the component
+    expect = {}
+    for root in set(find(x) for x in touched):
+        members = [x for x in touched if find(x) == root]
+        label = min(members)
+        for x in members:
+            expect[x] = label
+    assert got == expect
