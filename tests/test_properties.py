@@ -635,3 +635,172 @@ def test_connected_components_matches_union_find(spark, case):
         for x in members:
             expect[x] = label
     assert got == expect
+
+
+@st.composite
+def _scd2_case(draw):
+    n = draw(st.integers(1, 15))
+    rows = []
+    for i in range(n):
+        rows.append(
+            (draw(st.integers(1, 3)),                      # key
+             draw(st.integers(0, 50)),                     # ts offset (may collide)
+             draw(st.sampled_from(["a", "b", "c"])))       # attribute value
+        )
+    return rows
+
+
+@given(_scd2_case())
+@settings(**SETTINGS)
+def test_scd2_intervals_partition_timeline(spark, case):
+    """SCD2 invariants for arbitrary version histories: per key the
+    intervals CHAIN (each valid_to equals the next valid_from), exactly
+    one row is current, and the current row is the max-ts version —
+    the structure scd2_lookup's point-in-time join relies on."""
+    import datetime as dtm
+
+    from yaetos_spark.operators.merge import scd2
+
+    # drop duplicate (key, ts): two versions at the same instant have
+    # no defined order in any SCD2 implementation
+    seen = set()
+    rows = []
+    for k, off, val in case:
+        if (k, off) not in seen:
+            seen.add((k, off))
+            rows.append((k, dtm.datetime(2024, 1, 1) + dtm.timedelta(hours=off), val))
+    df = spark.createDataFrame(rows, "k long, ts timestamp, val string")
+    out = scd2(df, keys=["k"], ts_col="ts").collect()
+
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r.k, []).append(r)
+    for k, versions in by_key.items():
+        versions.sort(key=lambda r: r.valid_from)
+        history = sorted([(ts, v) for kk, ts, v in rows if kk == k])
+        assert len(versions) == len(history)
+        for i, r in enumerate(versions):
+            assert r.valid_from == history[i][0]
+            if i + 1 < len(versions):
+                assert r.valid_to == versions[i + 1].valid_from
+                assert not r.is_current
+            else:
+                assert r.is_current and r.valid_to.year == 9999
+
+
+@st.composite
+def _locf_case(draw):
+    n = draw(st.integers(1, 16))
+    return [
+        (draw(st.integers(1, 2)),              # key
+         draw(st.integers(0, 40)) * 3600,      # ts seconds (hour grain)
+         draw(st.integers(-5, 5)))             # value
+        for _ in range(n)
+    ]
+
+
+@given(_locf_case())
+@settings(**SETTINGS)
+def test_resample_locf_matches_naive_forward_fill(spark, case):
+    """LOCF resampling vs a naive per-key model: grid spans each key's
+    [min, max] bucket exactly, observed cells carry the max-by(ts,
+    value) pick, gaps carry the last observed value forward, and no
+    cell before the first observation exists."""
+    from yaetos_spark.operators.timeseries import resample_locf
+
+    interval = 7200
+    df = spark.createDataFrame(
+        [(k, ts, float(v)) for k, ts, v in case], "user_id long, ts_sec long, value double"
+    ).select("user_id", F.timestamp_seconds("ts_sec").alias("ts"), "value")
+    got = {
+        (r.user_id, r.bucket_sec): (r.value_locf, r.is_observed)
+        for r in resample_locf(df, ts_col="ts", key_col="user_id",
+                               value_col="value", interval_sec=interval).collect()
+    }
+
+    from collections import defaultdict
+
+    cells = defaultdict(dict)
+    for k, ts, v in case:
+        b = (ts // interval) * interval
+        # deterministic pick: max over (ts, value) struct within bucket
+        cur = cells[k].get(b)
+        if cur is None or (ts, v) > cur[:2]:
+            cells[k][b] = (ts, v, float(v))
+    expect = {}
+    for k, obs in cells.items():
+        lo, hi = min(obs), max(obs)
+        last = None
+        b = lo
+        while b <= hi:
+            if b in obs:
+                last = obs[b][2]
+                expect[(k, b)] = (last, True)
+            else:
+                expect[(k, b)] = (last, False)
+            b += interval
+    assert got == expect
+
+
+@given(
+    vec=st.lists(st.floats(-100, 100, allow_nan=False, width=32), min_size=1, max_size=24),
+)
+@settings(**SETTINGS)
+def test_quantize_roundtrip_error_bound(spark, vec):
+    """int8 quantization contract for arbitrary vectors: codes stay in
+    [-127, 127], reconstruction error per element <= scale/2 (+ float
+    slack), and zero vectors quantize to all-zero codes with scale 0."""
+    from yaetos_spark.operators.similarity import (
+        dequantize_embeddings,
+        quantize_embeddings,
+    )
+
+    df = spark.createDataFrame([(1, [float(x) for x in vec])], "id long, embedding array<double>")
+    row = dequantize_embeddings(quantize_embeddings(df)).collect()[0]
+    scale = row.scale
+    assert all(-127 <= q <= 127 for q in row.qvec)
+    if max(abs(x) for x in vec) == 0:
+        assert scale == 0 and all(q == 0 for q in row.qvec)
+    else:
+        for orig, deq in zip(vec, row.embedding_deq):
+            assert abs(orig - deq) <= scale / 2 + 1e-9 * max(1.0, abs(orig))
+
+
+@st.composite
+def _pack_case(draw):
+    n = draw(st.integers(1, 14))
+    docs = []
+    for i in range(n):
+        n_words = draw(st.integers(1, 8))
+        docs.append((i, draw(st.sampled_from(["s1", "s2"])), "w " * n_words))
+    return docs, draw(st.integers(3, 12))
+
+
+@given(_pack_case())
+@settings(**SETTINGS)
+def test_pack_sequences_matches_streaming_model(spark, case):
+    """Sequence packing vs a naive streaming model: per shard, docs in
+    order_col order accumulate token counts; a doc's bin is the window
+    its FIRST token falls into. Every doc lands in exactly one bin and
+    per-shard token totals are conserved."""
+    from yaetos_spark.operators.curation import pack_sequences
+
+    docs, budget = case
+    df = spark.createDataFrame(docs, "doc_id long, source string, text string")
+    got = {
+        (r.source, r.bin_id): (r.n_docs, r.total_tokens)
+        for r in pack_sequences(df, budget_tokens=budget).collect()
+    }
+
+    from collections import defaultdict
+
+    expect = defaultdict(lambda: [0, 0])
+    running = defaultdict(int)
+    for doc_id, src, text in sorted(docs):
+        n_tok = len(text.split())
+        b = running[src] // budget
+        expect[(src, b)][0] += 1
+        expect[(src, b)][1] += n_tok
+        running[src] += n_tok
+    assert got == {k: tuple(v) for k, v in expect.items()}
+    assert sum(v[0] for v in got.values()) == len(docs)
