@@ -2465,6 +2465,36 @@ GROUP BY source, bin_id
 """
 
 
+def _chunk_sliding_windows(spark, sf_dir):
+    """Sliding token-window chunking with overlap (64-token chunks,
+    16-token overlap): the context-window/RAG preprocessing step.
+    Zero shuffles — tokenize, sequence the starts, explode, slice.
+    See curation.py:chunk_documents."""
+    docs = _t(spark, sf_dir, "documents")
+    return CU.chunk_documents(docs, chunk_tokens=64, overlap_tokens=16)
+
+
+_CHUNK_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS t
+  FROM documents
+),
+sized AS (
+  SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0
+),
+starts AS (
+  SELECT doc_id, t, n, unnest(range(0, greatest(n - 16, 1), 48)) AS s
+  FROM sized
+)
+SELECT doc_id,
+       CAST(s // 48 AS INTEGER) AS chunk_id,
+       CAST(least(64, n - s) AS INTEGER) AS n_tokens,
+       array_to_string(list_slice(t, s + 1, s + 64), ' ') AS chunk_text
+FROM starts
+"""
+
+
 def _pii_redaction(spark, sf_dir):
     """PII scrub over documents with synthetic identifiers injected
     deterministically (the testdata has none), so the redaction +
@@ -4816,6 +4846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- round-3-verified (freshest, rotate to the back) ----
         "sessionize_events": _sessionize_events,
         "pack_sequences": _pack_sequences,
+        "chunk_sliding_windows": _chunk_sliding_windows,
         "collect_types": _collect_types,
         "nation_trade_volume": _nation_trade_volume,
         "market_share": _market_share,
@@ -5014,6 +5045,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": _STRATIFIED_SQL,
         "repetition_profile": _REPETITION_SQL,
         "pack_sequences": _PACK_SQL,
+        "chunk_sliding_windows": _CHUNK_SQL,
         "pii_redaction": _PII_SQL,
         "vocab_coverage": _VOCAB_SQL,
         "hash_sample": _HASH_SAMPLE_SQL,

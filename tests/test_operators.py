@@ -780,3 +780,15 @@ def test_extract_frames_real_container(spark):
     ])
     sizes = [MM.parse_ppm(fb)[:2] for _, fb in MM.iter_ppm_frames(mixed)]
     assert sizes == [(2, 2), (3, 5)]
+
+
+def test_chunk_documents_rejects_degenerate_overlap(spark):
+    """overlap >= chunk size would make the start sequence loop in
+    place (stride <= 0) — must fail fast, not hang the planner."""
+    import pytest as _pytest
+
+    from yaetos_spark.operators.curation import chunk_documents
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, chunk_tokens=8, overlap_tokens=8)

@@ -804,3 +804,48 @@ def test_pack_sequences_matches_streaming_model(spark, case):
         running[src] += n_tok
     assert got == {k: tuple(v) for k, v in expect.items()}
     assert sum(v[0] for v in got.values()) == len(docs)
+
+
+@st.composite
+def _chunk_case(draw):
+    n_docs = draw(st.integers(1, 6))
+    docs = []
+    for i in range(n_docs):
+        n_words = draw(st.integers(0, 40))  # 0 = empty doc must vanish
+        docs.append((i, " ".join(f"t{i}_{j}" for j in range(n_words))))
+    chunk = draw(st.integers(2, 10))
+    overlap = draw(st.integers(0, chunk - 1))
+    return docs, chunk, overlap
+
+
+@given(_chunk_case())
+@settings(**SETTINGS)
+def test_chunk_documents_matches_naive(spark, case):
+    """Sliding-window chunking vs a naive model for arbitrary doc
+    lengths / chunk sizes / overlaps: full token coverage in order,
+    exact overlap between consecutive chunks, no redundant tail chunk,
+    empty docs yield nothing."""
+    from yaetos_spark.operators.curation import chunk_documents
+
+    docs, chunk, overlap = case
+    stride = chunk - overlap
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.chunk_id): (r.n_tokens, r.chunk_text)
+        for r in chunk_documents(df, chunk_tokens=chunk, overlap_tokens=overlap).collect()
+    }
+
+    expect = {}
+    for doc_id, text in docs:
+        toks = [t for t in text.split() if t]
+        n = len(toks)
+        if n == 0:
+            continue
+        s = 0
+        cid = 0
+        while s == 0 or s < n - overlap:
+            piece = toks[s:s + chunk]
+            expect[(doc_id, cid)] = (len(piece), " ".join(piece))
+            s += stride
+            cid += 1
+    assert got == expect

@@ -291,6 +291,60 @@ def pack_sequences(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 64,
+    overlap_tokens: int = 16,
+) -> DataFrame:
+    """Sliding token-window chunking — split each document into
+    fixed-size overlapping chunks, the standard preprocessing step for
+    context-window training and retrieval indexes (a different operator
+    from :func:`pack_sequences`, which bins WHOLE documents into token
+    budgets; this one splits within documents).
+
+    Chunk ``k`` covers tokens ``[k*stride, k*stride + chunk_tokens)``
+    with ``stride = chunk_tokens - overlap_tokens``; the last chunk may
+    be shorter; a chunk is only emitted if it contributes at least one
+    token not already covered by the previous chunk (``start <
+    n - overlap``), so short documents yield exactly one chunk and no
+    fully-redundant tail chunk exists. Empty documents yield no rows.
+
+    Returns (doc_id, chunk_id, n_tokens, chunk_text).
+
+    Scale: pure narrow operations — tokenize, ``sequence`` the chunk
+    starts, ``explode``, ``slice`` — zero shuffles, no UDFs; output
+    volume ≈ input tokens x (1 + overlap/stride), linear in corpus
+    size. The reference has no counterpart (closest: its text jobs
+    pass whole strings through SQL transforms).
+    """
+    if overlap_tokens >= chunk_tokens:
+        raise ValueError(
+            f"overlap_tokens ({overlap_tokens}) must be < chunk_tokens ({chunk_tokens})"
+        )
+    stride = chunk_tokens - overlap_tokens
+    toked = df.select(
+        F.col(id_col).alias("doc_id"), _tokens(text_col).alias("_toks")
+    ).withColumn("_n", F.size("_toks")).filter(F.col("_n") > 0)
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.col("_n") - overlap_tokens - 1, F.lit(0)),
+        F.lit(stride),
+    )
+    return (
+        toked.select("doc_id", "_toks", "_n", F.explode(starts).alias("_start"))
+        .select(
+            "doc_id",
+            (F.col("_start") / stride).cast("int").alias("chunk_id"),
+            F.least(F.lit(chunk_tokens), F.col("_n") - F.col("_start")).alias("n_tokens"),
+            F.concat_ws(
+                " ", F.slice(F.col("_toks"), F.col("_start") + 1, chunk_tokens)
+            ).alias("chunk_text"),
+        )
+    )
+
+
 def rebalance_groups(
     df: DataFrame,
     group_col: str,
