@@ -688,3 +688,19 @@ def test_quantize_embeddings_roundtrip_and_bound(spark):
         if r.scale:
             for v, d in zip(r.embedding, r.embedding_deq):
                 assert abs(v - d) <= r.scale / 2 + 1e-12
+
+
+def test_bloom_arrow_path_handles_negative_words(spark):
+    """Spark longs are signed: a bitmap word with bit 63 set arrives as
+    a NEGATIVE Python int. The Arrow probe must reinterpret it (int64
+    view), not overflow — an all-ones bitmap (every word -1) must pass
+    every key, and numpy must raise no conversion errors."""
+    from pyspark.sql import functions as F
+
+    from yaetos_spark.operators import sketches as SK
+
+    m_bits, k = 640, 3
+    bitmap = [-1] * (m_bits // 64)  # all 64 bits set in every word
+    big = spark.range(0, 500).select(F.col("id").alias("k"))
+    kept = SK._bloom_prefilter_arrow(big, "k", bitmap, m_bits, k, 77)
+    assert kept.count() == 500
