@@ -572,3 +572,48 @@ def test_native_session_window_stream(spark, tmp_path):
     }
     # user 1's two events merge into one session (gap 500s < 30min)
     assert (1, 1000, 2) in rows and (2, 2000, 1) in rows
+
+
+def test_append_mode_closes_windows_and_drops_late_data(spark, tmp_path):
+    """The core late-data contract, across a RESTART: append mode emits
+    a window only once the watermark passes its end; the watermark
+    persists in the checkpoint commit log, so a second availableNow run
+    DROPS an event older than the carried-over watermark instead of
+    re-opening (or duplicating) the already-emitted window."""
+    import datetime as dtm
+
+    schema = "ts timestamp, event_type string, value double"
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def write_batch(rows, name):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    t = lambda h, m=0: dtm.datetime(2024, 5, 1, h, m)
+    # run 1: two events in the 10:00 window, one at 20:00 that drags
+    # the watermark (2h lag) to 18:00 — far past the 10:00 window's end
+    write_batch(
+        [(t(10, 5), "a", 1.0), (t(10, 40), "a", 2.0), (t(20, 0), "b", 3.0)], "b1"
+    )
+    stream = spark.readStream.schema(schema).parquet(src)
+    agg = windowed_counts(stream, window="1 hour", watermark="2 hours")
+    run_available_now(agg, ckpt, out)
+    first = spark.read.parquet(out).collect()
+    closed = {(r.window.start.hour, r.event_type): (r.n, r.total_value) for r in first}
+    # the 10:00 window closed and emitted exactly once; 20:00 still open
+    assert closed == {(10, "a"): (2, 3.0)}
+
+    # run 2 (restart from the same checkpoint): one LATE event inside
+    # the already-closed 10:00 window, one fresh event at 23:00
+    write_batch([(t(10, 50), "a", 99.0), (t(23, 0), "c", 4.0)], "b2")
+    stream2 = spark.readStream.schema(schema).parquet(src)
+    agg2 = windowed_counts(stream2, window="1 hour", watermark="2 hours")
+    run_available_now(agg2, ckpt, out)
+    rows = spark.read.parquet(out).collect()
+    got = {(r.window.start.hour, r.event_type): (r.n, r.total_value) for r in rows}
+    # late event dropped: the 10:00 window was NOT re-emitted/updated;
+    # the 20:00 window closed (watermark moved to 21:00 via 23:00)
+    assert got == {(10, "a"): (2, 3.0), (20, "b"): (1, 3.0)}
