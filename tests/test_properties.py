@@ -849,3 +849,33 @@ def test_chunk_documents_matches_naive(spark, case):
             s += stride
             cid += 1
     assert got == expect
+
+
+@given(
+    st.lists(
+        st.datetimes(
+            min_value=pd.Timestamp("2000-01-01").to_pydatetime(),
+            max_value=pd.Timestamp("2099-12-31").to_pydatetime(),
+        ),
+        min_size=1,
+        max_size=12,
+        unique_by=lambda d: d.replace(microsecond=0),
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_latest_stamp_lexicographic_equals_chronological(tmp_path_factory, stamps):
+    """{{latest}} resolution depends ENTIRELY on the run-folder stamp
+    format sorting lexicographically == chronologically (SURVEY §7.3
+    risk register; reference yaetos/etl_utils.py:1097-1109). For
+    arbitrary datetimes across century/month/day/second boundaries,
+    expand_latest must pick exactly the chronologically-newest stamp."""
+    import os
+
+    from yaetos_spark.plans.paths import expand_latest, now_stamp
+
+    base = tmp_path_factory.mktemp("latest_prop")
+    for d in stamps:
+        os.makedirs(base / now_stamp(d.replace(tzinfo=None)), exist_ok=True)
+    got = expand_latest(str(base / "{{latest}}" / "data"))
+    newest = now_stamp(max(s.replace(microsecond=0) for s in stamps))
+    assert got == str(base / newest / "data")
