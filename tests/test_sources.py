@@ -484,7 +484,7 @@ def _write_foreign_xlsx(path):
         '<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
         + "".join(
             f'<Override PartName="/xl/worksheets/sheet{i}.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>'
-            for i in range(1, 12)
+            for i in range(2, 13)
         )
         + '<Override PartName="/xl/styles.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.styles+xml"/>'
         "</Types>"
@@ -499,7 +499,7 @@ def _write_foreign_xlsx(path):
         '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
         '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
         'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><sheets>'
-        + "".join(f'<sheet name="S{i}" sheetId="{i}" r:id="rId{i}"/>' for i in range(1, 12))
+        + "".join(f'<sheet name="S{i}" sheetId="{i}" r:id="rId{i}"/>' for i in range(2, 13))
         + "</sheets></workbook>"
     )
     wb_rels = (
@@ -507,7 +507,7 @@ def _write_foreign_xlsx(path):
         '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
         + "".join(
             f'<Relationship Id="rId{i}" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet{i}.xml"/>'
-            for i in range(1, 12)
+            for i in range(2, 13)
         )
         + "</Relationships>"
     )
@@ -548,8 +548,8 @@ def _write_foreign_xlsx(path):
         zf.writestr("xl/workbook.xml", wb)
         zf.writestr("xl/_rels/workbook.xml.rels", wb_rels)
         zf.writestr("xl/styles.xml", styles)
-        zf.writestr("xl/worksheets/sheet1.xml", sheet1)
-        for i in range(2, 12):
+        zf.writestr("xl/worksheets/sheet2.xml", sheet1)
+        for i in range(3, 13):
             zf.writestr(f"xl/worksheets/sheet{i}.xml", decoy.format(i=i))
 
 
