@@ -41,7 +41,16 @@ def _dsum(col, scale: int = 4):
     bit-for-bit. The result is NOT rounded: rounding exact-decimal
     values is where engines disagree (Spark rounds the shortest string
     repr, DuckDB the binary value), while identical doubles hash
-    identically without it."""
+    identically without it.
+
+    Boundary: the decimal->double cast is identically rounded across
+    engines only while the scaled integer (value x 10^scale) fits a
+    double's 53-bit mantissa — above that DuckDB double-rounds via its
+    int128 representation (observed as 1-ulp drift in value_drift /
+    regression_stats at sf0.1 before their r5 fixes). At scale 4 that
+    is ~9e11 in summed value, comfortable through sf10 on this schema;
+    for bigger magnitudes shrink operands first (the common-integer-
+    shift reduction in stats.py:ols_per_group) or lower the scale."""
     return F.sum(col.cast(f"decimal(28,{scale})")).cast("double")
 
 
@@ -2896,16 +2905,31 @@ s AS (
   SELECT event_type, count(*) AS n,
          sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx
   FROM b GROUP BY 1
+),
+-- num/den can exceed 2^53; casting such integers to DOUBLE is not
+-- identically rounded across engines. Mirror stats.py:ols_per_group:
+-- shrink both by the SAME integer divisor (exact // arithmetic, the
+-- possibly-negative numerator sign-split so floor == truncate), then
+-- the double casts are lossless and the one float division matches
+-- bit-for-bit.
+r AS (
+  SELECT event_type, n, sx, sy,
+         n * sxy - sx * sy AS num,
+         n * sxx - sx * sx AS den,
+         1 + greatest(abs(n * sxy - sx * sy), n * sxx - sx * sx) // 9007199254740992 AS d
+  FROM s
+),
+q AS (
+  SELECT event_type, n, sx, sy,
+         CASE WHEN den != 0 THEN
+           CAST(CASE WHEN num < 0 THEN -((-num) // d) ELSE num // d END AS DOUBLE)
+             / CAST(den // d AS DOUBLE)
+         END AS slope
+  FROM r
 )
-SELECT event_type, n,
-       CASE WHEN (n * sxx - sx * sx) != 0
-            THEN CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
-       END AS slope,
-       (CAST(sy AS DOUBLE) -
-        (CASE WHEN (n * sxx - sx * sx) != 0
-              THEN CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
-         END) * CAST(sx AS DOUBLE)) / n AS intercept
-FROM s
+SELECT event_type, n, slope,
+       (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE)) / n AS intercept
+FROM q
 """
 
 
@@ -4433,13 +4457,20 @@ def _regression_stats(spark, sf_dir):
     x = F.col("l_quantity")
     y = F.col("l_discount")
     d = lambda c: c.cast("decimal(38,8)")  # noqa: E731
+    # emit the sums through DECIMAL(38,4) first: the data has <= 4
+    # decimal places (quantity 2dp x discount 2dp), so scale 4 is
+    # exact, and the scaled integer stays under 2^53 — which makes the
+    # decimal->double cast identically rounded in every engine (a
+    # direct cast of the wider decimal double-rounds in DuckDB; 1-ulp
+    # sxy drift observed at sf0.1)
+    d4 = lambda c: c.cast("decimal(38,4)").cast("double")  # noqa: E731
     g = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(d(x)).cast("double").alias("sx"),
-        F.sum(d(y)).cast("double").alias("sy"),
-        F.sum(d(x) * d(y)).cast("double").alias("sxy"),
-        F.sum(d(x) * d(x)).cast("double").alias("sxx"),
-        F.sum(d(y) * d(y)).cast("double").alias("syy"),
+        d4(F.sum(d(x))).alias("sx"),
+        d4(F.sum(d(y))).alias("sy"),
+        d4(F.sum(d(x) * d(y))).alias("sxy"),
+        d4(F.sum(d(x) * d(x))).alias("sxx"),
+        d4(F.sum(d(y) * d(y))).alias("syy"),
         F.corr(x, y).alias("_corr"),
         F.covar_samp(x, y).alias("_covar"),
         F.regr_slope(y, x).alias("_slope"),
@@ -4470,11 +4501,11 @@ def _regression_stats(spark, sf_dir):
 
 _REGRESSION_SQL = """
 SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
-       CAST(sum(CAST(l_quantity AS DECIMAL(38,8))) AS DOUBLE) AS sx,
-       CAST(sum(CAST(l_discount AS DECIMAL(38,8))) AS DOUBLE) AS sy,
-       CAST(sum(CAST(l_quantity AS DECIMAL(38,8)) * CAST(l_discount AS DECIMAL(38,8))) AS DOUBLE) AS sxy,
-       CAST(sum(CAST(l_quantity AS DECIMAL(38,8)) * CAST(l_quantity AS DECIMAL(38,8))) AS DOUBLE) AS sxx,
-       CAST(sum(CAST(l_discount AS DECIMAL(38,8)) * CAST(l_discount AS DECIMAL(38,8))) AS DOUBLE) AS syy,
+       CAST(CAST(sum(CAST(l_quantity AS DECIMAL(38,8))) AS DECIMAL(38,4)) AS DOUBLE) AS sx,
+       CAST(CAST(sum(CAST(l_discount AS DECIMAL(38,8))) AS DECIMAL(38,4)) AS DOUBLE) AS sy,
+       CAST(CAST(sum(CAST(l_quantity AS DECIMAL(38,8)) * CAST(l_discount AS DECIMAL(38,8))) AS DECIMAL(38,4)) AS DOUBLE) AS sxy,
+       CAST(CAST(sum(CAST(l_quantity AS DECIMAL(38,8)) * CAST(l_quantity AS DECIMAL(38,8))) AS DECIMAL(38,4)) AS DOUBLE) AS sxx,
+       CAST(CAST(sum(CAST(l_discount AS DECIMAL(38,8)) * CAST(l_discount AS DECIMAL(38,8))) AS DECIMAL(38,4)) AS DOUBLE) AS syy,
        TRUE AS corr_ok, TRUE AS covar_ok, TRUE AS slope_ok,
        TRUE AS icept_ok, TRUE AS r2_ok
 FROM lineitem
@@ -4711,6 +4742,8 @@ _VERIFY_NEXT = [
     # by the driver in CORRECTNESS_r04 on the changed code)
     "quantized_ann_recall",  # r5: deterministic orderBy on the query-vector set
     "bloom_join_revenue",  # r5: duplicate bloom_prefilter removed; Arrow path + approx sizing now live
+    "value_drift",  # r5: common-shift integer reduction before the slope division (sf0.1 1-ulp fix)
+    "regression_stats",  # r5: sums emitted via DECIMAL(38,4) so double casts round identically
 ]
 
 

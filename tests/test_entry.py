@@ -129,6 +129,10 @@ def test_no_nested_loop_joins_anywhere(spark):
         plan = _plan_of(fn(spark, "/root/testdata/sf0.001"))
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+        # row-at-a-time Python in a plan means a 10-100x slower hot path
+        # than Arrow batches — banned corpus-wide (PLAN_AUDIT.json's
+        # python_row_udfs census, enforced here at test time)
+        assert "BatchEvalPython" not in plan, name
 
 
 def test_no_global_windows_anywhere(spark):

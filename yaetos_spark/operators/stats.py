@@ -56,9 +56,24 @@ def ols_per_group(
         F.sum(F.col("_xx").cast(DEC)).alias("_sxx"),
     )
     n = F.col("n").cast(DEC)
-    num = (n * F.col("_sxy") - F.col("_sx") * F.col("_sy")).cast("double")
-    den = (n * F.col("_sxx") - F.col("_sx") * F.col("_sx")).cast("double")
-    slope = F.when(den != 0, num / den)
+    num = n * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    den = n * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    # The exact num/den can exceed 2^53, and decimal->double casting of
+    # such values is NOT identically rounded across engines (DuckDB
+    # double-rounds int128-scaled decimals; observed 1-ulp slope drift
+    # at sf0.1). Shrink BOTH by the same integer divisor until they fit
+    # a double's mantissa: all ops below are exact integer arithmetic
+    # any engine reproduces verbatim, the doubles are then cast
+    # losslessly, and the single float division rounds identically.
+    # Costs ~1e-11 relative accuracy; buys bit-identical results.
+    # DIV truncates toward zero in Spark but floors in DuckDB, so the
+    # numerator (the only possibly-negative term) divides sign-split.
+    agg = agg.withColumn("_num", num).withColumn("_den", den)
+    num_red = F.signum(F.col("_num")).cast("long") * F.expr(
+        "abs(_num) div (1 + greatest(abs(_num), _den) div 9007199254740992)"
+    )
+    den_red = F.expr("_den div (1 + greatest(abs(_num), _den) div 9007199254740992)")
+    slope = F.when(F.col("_den") != 0, num_red.cast("double") / den_red.cast("double"))
     intercept = (
         F.col("_sy").cast("double") - slope * F.col("_sx").cast("double")
     ) / F.col("n")
