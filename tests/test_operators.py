@@ -792,3 +792,26 @@ def test_chunk_documents_rejects_degenerate_overlap(spark):
     df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     with _pytest.raises(ValueError, match="overlap"):
         chunk_documents(df, chunk_tokens=8, overlap_tokens=8)
+
+
+def test_ols_reduction_keeps_accuracy_at_giant_magnitudes(spark):
+    """The r5 common-shift reduction (num/den shrunk below 2^53 before
+    the slope division) must cost at most ~1e-9 relative accuracy even
+    when the sufficient statistics are astronomically larger than a
+    double's mantissa — the regime that produced the cross-engine
+    1-ulp drift at sf0.1."""
+    import numpy as np
+
+    from yaetos_spark.operators.stats import ols_per_group
+
+    # epoch-scale x, large-cents y, enough points that num/den >> 2^53
+    base = 1_700_000_000
+    xs = [base + i * 3600 for i in range(2000)]
+    ys = [5_000_000_000 + 123 * (x - base) + ((x * 7919) % 1000) for x in xs]
+    df = spark.createDataFrame(
+        [(1, x, y) for x, y in zip(xs, ys)], "g int, x long, y long"
+    )
+    out = ols_per_group(df, ["g"], F.col("x"), F.col("y")).collect()[0]
+    s, icept = np.polyfit(np.array(xs, dtype=float), np.array(ys, dtype=float), 1)
+    assert abs(out.slope - s) <= 1e-9 * abs(s)
+    assert abs(out.intercept - icept) <= 1e-6 * abs(icept)
