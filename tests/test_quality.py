@@ -121,3 +121,41 @@ def test_schema_drift_report(spark):
         "y": ("added", None, "boolean"),
     }
     assert schema_drift(old, old).count() == 0  # identical = empty
+
+
+def test_oracle_comparator_detects_one_ulp_and_dtype_drift():
+    """Meta-test of the correctness harness itself: the canonicalizer
+    in tools/check_oracle.py must distinguish floats one ulp apart
+    (the r5 sf0.1 slope regression), ints from floats, and None/NaN —
+    a comparator that silently passes these would green-light broken
+    queries corpus-wide."""
+    import importlib.util
+    import math
+
+    import pandas as pd
+
+    spec = importlib.util.spec_from_file_location(
+        "check_oracle", "/root/repo/tools/check_oracle.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    a = -7.437398023951159e-05
+    b = math.nextafter(a, 0.0)
+    assert a != b
+    assert mod.canon(pd.DataFrame({"x": [a]})) != mod.canon(pd.DataFrame({"x": [b]}))
+    # int vs float: 1435 != 1435.0 (DuckDB HUGEINT sums land as float64)
+    assert mod.canon(pd.DataFrame({"x": [1435]})) != mod.canon(pd.DataFrame({"x": [1435.0]}))
+    # identical frames with shuffled rows/columns DO match
+    f1 = pd.DataFrame({"x": [1, 2], "y": ["a", "b"]})
+    f2 = pd.DataFrame({"y": ["b", "a"], "x": [2, 1]})
+    assert mod.canon(f1) == mod.canon(f2)
+    # NULL doubles arrive as float NaN from BOTH engines (toPandas and
+    # duckdb .df()), so NaN canonicalizes to its own marker, distinct
+    # from object-column None — equal across engines, never conflated
+    # with a string column's NULL
+    assert mod.canon(pd.DataFrame({"x": [float("nan")]})) == mod.canon(
+        pd.DataFrame({"x": [float("nan")]})
+    )
+    assert mod.canon(pd.DataFrame({"x": [None]}, dtype=object)) == [("NULL",)]
+    assert mod.canon(pd.DataFrame({"x": [float("nan")]})) == [("NaN",)]
