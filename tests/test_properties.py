@@ -879,3 +879,42 @@ def test_latest_stamp_lexicographic_equals_chronological(tmp_path_factory, stamp
     got = expand_latest(str(base / "{{latest}}" / "data"))
     newest = now_stamp(max(s.replace(microsecond=0) for s in stamps))
     assert got == str(base / newest / "data")
+
+
+@st.composite
+def _cdc_case(draw):
+    n_ops = draw(st.integers(1, 20))
+    ops = []
+    for i in range(n_ops):
+        ops.append(
+            (draw(st.integers(1, 4)),                      # key
+             i,                                            # seq (total order)
+             draw(st.sampled_from(["a", "b", "c", "d"])))  # payload
+        )
+    # random split point: everything before is "existing", after is "updates"
+    return ops, draw(st.integers(0, n_ops))
+
+
+@given(_cdc_case())
+@settings(**SETTINGS)
+def test_cdc_compact_then_upsert_equals_full_replay(spark, case):
+    """The CDC maintenance identity that makes incremental snapshots
+    trustworthy: compacting a prefix of the changelog and UPSERTing the
+    compacted suffix must equal compacting the WHOLE changelog in one
+    shot — for arbitrary interleavings of keys and split points."""
+    from yaetos_spark.operators.merge import latest_snapshot, upsert
+
+    ops, split = case
+    schema = "k long, seq long, payload string"
+    full = spark.createDataFrame(ops, schema)
+    expect = {(r.k): (r.seq, r.payload) for r in latest_snapshot(full, ["k"], "seq").collect()}
+
+    before, after = ops[:split], ops[split:]
+    snap = latest_snapshot(spark.createDataFrame(before or [(-1, -1, "x")], schema), ["k"], "seq")
+    if not before:
+        snap = snap.filter(F.col("k") >= 0)
+    if after:
+        delta = latest_snapshot(spark.createDataFrame(after, schema), ["k"], "seq")
+        snap = upsert(snap, delta, ["k"])
+    got = {(r.k): (r.seq, r.payload) for r in snap.collect()}
+    assert got == expect
