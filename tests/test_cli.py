@@ -134,3 +134,30 @@ def test_cli_new_scaffolds_runnable_project(spark, tmp_path, monkeypatch):
         for k in [k for k in sys.modules if k == "jobs" or k.startswith("jobs.")]:
             del sys.modules[k]
         sys.modules.update(saved)
+
+
+def test_shipped_registry_every_job_resolves(tmp_path):
+    """Registry lint over conf/jobs.yml: every declared job must
+    resolve end-to-end WITHOUT executing — params layer cleanly, the
+    py_job module imports and contains a job class (or the sql_file
+    exists), and every input/output spec carries a path or an
+    in-memory 'from'. A typo'd module or dangling sql path in the
+    shipped registry should fail here, not at 2am in a scheduler."""
+    import os
+
+    from yaetos_spark.plans.registry import Registry
+
+    reg = Registry.from_file("conf/jobs.yml")
+    names = reg.job_names()
+    assert len(names) >= 10  # the shipped registry is non-trivial
+    make = cli.job_factory(reg)
+    for name in names:
+        params = reg.job_params(name)
+        job = make(name, params)  # imports the module / locates the class
+        assert job is not None, name
+        if params.get("sql_file"):
+            assert os.path.isfile(params["sql_file"]), (name, params["sql_file"])
+        for in_name, spec in (params.get("inputs") or {}).items():
+            assert spec.get("path") or spec.get("from") or spec.get("type") == "df", (
+                name, in_name, spec,
+            )
