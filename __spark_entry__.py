@@ -2924,11 +2924,15 @@ q AS (
          CASE WHEN den != 0 THEN
            CAST(CASE WHEN num < 0 THEN -((-num) // d) ELSE num // d END AS DOUBLE)
              / CAST(den // d AS DOUBLE)
-         END AS slope
+         END AS slope,
+         -- same shrink for the intercept's Sx/Sy casts (stats.py r6)
+         1 + greatest(abs(sx), abs(sy)) // 9007199254740992 AS d2
   FROM r
 )
 SELECT event_type, n, slope,
-       (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE)) / n AS intercept
+       (CAST(CASE WHEN sy < 0 THEN -((-sy) // d2) ELSE sy // d2 END AS DOUBLE)
+          - slope * CAST(CASE WHEN sx < 0 THEN -((-sx) // d2) ELSE sx // d2 END AS DOUBLE))
+         / n * CAST(d2 AS DOUBLE) AS intercept
 FROM q
 """
 
@@ -4738,12 +4742,10 @@ GROUP BY from_type, to_type
 # a fresh verdict describes the old code, so they re-enter the window
 # now regardless of verdict age.  Clear entries once re-verified.
 _VERIFY_NEXT = [
-    # (r4 entries rfm_segments / ivf_ann_exactprobe cleared: re-verified
-    # by the driver in CORRECTNESS_r04 on the changed code)
-    "quantized_ann_recall",  # r5: deterministic orderBy on the query-vector set
-    "bloom_join_revenue",  # r5: duplicate bloom_prefilter removed; Arrow path + approx sizing now live
-    "value_drift",  # r5: common-shift integer reduction before the slope division (sf0.1 1-ulp fix)
-    "regression_stats",  # r5: sums emitted via DECIMAL(38,4) so double casts round identically
+    # (r5 entries quantized_ann_recall / bloom_join_revenue / value_drift /
+    # regression_stats cleared: re-verified by the driver in CORRECTNESS_r05
+    # on the changed code)
+    "value_drift",  # r6: intercept now uses the same common-shift integer reduction as the slope (ADVICE stats.py:78)
 ]
 
 

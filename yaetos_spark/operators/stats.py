@@ -74,9 +74,23 @@ def ols_per_group(
     )
     den_red = F.expr("_den div (1 + greatest(abs(_num), _den) div 9007199254740992)")
     slope = F.when(F.col("_den") != 0, num_red.cast("double") / den_red.cast("double"))
+    # The intercept (Sy - slope*Sx)/n has the same decimal->double
+    # hazard on Sx/Sy themselves once |sum| crosses 2^53: shrink both
+    # by ONE common integer divisor (sign-split so Spark's truncating
+    # div matches DuckDB's floor on negatives), cast the now-lossless
+    # doubles, and scale back by the exactly-representable divisor.
+    # Identity (divisor 1) until sums actually cross the boundary.
+    d2 = F.expr(
+        "1 + greatest(abs(_sx), abs(_sy)) div 9007199254740992"
+    ).alias("_d2")
+    agg = agg.withColumn("_d2", d2)
+    sx_red = F.signum(F.col("_sx")).cast("long") * F.expr("abs(_sx) div _d2")
+    sy_red = F.signum(F.col("_sy")).cast("long") * F.expr("abs(_sy) div _d2")
     intercept = (
-        F.col("_sy").cast("double") - slope * F.col("_sx").cast("double")
-    ) / F.col("n")
+        (sy_red.cast("double") - slope * sx_red.cast("double"))
+        / F.col("n")
+        * F.col("_d2").cast("double")
+    )
     return agg.select(*keys, "n", slope.alias("slope"), intercept.alias("intercept"))
 
 
