@@ -121,8 +121,12 @@ def main(argv: list[str]) -> int:
         "queries": results,
     }
     full_run = names is None
-    if full_run:
-        out_path = out_path or os.path.join(REPO, "PLAN_AUDIT.json")
+    if full_run and out_path is None:
+        out_path = os.path.join(REPO, "PLAN_AUDIT.json")
+    # subset runs only write when --out was given EXPLICITLY (an explicit
+    # path can't clobber the committed artifact by accident); without it
+    # they print to stdout as documented
+    if out_path:
         with open(out_path, "w") as f:
             json.dump(doc, f, indent=1, sort_keys=True)
         print(f"wrote {out_path}: {doc['n_queries']} queries, "
