@@ -144,10 +144,14 @@ def test_shipped_registry_every_job_resolves(tmp_path):
     in-memory 'from'. A typo'd module or dangling sql path in the
     shipped registry should fail here, not at 2am in a scheduler."""
     import os
+    from pathlib import Path
 
     from yaetos_spark.plans.registry import Registry
 
-    reg = Registry.from_file("conf/jobs.yml")
+    # anchor to the repo root so the lint holds no matter where pytest
+    # was invoked from (ADVICE r5)
+    repo = Path(__file__).resolve().parents[1]
+    reg = Registry.from_file(str(repo / "conf" / "jobs.yml"))
     names = reg.job_names()
     assert len(names) >= 10  # the shipped registry is non-trivial
     make = cli.job_factory(reg)
@@ -156,7 +160,10 @@ def test_shipped_registry_every_job_resolves(tmp_path):
         job = make(name, params)  # imports the module / locates the class
         assert job is not None, name
         if params.get("sql_file"):
-            assert os.path.isfile(params["sql_file"]), (name, params["sql_file"])
+            sql_path = params["sql_file"]
+            if not os.path.isabs(sql_path):
+                sql_path = str(repo / sql_path)
+            assert os.path.isfile(sql_path), (name, params["sql_file"])
         for in_name, spec in (params.get("inputs") or {}).items():
             assert spec.get("path") or spec.get("from") or spec.get("type") == "df", (
                 name, in_name, spec,

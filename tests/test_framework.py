@@ -613,3 +613,78 @@ def test_incremental_dedup_job_via_registry(spark):
         second = 0
     assert second == 0
     assert spark.read.parquet("/tmp/yaetos_spark_out/incr_dedup_index").count() == first
+
+
+# -- raw file copy (reference: jobs/generic/copy_raw_job.py:5-24) ------
+
+
+def _make_tree(root):
+    (root / "models").mkdir(parents=True)
+    (root / "models" / "weights.bin").write_bytes(bytes(range(256)) * 7)
+    (root / "models" / "card.md").write_text("# model card\n")
+    (root / "LICENSE").write_text("MIT\n")
+    return root
+
+
+def test_copy_raw_job_byte_identical_tree(spark, tmp_path):
+    """VERDICT r5 item 3 done-condition: fixture tree copied
+    byte-identically (checksum compare), structure mirrored, nothing
+    parsed or re-encoded."""
+    import hashlib
+
+    from jobs.generic.copy_raw_job import CopyRawJob
+
+    src = _make_tree(tmp_path / "in")
+    job = CopyRawJob(
+        {
+            "inputs": {"files_to_copy": {"path": str(src)}},
+            "output": {"path": str(tmp_path / "out")},
+        }
+    )
+    assert job.etl(spark) is None  # no-output job, parity with reference
+    assert len(job.copied) == 3
+
+    def digest(p):
+        return hashlib.sha256(p.read_bytes()).hexdigest()
+
+    for rel in ["models/weights.bin", "models/card.md", "LICENSE"]:
+        src_f, out_f = src / rel, tmp_path / "out" / rel
+        assert out_f.is_file(), rel
+        assert digest(src_f) == digest(out_f), rel
+
+
+def test_copy_raw_job_glob_and_latest(spark, tmp_path):
+    """Glob filter + {{latest}} input expansion + {{now}} output
+    expansion — the reference's full path pipeline."""
+    from jobs.generic.copy_raw_job import CopyRawJob
+
+    for stamp in ["date20240101", "date20240202"]:
+        d = tmp_path / "in" / stamp
+        d.mkdir(parents=True)
+        (d / "keep.bin").write_bytes(b"\x00\x01")
+        (d / "skip.txt").write_text("no")
+    job = CopyRawJob(
+        {
+            "inputs": {
+                "files_to_copy": {
+                    "path": str(tmp_path / "in" / "{{latest}}"),
+                    "glob": "**/*.bin",
+                }
+            },
+            "output": {"path": str(tmp_path / "out" / "{{now}}")},
+        }
+    )
+    job.etl(spark)
+    assert [os.path.basename(f) for f in job.copied] == ["keep.bin"]
+    assert "date20240202" in job.copied[0]
+    out_files = [p for p in (tmp_path / "out").rglob("*") if p.is_file()]
+    assert len(out_files) == 1 and out_files[0].name == "keep.bin"
+
+
+def test_fs_ops_list_files_filters():
+    import pytest as _pytest
+
+    from yaetos_spark.sources.fs_ops import list_files
+
+    with _pytest.raises(ValueError):
+        list_files("/tmp", regex=".*", globy="*")

@@ -1,0 +1,108 @@
+"""Filesystem operations for non-tabular assets — list and byte-copy.
+
+Behavior parity with the reference's FS_Ops_Dispatcher (reference:
+yaetos/env_dispatchers.py:133-254): driver-side file listing with an
+optional regex OR glob filter (mutually exclusive), and byte-for-byte
+file copy — local via ``shutil.copy2`` (metadata-preserving), S3 via
+``boto3`` server-side copy behind the same optional-dependency gate as
+deploy.  These are deliberately NOT Spark operations: ferrying models,
+images, licence files must not parse, re-encode, or re-partition the
+bytes.
+"""
+
+from __future__ import annotations
+
+import fnmatch
+import glob as gb
+import os
+import re
+import shutil
+from pathlib import Path
+
+
+def is_s3_path(path: str) -> bool:
+    return str(path).startswith("s3://")
+
+
+def _split_s3(path: str) -> tuple[str, str]:
+    rest = path[len("s3://"):]
+    bucket, _, key = rest.partition("/")
+    return bucket, key
+
+
+def list_files(path: str, regex: str | None = None, globy: str | None = None) -> list[str]:
+    """List files under ``path`` filtered by ``regex`` (searched against
+    the full path) OR ``globy`` (joined to ``path``, recursive) — never
+    both (reference: yaetos/env_dispatchers.py:137-166)."""
+    if regex and globy:
+        raise ValueError("Provide either a regex or a glob pattern, not both.")
+    if is_s3_path(path):
+        return _list_files_s3(path, regex, globy)
+    files: list[str] = []
+    if regex:
+        try:
+            compiled = re.compile(regex)
+        except re.error as e:
+            raise ValueError(f"Invalid regex pattern: {e}")
+        for dirpath, _dirs, filenames in os.walk(path):
+            for fname in filenames:
+                full = os.path.join(dirpath, fname)
+                if compiled.search(full):
+                    files.append(full)
+    elif globy:
+        files = gb.glob(os.path.join(path, globy), recursive=True)
+        files = [f for f in files if os.path.isfile(f)]
+    else:
+        for dirpath, _dirs, filenames in os.walk(path):
+            for fname in filenames:
+                files.append(os.path.join(dirpath, fname))
+    return sorted(files)
+
+
+def _list_files_s3(path: str, regex: str | None, globy: str | None) -> list[str]:
+    """S3 listing via paginated list_objects_v2, filter applied to the
+    key suffix under the prefix (reference:
+    yaetos/env_dispatchers.py:168-216)."""
+    import boto3  # optional dep — gate at call time like deploy
+
+    bucket, prefix = _split_s3(path)
+    s3 = boto3.client("s3")
+    compiled = re.compile(regex) if regex else None
+    out = []
+    for page in s3.get_paginator("list_objects_v2").paginate(Bucket=bucket, Prefix=prefix):
+        for obj in page.get("Contents", []):
+            suffix = obj["Key"][len(prefix):]
+            if compiled and not compiled.search(suffix):
+                continue
+            if globy and not fnmatch.fnmatch(suffix, globy):
+                continue
+            out.append(f"s3://{bucket}/{obj['Key']}")
+    return sorted(out)
+
+
+def copy_file(path_in: str, path_out: str) -> None:
+    """Byte-for-byte copy, no parse, no re-encode (reference:
+    yaetos/env_dispatchers.py:231-254).  Local→local preserves mtime
+    via copy2; S3 paths use server-side copy (boto3 gated)."""
+    if is_s3_path(path_in) or is_s3_path(path_out):
+        _copy_file_s3(path_in, path_out)
+        return
+    Path(path_out).parent.mkdir(parents=True, exist_ok=True)
+    shutil.copy2(path_in, path_out)
+
+
+def _copy_file_s3(path_in: str, path_out: str) -> None:
+    import boto3  # optional dep — gate at call time like deploy
+
+    s3 = boto3.client("s3")
+    if is_s3_path(path_in) and is_s3_path(path_out):
+        b_in, k_in = _split_s3(path_in)
+        b_out, k_out = _split_s3(path_out)
+        s3.copy({"Bucket": b_in, "Key": k_in}, b_out, k_out)
+    elif is_s3_path(path_out):
+        b_out, k_out = _split_s3(path_out)
+        s3.upload_file(path_in, b_out, k_out)
+    else:
+        b_in, k_in = _split_s3(path_in)
+        Path(path_out).parent.mkdir(parents=True, exist_ok=True)
+        s3.download_file(b_in, k_in, path_out)
