@@ -574,3 +574,56 @@ def test_xlsx_lite_reads_foreign_producer_workbook(spark, tmp_path):
     df = load_input(spark, {"path": path, "type": "xlsx"})
     got = {tuple(r) for r in df.select("name", "score", "ok").collect()}
     assert ("gamma", None, False) in got and len(got) == 3
+
+
+def test_xlsx_lite_first_sheet_follows_workbook_order(tmp_path):
+    """Part numbers don't track display order: a producer that moved
+    the 7th-created sheet to the front keeps its sheet7.xml part name.
+    The reader must follow workbook.xml <sheets> order -> r:id ->
+    workbook.xml.rels target, not the numeric part sort (ADVICE r5)."""
+    import zipfile
+
+    from yaetos_spark.sources.xlsx_lite import read_xlsx
+
+    wb = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
+        'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><sheets>'
+        '<sheet name="Moved to front" sheetId="7" r:id="rId7"/>'
+        '<sheet name="Was first" sheetId="2" r:id="rId2"/>'
+        "</sheets></workbook>"
+    )
+    wb_rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        '<Relationship Id="rId2" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet2.xml"/>'
+        '<Relationship Id="rId7" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="/xl/worksheets/sheet7.xml"/>'
+        "</Relationships>"
+    )
+
+    def sheet(marker):
+        return (
+            '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+            '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+            f'<sheetData><row r="1"><c r="A1" t="inlineStr"><is><t>{marker}</t></is></c></row>'
+            '<row r="2"><c r="A2"><v>1</v></c></row></sheetData></worksheet>'
+        )
+
+    path = str(tmp_path / "reordered.xlsx")
+    with zipfile.ZipFile(path, "w") as zf:
+        zf.writestr("xl/workbook.xml", wb)
+        zf.writestr("xl/_rels/workbook.xml.rels", wb_rels)
+        zf.writestr("xl/worksheets/sheet2.xml", sheet("WRONG"))
+        zf.writestr("xl/worksheets/sheet7.xml", sheet("RIGHT"))
+    header, _rows = read_xlsx(path)
+    assert header == ["RIGHT"]
+
+    # broken rels chain (dangling r:id) -> numeric part-sort fallback
+    path2 = str(tmp_path / "broken.xlsx")
+    with zipfile.ZipFile(path2, "w") as zf:
+        zf.writestr("xl/workbook.xml", wb.replace("rId7", "rId99"))
+        zf.writestr("xl/_rels/workbook.xml.rels", wb_rels)
+        zf.writestr("xl/worksheets/sheet2.xml", sheet("FALLBACK"))
+        zf.writestr("xl/worksheets/sheet10.xml", sheet("LEXICO_TRAP"))
+    header2, _ = read_xlsx(path2)
+    assert header2 == ["FALLBACK"]

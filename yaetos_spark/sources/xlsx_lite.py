@@ -30,6 +30,8 @@ from xml.etree import ElementTree as ET
 from xml.sax.saxutils import escape
 
 _NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+_RNS = "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}"
+_PKG_RNS = "{http://schemas.openxmlformats.org/package/2006/relationships}"
 _CELL_REF = re.compile(r"([A-Z]+)([0-9]+)")
 
 
@@ -69,6 +71,46 @@ def _cell_value(cell, shared: list[str]):
     return int(num) if num.is_integer() and abs(num) < 2**53 else num
 
 
+def _first_sheet_part(zf: zipfile.ZipFile) -> str | None:
+    """Resolve the workbook's FIRST worksheet part name.
+
+    Part numbers don't track display order (a producer that reorders
+    sheets keeps the original partN names), so the authoritative chain
+    is workbook.xml ``<sheets>`` order → the first sheet's ``r:id`` →
+    its Target in xl/_rels/workbook.xml.rels.  Fall back to numeric
+    part-name sort (NOT lexicographic — sheet10 would sort before
+    sheet2) when the chain is absent or broken."""
+    names = set(zf.namelist())
+    if "xl/workbook.xml" in names and "xl/_rels/workbook.xml.rels" in names:
+        try:
+            wb = ET.fromstring(zf.read("xl/workbook.xml"))
+            sheet = wb.find(f"{_NS}sheets/{_NS}sheet")
+            rid = sheet.get(f"{_RNS}id") if sheet is not None else None
+            if rid:
+                rels = ET.fromstring(zf.read("xl/_rels/workbook.xml.rels"))
+                for rel in rels.iter(f"{_PKG_RNS}Relationship"):
+                    if rel.get("Id") == rid and rel.get("Target"):
+                        target = rel.get("Target")
+                        # Targets are package-absolute ("/xl/...") or
+                        # relative to the xl/ part directory
+                        import posixpath
+
+                        part = (
+                            target.lstrip("/")
+                            if target.startswith("/")
+                            else posixpath.normpath("xl/" + target)
+                        )
+                        if part in names:
+                            return part
+        except ET.ParseError:
+            pass
+    numbered = sorted(
+        (n for n in zf.namelist() if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)),
+        key=lambda n: int(re.search(r"sheet(\d+)", n).group(1)),
+    )
+    return numbered[0] if numbered else None
+
+
 def read_xlsx(path: str):
     """First worksheet → (header_names, rows). The first row is the
     header (pandas ``read_excel`` default); sparse/missing cells come
@@ -80,15 +122,10 @@ def read_xlsx(path: str):
             for si in root.iter(f"{_NS}si"):
                 # a shared string may be split across rich-text runs
                 shared.append("".join(t.text or "" for t in si.iter(f"{_NS}t")))
-        # numeric sort: lexicographic would put sheet10 before sheet2,
-        # reading the wrong sheet from >=10-sheet workbooks
-        sheet_names = sorted(
-            (n for n in zf.namelist() if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)),
-            key=lambda n: int(re.search(r"sheet(\d+)", n).group(1)),
-        )
-        if not sheet_names:
+        first = _first_sheet_part(zf)
+        if first is None:
             raise ValueError(f"no worksheet found in {path}")
-        root = ET.fromstring(zf.read(sheet_names[0]))
+        root = ET.fromstring(zf.read(first))
 
     grid: list[list] = []
     for row in root.iter(f"{_NS}row"):
