@@ -688,3 +688,81 @@ def test_fs_ops_list_files_filters():
 
     with _pytest.raises(ValueError):
         list_files("/tmp", regex=".*", globy="*")
+
+
+def test_fs_ops_s3_shapes_offline(tmp_path, monkeypatch):
+    """S3 list/copy paths against a boto3-shaped fake (no network, no
+    boto3) — same offline strategy as test_deploy_run.py.  Checks the
+    paginated listing with suffix glob/regex filtering, server-side
+    s3→s3 copy, upload, and download-with-parent-creation."""
+    import sys
+    import types
+
+    from yaetos_spark.sources import fs_ops
+
+    class FakeS3Client:
+        def __init__(self):
+            self.objects = {  # (bucket, key) -> bytes
+                ("b1", "pre/a.bin"): b"A",
+                ("b1", "pre/sub/bb.bin"): b"B",
+                ("b1", "pre/skip.txt"): b"T",
+                ("b1", "other/zz.bin"): b"Z",
+            }
+            self.copies = []
+
+        def get_paginator(self, op):
+            assert op == "list_objects_v2"
+            objects = self.objects
+
+            class P:
+                def paginate(self, Bucket, Prefix):
+                    contents = [
+                        {"Key": k}
+                        for (b, k) in sorted(objects)
+                        if b == Bucket and k.startswith(Prefix)
+                    ]
+                    # two pages to prove pagination is honored
+                    mid = len(contents) // 2
+                    yield {"Contents": contents[:mid]}
+                    yield {"Contents": contents[mid:]}
+
+            return P()
+
+        def copy(self, src, bucket, key):
+            self.objects[(bucket, key)] = self.objects[(src["Bucket"], src["Key"])]
+            self.copies.append((src["Bucket"], src["Key"], bucket, key))
+
+        def upload_file(self, local, bucket, key):
+            self.objects[(bucket, key)] = open(local, "rb").read()
+
+        def download_file(self, bucket, key, local):
+            with open(local, "wb") as fh:
+                fh.write(self.objects[(bucket, key)])
+
+    fake_client = FakeS3Client()
+    fake_boto3 = types.ModuleType("boto3")
+    fake_boto3.client = lambda name: fake_client
+    monkeypatch.setitem(sys.modules, "boto3", fake_boto3)
+
+    # paginated listing + glob on the key suffix under the prefix
+    # (fnmatch semantics, same as the reference's S3 branch: * crosses /)
+    got = fs_ops.list_files("s3://b1/pre/", globy="*.bin")
+    assert got == ["s3://b1/pre/a.bin", "s3://b1/pre/sub/bb.bin"]
+    got_rec = fs_ops.list_files("s3://b1/pre/", regex=r"\.bin$")
+    assert got_rec == ["s3://b1/pre/a.bin", "s3://b1/pre/sub/bb.bin"]
+
+    # s3 -> s3 server-side copy
+    fs_ops.copy_file("s3://b1/pre/a.bin", "s3://b2/out/a.bin")
+    assert fake_client.objects[("b2", "out/a.bin")] == b"A"
+    assert fake_client.copies == [("b1", "pre/a.bin", "b2", "out/a.bin")]
+
+    # local -> s3 upload
+    src = tmp_path / "up.bin"
+    src.write_bytes(b"UP")
+    fs_ops.copy_file(str(src), "s3://b2/up/up.bin")
+    assert fake_client.objects[("b2", "up/up.bin")] == b"UP"
+
+    # s3 -> local download, parent dirs created
+    dest = tmp_path / "deep" / "down" / "a.bin"
+    fs_ops.copy_file("s3://b1/pre/a.bin", str(dest))
+    assert dest.read_bytes() == b"A"
