@@ -1,0 +1,34 @@
+"""SQL-file job executed on the PANDAS engine via DuckDB.
+
+Behavior parity with the reference's sql_pandas job (reference:
+jobs/generic/sql_pandas_job.py:1-14, yaetos/sql_pandas_job.py:4-14):
+the same registry shape as the Spark SQL-file job (``sql_file`` +
+``----param----`` header lines), but the query runs on pandas frames
+through DuckDB instead of Spark — for small edge datasets where a JVM
+round-trip is pure overhead.  Inputs are registered as DuckDB views
+named by their registry keys (mirroring the Spark path's temp views);
+the result converts back to a Spark DataFrame for the standard
+quality-gate + save path.
+
+Small-data contract, like PandasJob: ``toPandas()`` collects to the
+driver by design.  The distributed path is SqlJob (Spark SQL).
+"""
+
+from __future__ import annotations
+
+from yaetos_spark.job import SqlJob, strip_param_lines
+
+
+class SqlPandasJob(SqlJob):
+    def transform(self, **dfs):
+        import duckdb
+
+        sql = self.params.get("sql") or strip_param_lines(open(self.sql_file).read())
+        con = duckdb.connect()
+        try:
+            for name, df in dfs.items():
+                con.register(name, df.toPandas())
+            out = con.execute(sql).df()
+        finally:
+            con.close()
+        return self.spark.createDataFrame(out)

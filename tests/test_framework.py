@@ -766,3 +766,34 @@ def test_fs_ops_s3_shapes_offline(tmp_path, monkeypatch):
     dest = tmp_path / "deep" / "down" / "a.bin"
     fs_ops.copy_file("s3://b1/pre/a.bin", str(dest))
     assert dest.read_bytes() == b"A"
+
+
+def test_sql_pandas_job_matches_spark_sql_path(spark, tmp_path):
+    """SQL-over-pandas engine (reference jobs/generic/sql_pandas_job.py):
+    same sql_file, same registry shape, DuckDB execution — result must
+    match the Spark SQL engine on the same inputs."""
+    from pathlib import Path as _P
+
+    from jobs.generic.sql_pandas_job import SqlPandasJob
+    from yaetos_spark.job import SqlJob
+
+    repo = _P(__file__).resolve().parents[1]
+    params = {
+        "sql_file": str(repo / "conf" / "sql" / "events_per_type.sql"),
+        "inputs": {
+            "events": {"path": "/root/testdata/sf0.001/events.parquet", "type": "parquet"}
+        },
+        "add_created_at": False,
+    }
+    got = SqlPandasJob(dict(params)).etl_no_io(spark)
+    want = SqlJob(dict(params)).etl_no_io(spark)
+    key = lambda r: (r["event_type"], r["user_id"])  # noqa: E731
+    got_rows = sorted(((r.event_type, r.user_id, r.n) for r in got.collect()))
+    want_rows = sorted(((r.event_type, r.user_id, r.n) for r in want.collect()))
+    assert got_rows == want_rows and len(got_rows) > 0
+
+
+def test_dummy_job_is_a_no_op(spark):
+    from jobs.generic.dummy_job import DummyJob
+
+    assert DummyJob({}).etl(spark) is None
