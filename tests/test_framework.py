@@ -797,3 +797,12 @@ def test_dummy_job_is_a_no_op(spark):
     from jobs.generic.dummy_job import DummyJob
 
     assert DummyJob({}).etl(spark) is None
+
+
+def test_convert_to_linux_eol(tmp_path):
+    from yaetos_spark.sources.fs_ops import convert_to_linux_eol
+
+    f = tmp_path / "script.sql"
+    f.write_bytes(b"SELECT 1;\r\nSELECT 2;\r\n-- lone \n stays\n")
+    assert convert_to_linux_eol(str(f))  # in place
+    assert f.read_bytes() == b"SELECT 1;\nSELECT 2;\n-- lone \n stays\n"

@@ -106,3 +106,15 @@ def _copy_file_s3(path_in: str, path_out: str) -> None:
         b_in, k_in = _split_s3(path_in)
         Path(path_out).parent.mkdir(parents=True, exist_ok=True)
         s3.download_file(b_in, k_in, path_out)
+
+
+def convert_to_linux_eol(path_in: str, path_out: str | None = None) -> bool:
+    """CRLF → LF byte rewrite, in place when ``path_out`` is omitted
+    (reference: yaetos/windows_utils.py:6-16 — Windows-dev support for
+    scripts/SQL files that must run on the cluster)."""
+    path_out = path_out or path_in
+    with open(path_in, "rb") as fh:
+        content = fh.read()
+    with open(path_out, "wb") as fh:
+        fh.write(content.replace(b"\r\n", b"\n"))
+    return True
