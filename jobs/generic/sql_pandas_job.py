@@ -21,14 +21,6 @@ from yaetos_spark.job import SqlJob, strip_param_lines
 
 class SqlPandasJob(SqlJob):
     def transform(self, **dfs):
-        import duckdb
-
         sql = self.params.get("sql") or strip_param_lines(open(self.sql_file).read())
-        con = duckdb.connect()
-        try:
-            for name, df in dfs.items():
-                con.register(name, df.toPandas())
-            out = con.execute(sql).df()
-        finally:
-            con.close()
+        out = self.query(sql, engine="pandas", dfs=dfs)
         return self.spark.createDataFrame(out)

@@ -152,3 +152,23 @@ def test_register_udtf_in_job_sql(spark):
     assert [(r.pos, r.word) for r in out.collect()] == [
         (0, "alpha"), (1, "beta"), (2, "gamma"),
     ]
+
+
+def test_query_pandas_engine(spark):
+    """query(sql, engine='pandas') — DuckDB over pandas/Spark frames,
+    returning a pandas DataFrame (reference yaetos/pandas_utils.py:108-114)."""
+    import pandas as pd
+
+    from yaetos_spark.job import SparkJob
+
+    job = SparkJob({})
+    job.spark = spark
+    sdf = spark.createDataFrame([(1, "a"), (2, "b"), (2, "c")], "k int, v string")
+    pdf = pd.DataFrame({"k": [1, 2], "name": ["one", "two"]})
+    out = job.query(
+        "SELECT t.k, n.name, count(*) AS c FROM t JOIN n USING (k) GROUP BY t.k, n.name ORDER BY t.k",
+        engine="pandas",
+        dfs={"t": sdf, "n": pdf},
+    )
+    assert isinstance(out, pd.DataFrame)
+    assert list(out.itertuples(index=False, name=None)) == [(1, "one", 1), (2, "two", 2)]

@@ -49,9 +49,26 @@ class SparkJob:
         raise NotImplementedError
 
     # -- SQL surface ---------------------------------------------------
-    def query(self, sql: str) -> DataFrame:
+    def query(self, sql: str, engine: str = "spark", dfs: dict | None = None):
         """Run SQL against the registered input views
-        (reference: yaetos/etl_utils.py:671-680)."""
+        (reference: yaetos/etl_utils.py:671-680).  ``engine="pandas"``
+        executes on DuckDB over the given pandas (or Spark, converted)
+        frames and returns a pandas DataFrame — the reference's
+        small-data edge path (reference: yaetos/pandas_utils.py:108-114,
+        yaetos/sql_pandas_job.py:5-10); everything else is Spark SQL."""
+        if engine == "pandas":
+            import duckdb
+            import pandas as pd
+
+            con = duckdb.connect()
+            try:
+                for name, df in (dfs or {}).items():
+                    con.register(
+                        name, df if isinstance(df, pd.DataFrame) else df.toPandas()
+                    )
+                return con.execute(sql).df()
+            finally:
+                con.close()
         return self.spark.sql(sql)
 
     def sql_register(self, name: str, df: DataFrame) -> None:
