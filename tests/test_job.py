@@ -172,3 +172,38 @@ def test_query_pandas_engine(spark):
     )
     assert isinstance(out, pd.DataFrame)
     assert list(out.itertuples(index=False, name=None)) == [(1, "one", 1), (2, "two", 2)]
+
+
+def test_copy_to_redshift_secondary_sink(spark, tmp_path, monkeypatch):
+    """Dual-sink parity (reference yaetos/etl_utils.py:187-188): the
+    file output writes as usual AND the same frame pushes to Redshift
+    when copy_to_redshift is set — unless enable_db_push is False
+    (the env-wide off switch)."""
+    import yaetos_spark.sources.jdbc as jdbc
+
+    pushed = []
+    monkeypatch.setattr(jdbc, "save_redshift", lambda df, spec: pushed.append((df.count(), spec)))
+
+    from yaetos_spark.job import SparkJob
+
+    class J(SparkJob):
+        def transform(self, **dfs):
+            return self.spark.createDataFrame([(1,), (2,)], "id int")
+
+    params = {
+        "inputs": {},
+        "output": {"path": str(tmp_path / "out1"), "type": "parquet"},
+        "copy_to_redshift": {"table": "analytics.t1", "creds": None,
+                             "url": "jdbc:redshift://x:5439/db", "s3_tmp_dir": "s3://tmp/x"},
+        "add_created_at": False,
+    }
+    J(dict(params)).etl(spark)
+    assert len(pushed) == 1
+    assert pushed[0][0] == 2
+    assert pushed[0][1]["db_table"] == "analytics.t1"  # 'table' key mapped
+
+    # env-wide off switch
+    params2 = dict(params, output={"path": str(tmp_path / "out2"), "type": "parquet"},
+                   enable_db_push=False)
+    J(dict(params2)).etl(spark)
+    assert len(pushed) == 1  # unchanged

@@ -187,6 +187,19 @@ class SparkJob:
             # jobs otherwise compounds plans until iterative consumers
             # blow up Catalyst)
             self.written_output = (out_spec["path"], out_spec.get("type"))
+        # secondary DB sink: file output lands as usual, AND the same
+        # frame pushes to Redshift when the job opts in — gated by
+        # enable_db_push so one flag disables pushes env-wide
+        # (reference: yaetos/etl_utils.py:187-188, jargs copy_to_redshift
+        # {'creds': ..., 'table': 'schema.tb'} + enable_db_push)
+        rs = self.params.get("copy_to_redshift")
+        if rs and self.params.get("enable_db_push", True):
+            from yaetos_spark.sources.jdbc import save_redshift
+
+            spec = dict(rs)
+            if spec.get("table") and not (spec.get("db_table") or spec.get("dbtable")):
+                spec["db_table"] = spec.pop("table")
+            save_redshift(output, spec)
         return output
 
 
