@@ -806,3 +806,44 @@ def test_convert_to_linux_eol(tmp_path):
     f.write_bytes(b"SELECT 1;\r\nSELECT 2;\r\n-- lone \n stays\n")
     assert convert_to_linux_eol(str(f))  # in place
     assert f.read_bytes() == b"SELECT 1;\nSELECT 2;\n-- lone \n stays\n"
+
+
+def test_extraction_job_api_inputs_shape(spark, tmp_path):
+    """Registry-driven API extraction (reference ex0_extraction_job):
+    api_inputs names the endpoint; an injected fetcher keeps the test
+    offline; output flows through the standard save path."""
+    import gzip as _gzip
+
+    from jobs.examples.extraction_job import ExtractionJob
+
+    payload = _gzip.compress(b"city,pop\nparis,2100000\nlyon,520000\n")
+
+    def fake(url, **kw):
+        assert url == "https://example.org/dump.csv.gz"
+        return payload
+
+    job = ExtractionJob(
+        {
+            "api_inputs": {"path": "https://example.org/dump.csv.gz"},
+            "fetcher": fake,
+            "output": {"path": str(tmp_path / "out"), "type": "parquet"},
+            "add_created_at": False,
+        }
+    )
+    out = job.etl(spark)
+    assert {(r.city, r.pop) for r in out.collect()} == {("paris", 2100000), ("lyon", 520000)}
+    assert spark.read.parquet(str(tmp_path / "out")).count() == 2
+
+    # json records variant
+    def fake_json(url, **kw):
+        return b'{"records": [{"k": 1}, {"k": 2}]}'
+
+    j2 = ExtractionJob(
+        {
+            "api_inputs": {"path": "https://example.org/api", "format": "json",
+                           "record_path": "records"},
+            "fetcher": fake_json,
+            "add_created_at": False,
+        }
+    )
+    assert sorted(r.k for r in j2.etl_no_io(spark).collect()) == [1, 2]
