@@ -87,3 +87,20 @@ def test_detector_catches_injected_row_udf(spark):
 
     clean = spark.range(10).withColumn("y", F.col("id") + 1)
     assert audit_plan(clean)["python_row_udfs"] == 0
+
+
+def test_no_query_loses_filter_pushdown(census):
+    """Queries whose committed census shows a parquet scan with
+    PushedFilters must keep it: losing pushdown (e.g. a filter moved
+    behind an opaque UDF or a cast that defeats the scan) multiplies
+    scanned bytes at 100 TB even though sf0.001 timings barely move."""
+    committed = json.loads((REPO / "PLAN_AUDIT.json").read_text())
+    lost = [
+        n
+        for n, r in committed["queries"].items()
+        if r.get("pushed_filters")
+        and n in census
+        and "err" not in census[n]
+        and not census[n]["pushed_filters"]
+    ]
+    assert not lost, f"filter pushdown regressed in: {lost}"
