@@ -1001,3 +1001,71 @@ def test_ols_bit_identical_to_duckdb_across_2pow53(spark, case):
 
     assert bits(got.slope) == bits(want[0])
     assert bits(got.intercept) == bits(want[1])
+
+
+@st.composite
+def _xlsx_case(draw):
+    n_cols = draw(st.integers(1, 5))
+    n_rows = draw(st.integers(0, 8))
+    headers = [f"c{i}" for i in range(n_cols)]
+    cell = st.one_of(
+        st.none(),
+        st.booleans(),
+        st.integers(-(2**40), 2**40),
+        st.floats(allow_nan=False, allow_infinity=False, width=32),
+        st.text(
+            alphabet=st.characters(whitelist_categories=("L", "N", "P", "Zs")),
+            max_size=12,
+        ),
+    )
+    rows = [tuple(draw(cell) for _ in range(n_cols)) for _ in range(n_rows)]
+    return headers, rows
+
+
+@given(_xlsx_case())
+@settings(**dict(SETTINGS, max_examples=50))  # no Spark here — examples are cheap
+def test_xlsx_lite_roundtrip_property(tmp_path_factory, case):
+    """write_xlsx → read_xlsx is identity up to the documented pandas
+    numeric-column harmonization (one float in a column floats the
+    whole column) for arbitrary header/type/None layouts — including
+    XML-escaping-sensitive text and sparse trailing Nones."""
+    headers, rows = case
+    path = str(tmp_path_factory.mktemp("xlsx") / "prop.xlsx")
+
+    from yaetos_spark.sources.xlsx_lite import read_xlsx, write_xlsx
+
+    write_xlsx(path, headers, rows)
+    got_headers, got_rows = read_xlsx(path)
+    assert got_headers == headers
+
+    # model the documented read-side coercions
+    def harmonized(rows):
+        rows = [list(r) for r in rows]
+        # numeric inference first: integer-valued floats read as ints
+        # (pandas-style, xlsx numbers carry no int/float distinction)
+        for r in rows:
+            for c, v in enumerate(r):
+                if (
+                    isinstance(v, float)
+                    and v.is_integer()
+                    and abs(v) < 2**53
+                ):
+                    r[c] = int(v)
+        for c in range(len(headers)):
+            col = [r[c] for r in rows]
+            if any(isinstance(v, float) for v in col if not isinstance(v, bool)):
+                for r in rows:
+                    if isinstance(r[c], int) and not isinstance(r[c], bool):
+                        r[c] = float(r[c])
+        return [tuple(r) for r in rows]
+
+    want = harmonized(rows)
+    # all-None trailing rows: a blank row writes no cells, reads back
+    # as all-None padded to width — identical representation
+    assert len(got_rows) == len(want)
+    for got, exp in zip(got_rows, want):
+        for g, e in zip(got, exp):
+            if isinstance(e, float):
+                assert isinstance(g, float) and (g == e or abs(g - e) < 1e-12)
+            else:
+                assert g == e, (g, e)
