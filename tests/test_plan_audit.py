@@ -104,3 +104,23 @@ def test_no_query_loses_filter_pushdown(census):
         and not census[n]["pushed_filters"]
     ]
     assert not lost, f"filter pushdown regressed in: {lost}"
+
+
+def test_no_query_gains_sortmerge_joins(census):
+    """A broadcast→SortMergeJoin demotion (autoBroadcast threshold
+    slipped, a dim table stopped looking small, a hint lost) shows as
+    an SMJ count increase — the unexpected-shuffle direction that hurts
+    most at 100 TB. Legitimate plan changes regen PLAN_AUDIT.json."""
+    committed = json.loads((REPO / "PLAN_AUDIT.json").read_text())
+    worse = {
+        n: (committed["queries"][n]["sortmerge_joins"], census[n]["sortmerge_joins"])
+        for n, r in committed["queries"].items()
+        if "err" not in r
+        and n in census
+        and "err" not in census[n]
+        and census[n]["sortmerge_joins"] > r["sortmerge_joins"]
+    }
+    assert not worse, (
+        f"sort-merge join count grew (committed→live): {worse} — if "
+        f"intentional, rerun `python tools/plan_audit.py` and commit"
+    )
