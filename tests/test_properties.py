@@ -1069,3 +1069,55 @@ def test_xlsx_lite_roundtrip_property(tmp_path_factory, case):
                 assert isinstance(g, float) and (g == e or abs(g - e) < 1e-12)
             else:
                 assert g == e, (g, e)
+
+
+@st.composite
+def _sketch_stream_case(draw):
+    n = draw(st.integers(1, 24))
+    words = [draw(st.sampled_from(["a", "b", "c", "d", "e"])) for _ in range(n)]
+    # random batch boundaries (ordered, possibly empty batches)
+    n_batches = draw(st.integers(1, 4))
+    cuts = sorted(draw(st.integers(0, n)) for _ in range(n_batches - 1))
+    bounds = [0, *cuts, n]
+    batches = [words[bounds[i]:bounds[i + 1]] for i in range(n_batches)]
+    replays = draw(st.lists(st.integers(0, n_batches - 1), max_size=2))
+    return batches, replays
+
+
+@given(_sketch_stream_case())
+@settings(**SETTINGS)
+def test_streaming_cms_maintenance_equals_batch_for_any_split(spark, tmp_path_factory, case):
+    """The exactly-once maintenance identity, property-tested like the
+    CDC one (r5): folding ANY batch split of a stream through
+    sketch_batch_exactly_once — including arbitrary at-least-once
+    REPLAYS of earlier batch ids — must equal the count-min sketch
+    built over the whole stream in one shot."""
+    from yaetos_spark.operators.sketches import count_min_build, count_min_estimate
+    from yaetos_spark.streaming.sketch import read_count_min, sketch_batch_exactly_once
+
+    batches, replays = case
+    skd = str(tmp_path_factory.mktemp("sk") / "sketch")
+
+    def bdf(ws):
+        return spark.createDataFrame([(w,) for w in ws] or [("_",)], "word string").filter(
+            F.lit(bool(ws))
+        )
+
+    for i, ws in enumerate(batches):
+        sketch_batch_exactly_once(bdf(ws), i, skd, "word", depth=3, width=32)
+    for i in replays:  # at-least-once delivery: partition rewrite, no double count
+        sketch_batch_exactly_once(bdf(batches[i]), i, skd, "word", depth=3, width=32)
+
+    all_words = [w for ws in batches for w in ws]
+    whole = spark.createDataFrame([(w,) for w in all_words], "word string")
+    keys = whole.distinct()
+
+    def ests(sk):
+        return {
+            r["word"]: r["est"]
+            for r in count_min_estimate(sk, keys, "word", depth=3, width=32).collect()
+        }
+
+    assert ests(read_count_min(spark, skd)) == ests(
+        count_min_build(whole, "word", depth=3, width=32)
+    )
