@@ -21,6 +21,17 @@ from yaetos_spark.job import SqlJob, strip_param_lines
 
 class SqlPandasJob(SqlJob):
     def transform(self, **dfs):
+        import duckdb
+
         sql = self.params.get("sql") or strip_param_lines(open(self.sql_file).read())
-        out = self.query(sql, engine="pandas", dfs=dfs)
+        con = duckdb.connect()
+        try:
+            for name, df in dfs.items():
+                con.register(name, df.toPandas())
+            # Arrow, not pandas: an EMPTY result keeps its column types
+            # (pandas object-dtype strings would make createDataFrame
+            # raise CANNOT_INFER_EMPTY_SCHEMA on zero-row filters)
+            out = con.execute(sql).arrow()
+        finally:
+            con.close()
         return self.spark.createDataFrame(out)

@@ -136,7 +136,7 @@ def test_cli_new_scaffolds_runnable_project(spark, tmp_path, monkeypatch):
         sys.modules.update(saved)
 
 
-def test_shipped_registry_every_job_resolves(tmp_path):
+def test_shipped_registry_every_job_resolves(tmp_path, monkeypatch):
     """Registry lint over conf/jobs.yml: every declared job must
     resolve end-to-end WITHOUT executing — params layer cleanly, the
     py_job module imports and contains a job class (or the sql_file
@@ -149,8 +149,12 @@ def test_shipped_registry_every_job_resolves(tmp_path):
     from yaetos_spark.plans.registry import Registry
 
     # anchor to the repo root so the lint holds no matter where pytest
-    # was invoked from (ADVICE r5)
+    # was invoked from (ADVICE r5) — including chdir, because job
+    # CONSTRUCTION itself opens registry-relative sql_file paths
+    # against the cwd (launch-from-repo-root contract, same as the
+    # reference's Commandliner)
     repo = Path(__file__).resolve().parents[1]
+    monkeypatch.chdir(repo)
     reg = Registry.from_file(str(repo / "conf" / "jobs.yml"))
     names = reg.job_names()
     assert len(names) >= 10  # the shipped registry is non-trivial
@@ -168,3 +172,37 @@ def test_shipped_registry_every_job_resolves(tmp_path):
             assert spec.get("path") or spec.get("from") or spec.get("type") == "df", (
                 name, in_name, spec,
             )
+
+
+def test_cmd_arg_literal_coercion(monkeypatch, tmp_path):
+    """--flag=False must arrive as bool False — the string 'False' is
+    truthy and silently defeats boolean gates like enable_db_push
+    (round-6 review finding); non-literals stay strings."""
+    captured = {}
+
+    def fake_factory(reg):
+        def make(name, params):
+            captured.update(params)
+
+            class _J:
+                def etl(self, spark):
+                    return None
+
+            return _J()
+
+        return make
+
+    monkeypatch.setattr(cli, "job_factory", fake_factory)
+    monkeypatch.setattr(cli, "get_spark", lambda *a, **k: None)
+    import yaml
+
+    reg = tmp_path / "jobs.yml"
+    reg.write_text(yaml.safe_dump({"jobs": {"j": {"py_job": "x"}}}))
+    rc = cli.main([
+        "--job_name=j", f"--registry={reg}",
+        "--enable_db_push=False", "--keep=3", "--mode_note=prod-rollout",
+    ])
+    assert rc == 0
+    assert captured["enable_db_push"] is False
+    assert captured["keep"] == 3
+    assert captured["mode_note"] == "prod-rollout"  # non-literal stays str

@@ -847,3 +847,73 @@ def test_extraction_job_api_inputs_shape(spark, tmp_path):
         }
     )
     assert sorted(r.k for r in j2.etl_no_io(spark).collect()) == [1, 2]
+
+
+def test_fs_ops_s3a_scheme_reaches_boto3_branch(tmp_path, monkeypatch):
+    """expand_path rewrites s3:// to s3a:// for the hadoop connector;
+    fs_ops must still take the boto3 branch for those paths AND echo
+    the caller's scheme in listings so copy_raw's in→out str.replace
+    keeps matching (round-6 review finding)."""
+    import sys
+    import types
+
+    from yaetos_spark.sources import fs_ops
+
+    class FakeS3Client:
+        def __init__(self):
+            self.objects = {("b1", "pre/a.bin"): b"A"}
+            self.copies = []
+
+        def get_paginator(self, op):
+            objects = self.objects
+
+            class P:
+                def paginate(self, Bucket, Prefix):
+                    yield {"Contents": [{"Key": k} for (b, k) in sorted(objects) if b == Bucket and k.startswith(Prefix)]}
+
+            return P()
+
+        def copy(self, src, bucket, key):
+            self.objects[(bucket, key)] = self.objects[(src["Bucket"], src["Key"])]
+            self.copies.append((bucket, key))
+
+    fake_client = FakeS3Client()
+    fake_boto3 = types.ModuleType("boto3")
+    fake_boto3.client = lambda name: fake_client
+    monkeypatch.setitem(sys.modules, "boto3", fake_boto3)
+
+    got = fs_ops.list_files("s3a://b1/pre/")
+    assert got == ["s3a://b1/pre/a.bin"]  # boto3 branch taken, scheme preserved
+
+    fs_ops.copy_file("s3a://b1/pre/a.bin", "s3a://b1/out/a.bin")
+    assert fake_client.copies == [("b1", "out/a.bin")]
+
+
+def test_registry_routes_py_job_over_sql_file(spark):
+    """py_job wins when a job declares BOTH (the generic-engine-template
+    shape): events_per_type_pandas must construct SqlPandasJob, not the
+    default Spark SqlJob (round-6 review finding)."""
+    from pathlib import Path as _P
+
+    from jobs.generic.sql_pandas_job import SqlPandasJob
+    from yaetos_spark import cli
+    from yaetos_spark.plans.registry import Registry
+
+    repo = _P(__file__).resolve().parents[1]
+    reg = Registry.from_file(str(repo / "conf" / "jobs.yml"))
+    params = reg.job_params("events_per_type_pandas")
+    params["sql_file"] = str(repo / params["sql_file"])
+    job = cli.job_factory(reg)("events_per_type_pandas", params)
+    assert isinstance(job, SqlPandasJob)
+
+
+def test_sql_pandas_job_empty_result(spark):
+    """A filter matching nothing must return an empty TYPED frame, not
+    crash on schema inference (round-6 review finding)."""
+    from jobs.generic.sql_pandas_job import SqlPandasJob
+
+    src = spark.createDataFrame([(1, "a")], "k long, v string")
+    job = SqlPandasJob({"sql": "SELECT k, v FROM t WHERE k > 100", "add_created_at": False})
+    out = job.etl_no_io(spark, {"t": src})
+    assert out.count() == 0
+    assert dict(out.dtypes)["v"] == "string"

@@ -627,3 +627,46 @@ def test_xlsx_lite_first_sheet_follows_workbook_order(tmp_path):
         zf.writestr("xl/worksheets/sheet10.xml", sheet("LEXICO_TRAP"))
     header2, _ = read_xlsx(path2)
     assert header2 == ["FALLBACK"]
+
+
+def test_xlsx_lite_skips_chartsheet_first_tab(tmp_path):
+    """A workbook whose FIRST display tab is a chartsheet (no cell
+    data) must resolve to the first real worksheet in display order,
+    not return empty rows (round-6 review finding)."""
+    import zipfile
+
+    from yaetos_spark.sources.xlsx_lite import read_xlsx
+
+    wb = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
+        'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><sheets>'
+        '<sheet name="Chart" sheetId="1" r:id="rId1"/>'
+        '<sheet name="Data" sheetId="2" r:id="rId2"/>'
+        "</sheets></workbook>"
+    )
+    wb_rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/chartsheet" Target="chartsheets/sheet1.xml"/>'
+        '<Relationship Id="rId2" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>'
+        "</Relationships>"
+    )
+    chart = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<chartsheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"/>'
+    )
+    data = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        '<sheetData><row r="1"><c r="A1" t="inlineStr"><is><t>DATA</t></is></c></row>'
+        '<row r="2"><c r="A2"><v>7</v></c></row></sheetData></worksheet>'
+    )
+    path = str(tmp_path / "chartfirst.xlsx")
+    with zipfile.ZipFile(path, "w") as zf:
+        zf.writestr("xl/workbook.xml", wb)
+        zf.writestr("xl/_rels/workbook.xml.rels", wb_rels)
+        zf.writestr("xl/chartsheets/sheet1.xml", chart)
+        zf.writestr("xl/worksheets/sheet1.xml", data)
+    header, rows = read_xlsx(path)
+    assert header == ["DATA"] and rows == [(7,)]

@@ -11,6 +11,7 @@ Behavior parity with the reference's Commandliner/Runner
 from __future__ import annotations
 
 import argparse
+import ast
 import importlib
 import sys
 
@@ -22,8 +23,11 @@ from yaetos_spark.session import get_spark
 
 def job_factory(registry: Registry):
     def make(job_name: str, params: dict) -> SparkJob:
-        if params.get("sql_file"):
-            return SqlJob(params)
+        # py_job wins over sql_file: a job may declare BOTH (the
+        # reference's sql_pandas/sql_spark generic jobs take sql_file as
+        # a parameter — reference conf/jobs_metadata.yml
+        # job_using_generic_template), so sql_file alone implies the
+        # default Spark SQL engine only when no py_job names a class
         py_job = params.get("py_job")
         if py_job:
             if ":" in py_job:
@@ -33,6 +37,8 @@ def job_factory(registry: Registry):
             mod = importlib.import_module(mod_name)
             cls = getattr(mod, cls_name) if cls_name else _find_job_class(mod)
             return cls(params)
+        if params.get("sql_file"):
+            return SqlJob(params)
         raise ValueError(f"job '{job_name}' has neither sql_file nor py_job")
 
     return make
@@ -79,7 +85,14 @@ def main(argv=None):
     for tok in unknown:
         if tok.startswith("--") and "=" in tok:
             k, _, v = tok[2:].partition("=")
-            cmd_args[k] = v
+            # coerce literals so flags behave: --enable_db_push=False
+            # must arrive as bool False (the string 'False' is truthy
+            # and silently defeats every boolean gate); non-literals
+            # (--mode=prod, --period=2024-01-01) stay strings
+            try:
+                cmd_args[k] = ast.literal_eval(v)
+            except (ValueError, SyntaxError):
+                cmd_args[k] = v
 
     spark = get_spark()
     if known.sql_file and not known.job_name:

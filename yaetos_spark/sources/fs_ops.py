@@ -20,20 +20,30 @@ import shutil
 from pathlib import Path
 
 
-def is_s3_path(path: str) -> bool:
-    return str(path).startswith("s3://")
+# one definition of "is this S3": paths arriving here have usually been
+# through expand_path, which rewrites s3:// → s3a:// for the hadoop
+# connector — both schemes must take the boto3 branch
+from yaetos_spark.plans.paths import is_s3_path
 
 
 def _split_s3(path: str) -> tuple[str, str]:
-    rest = path[len("s3://"):]
+    rest = re.sub(r"^s3a?://", "", path)
     bucket, _, key = rest.partition("/")
     return bucket, key
 
 
 def list_files(path: str, regex: str | None = None, globy: str | None = None) -> list[str]:
-    """List files under ``path`` filtered by ``regex`` (searched against
-    the full path) OR ``globy`` (joined to ``path``, recursive) — never
-    both (reference: yaetos/env_dispatchers.py:137-166)."""
+    """List files under ``path`` filtered by ``regex`` OR ``globy`` —
+    never both (reference: yaetos/env_dispatchers.py:137-166).
+
+    Matching semantics differ by backend, mirroring the reference
+    exactly: local regex searches the FULL absolute path while S3 regex
+    searches only the key suffix under the prefix; local glob is
+    ``glob.glob`` (``*`` does not cross ``/``, ``**`` needs
+    recursive=True) while S3 glob is ``fnmatch`` on the suffix (``*``
+    crosses ``/``, ``**`` is not special) — reference
+    env_dispatchers.py:142-157 vs :186-193.  Specs promoted between
+    backends should prefer suffix-anchored regex (portable) over glob."""
     if regex and globy:
         raise ValueError("Provide either a regex or a glob pattern, not both.")
     if is_s3_path(path):
@@ -66,6 +76,10 @@ def _list_files_s3(path: str, regex: str | None, globy: str | None) -> list[str]
     import boto3  # optional dep — gate at call time like deploy
 
     bucket, prefix = _split_s3(path)
+    # preserve the caller's scheme (s3:// or s3a://) so consumers that
+    # str.replace the listing root against the input path (copy_raw's
+    # in→out mirroring) keep matching
+    scheme = "s3a" if path.startswith("s3a://") else "s3"
     s3 = boto3.client("s3")
     compiled = re.compile(regex) if regex else None
     out = []
@@ -76,7 +90,7 @@ def _list_files_s3(path: str, regex: str | None, globy: str | None) -> list[str]
                 continue
             if globy and not fnmatch.fnmatch(suffix, globy):
                 continue
-            out.append(f"s3://{bucket}/{obj['Key']}")
+            out.append(f"{scheme}://{bucket}/{obj['Key']}")
     return sorted(out)
 
 

@@ -83,25 +83,31 @@ def _first_sheet_part(zf: zipfile.ZipFile) -> str | None:
     names = set(zf.namelist())
     if "xl/workbook.xml" in names and "xl/_rels/workbook.xml.rels" in names:
         try:
-            wb = ET.fromstring(zf.read("xl/workbook.xml"))
-            sheet = wb.find(f"{_NS}sheets/{_NS}sheet")
-            rid = sheet.get(f"{_RNS}id") if sheet is not None else None
-            if rid:
-                rels = ET.fromstring(zf.read("xl/_rels/workbook.xml.rels"))
-                for rel in rels.iter(f"{_PKG_RNS}Relationship"):
-                    if rel.get("Id") == rid and rel.get("Target"):
-                        target = rel.get("Target")
-                        # Targets are package-absolute ("/xl/...") or
-                        # relative to the xl/ part directory
-                        import posixpath
+            import posixpath
 
-                        part = (
-                            target.lstrip("/")
-                            if target.startswith("/")
-                            else posixpath.normpath("xl/" + target)
-                        )
-                        if part in names:
-                            return part
+            wb = ET.fromstring(zf.read("xl/workbook.xml"))
+            rels = ET.fromstring(zf.read("xl/_rels/workbook.xml.rels"))
+            # only WORKSHEET relationships: a chartsheet tab has no cell
+            # data, so the first DATA sheet in display order is the one
+            # pandas-equivalent semantics want
+            ws_rels = {
+                rel.get("Id"): rel.get("Target")
+                for rel in rels.iter(f"{_PKG_RNS}Relationship")
+                if str(rel.get("Type", "")).endswith("/worksheet") and rel.get("Target")
+            }
+            for sheet in wb.findall(f"{_NS}sheets/{_NS}sheet"):
+                target = ws_rels.get(sheet.get(f"{_RNS}id"))
+                if not target:
+                    continue  # chart tab or dangling r:id — keep looking
+                # Targets are package-absolute ("/xl/...") or relative
+                # to the xl/ part directory
+                part = (
+                    target.lstrip("/")
+                    if target.startswith("/")
+                    else posixpath.normpath("xl/" + target)
+                )
+                if part in names:
+                    return part
         except ET.ParseError:
             pass
     numbered = sorted(
