@@ -21,17 +21,9 @@ from yaetos_spark.job import SqlJob, strip_param_lines
 
 class SqlPandasJob(SqlJob):
     def transform(self, **dfs):
-        import duckdb
-
         sql = self.params.get("sql") or strip_param_lines(open(self.sql_file).read())
-        con = duckdb.connect()
-        try:
-            for name, df in dfs.items():
-                con.register(name, df.toPandas())
-            # Arrow, not pandas: an EMPTY result keeps its column types
-            # (pandas object-dtype strings would make createDataFrame
-            # raise CANNOT_INFER_EMPTY_SCHEMA on zero-row filters)
-            out = con.execute(sql).arrow()
-        finally:
-            con.close()
+        # Arrow, not pandas: an EMPTY result keeps its column types
+        # (pandas object-dtype strings would make createDataFrame raise
+        # CANNOT_INFER_EMPTY_SCHEMA on zero-row filters)
+        out = self._run_duckdb(sql, dfs, as_arrow=True)
         return self.spark.createDataFrame(out)

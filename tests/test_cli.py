@@ -200,9 +200,16 @@ def test_cmd_arg_literal_coercion(monkeypatch, tmp_path):
     reg.write_text(yaml.safe_dump({"jobs": {"j": {"py_job": "x"}}}))
     rc = cli.main([
         "--job_name=j", f"--registry={reg}",
-        "--enable_db_push=False", "--keep=3", "--mode_note=prod-rollout",
+        "--enable_db_push=false", "--no_fw_cache=True", "--keep=3",
+        "--period=2024.10", "--suffix=1_2", "--mode_note=prod-rollout",
     ])
     assert rc == 0
-    assert captured["enable_db_push"] is False
+    assert captured["enable_db_push"] is False  # any-case booleans coerce
+    assert captured["no_fw_cache"] is True
     assert captured["keep"] == 3
-    assert captured["mode_note"] == "prod-rollout"  # non-literal stays str
+    # string-like values that LOOK like Python literals must NOT be
+    # normalized before path templating ('2024.10' → 2024.1 would
+    # silently mis-route {{period}} paths)
+    assert captured["period"] == "2024.10"
+    assert captured["suffix"] == "1_2"
+    assert captured["mode_note"] == "prod-rollout"

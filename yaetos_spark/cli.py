@@ -11,14 +11,31 @@ Behavior parity with the reference's Commandliner/Runner
 from __future__ import annotations
 
 import argparse
-import ast
 import importlib
+import re
 import sys
 
 from yaetos_spark.job import SparkJob, SqlJob
 from yaetos_spark.plans.flow import Flow
 from yaetos_spark.plans.registry import Registry
 from yaetos_spark.session import get_spark
+
+
+def _coerce_cmd_value(v: str):
+    """Conservative typing for --k=v flags: booleans in ANY case
+    (--enable_db_push=false — the string 'false' is truthy and silently
+    defeats every boolean gate), none/null, and pure integers.
+    DELIBERATELY nothing else: a general literal_eval corrupts
+    string-like values ('2024.10' → 2024.1, '1_2' → 12) before path
+    templating, which mis-routes data with no error."""
+    low = v.strip().lower()
+    if low in ("true", "false"):
+        return low == "true"
+    if low in ("none", "null"):
+        return None
+    if re.fullmatch(r"-?[0-9]+", v.strip()):
+        return int(v)
+    return v
 
 
 def job_factory(registry: Registry):
@@ -85,14 +102,7 @@ def main(argv=None):
     for tok in unknown:
         if tok.startswith("--") and "=" in tok:
             k, _, v = tok[2:].partition("=")
-            # coerce literals so flags behave: --enable_db_push=False
-            # must arrive as bool False (the string 'False' is truthy
-            # and silently defeats every boolean gate); non-literals
-            # (--mode=prod, --period=2024-01-01) stay strings
-            try:
-                cmd_args[k] = ast.literal_eval(v)
-            except (ValueError, SyntaxError):
-                cmd_args[k] = v
+            cmd_args[k] = _coerce_cmd_value(v)
 
     spark = get_spark()
     if known.sql_file and not known.job_name:

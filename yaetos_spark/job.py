@@ -57,19 +57,28 @@ class SparkJob:
         small-data edge path (reference: yaetos/pandas_utils.py:108-114,
         yaetos/sql_pandas_job.py:5-10); everything else is Spark SQL."""
         if engine == "pandas":
-            import duckdb
-            import pandas as pd
-
-            con = duckdb.connect()
-            try:
-                for name, df in (dfs or {}).items():
-                    con.register(
-                        name, df if isinstance(df, pd.DataFrame) else df.toPandas()
-                    )
-                return con.execute(sql).df()
-            finally:
-                con.close()
+            return self._run_duckdb(sql, dfs)
         return self.spark.sql(sql)
+
+    def _run_duckdb(self, sql: str, dfs: dict | None, as_arrow: bool = False):
+        """One DuckDB codepath for every pandas-engine caller: registers
+        pandas frames as-is and Spark frames via toPandas.  ``as_arrow``
+        returns a pyarrow Table instead — EMPTY results keep their
+        column types there, where a pandas object-dtype frame would make
+        ``spark.createDataFrame`` raise CANNOT_INFER_EMPTY_SCHEMA."""
+        import duckdb
+        import pandas as pd
+
+        con = duckdb.connect()
+        try:
+            for name, df in (dfs or {}).items():
+                con.register(
+                    name, df if isinstance(df, pd.DataFrame) else df.toPandas()
+                )
+            res = con.execute(sql)
+            return res.arrow() if as_arrow else res.df()
+        finally:
+            con.close()
 
     def sql_register(self, name: str, df: DataFrame) -> None:
         df.createOrReplaceTempView(name)
