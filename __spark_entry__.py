@@ -4749,19 +4749,12 @@ _VERIFY_NEXT = [
 ]
 
 
-def _rotate_stalest_first(
-    base: dict[str, Callable[[SparkSession, str], DataFrame]],
-) -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Reorder ``queries()`` so the driver's 50-query evaluation window
-    always covers the entries whose last PASSING driver verdict is
-    oldest (VERDICT r3 item 1: "continuously green", not "cumulatively
-    green").  Staleness is computed from the committed
-    ``CORRECTNESS_r*.json`` artifacts next to this file, so the
-    rotation is scripted and self-applying every round — no manual
-    reordering to forget.  A query with no verdict yet (new this
-    round), or whose latest verdict FAILED, sorts most-stale and enters
-    the window immediately.  Ties keep the hand-written base order, so
-    the result is fully deterministic given the committed artifacts."""
+def _last_pass_rounds() -> dict[str, int]:
+    """Per-query round of the latest PASSING driver verdict, read from
+    the committed ``CORRECTNESS_r*.json`` artifacts next to this file.
+    The single source of truth for rotation — ``tools/window_manifest.py``
+    reuses it so the committed window artifact can never drift from what
+    ``queries()`` actually returns."""
     import glob
     import json
     import os
@@ -4793,6 +4786,23 @@ def _rotate_stalest_first(
             )
             if ok:
                 last_pass[name] = max(last_pass.get(name, 0), rnd)
+    return last_pass
+
+
+def _rotate_stalest_first(
+    base: dict[str, Callable[[SparkSession, str], DataFrame]],
+) -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Reorder ``queries()`` so the driver's 50-query evaluation window
+    always covers the entries whose last PASSING driver verdict is
+    oldest (VERDICT r3 item 1: "continuously green", not "cumulatively
+    green").  Staleness is computed from the committed
+    ``CORRECTNESS_r*.json`` artifacts next to this file, so the
+    rotation is scripted and self-applying every round — no manual
+    reordering to forget.  A query with no verdict yet (new this
+    round), or whose latest verdict FAILED, sorts most-stale and enters
+    the window immediately.  Ties keep the hand-written base order, so
+    the result is fully deterministic given the committed artifacts."""
+    last_pass = _last_pass_rounds()
     pos = {n: i for i, n in enumerate(base)}
     ordered = sorted(
         base,

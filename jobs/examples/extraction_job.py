@@ -20,7 +20,7 @@ class ExtractionJob(SparkJob):
         return {}
 
     def transform(self, **dfs):
-        spec = dict(self.params["api_inputs"])
+        spec = self.params["api_inputs"]
         url = spec["path"]
         fetcher = self.params.get("fetcher")  # injectable for tests
         fmt = spec.get("format", "csv")

@@ -36,9 +36,6 @@ class CopyRawJob(SparkJob):
         # tabular loader away from it
         return {}
 
-    def output_pks(self):
-        return None
-
     def transform(self, **dfs):
         spec = (self.params.get("inputs") or {}).get("files_to_copy") or {}
         path_in = expand_path(spec["path"], self.params, self._now, self.spark)

@@ -200,7 +200,12 @@ def test_copy_to_redshift_secondary_sink(spark, tmp_path, monkeypatch):
     J(dict(params)).etl(spark)
     assert len(pushed) == 1
     assert pushed[0][0] == 2
-    assert pushed[0][1]["db_table"] == "analytics.t1"  # 'table' key mapped
+    # the reference's 'table' spelling flows through to the option
+    # builder, which accepts it directly
+    from yaetos_spark.sources.jdbc import build_redshift_options
+
+    _, opts, _ = build_redshift_options(pushed[0][1])
+    assert opts["dbtable"] == "analytics.t1"
 
     # env-wide off switch
     params2 = dict(params, output={"path": str(tmp_path / "out2"), "type": "parquet"},

@@ -25,40 +25,22 @@ WINDOW = 50
 
 def build_manifest() -> dict:
     sys.path.insert(0, REPO)
+    import glob
+    import re
+
     import __spark_entry__ as entry
 
     base = entry.queries()  # callables are not invoked — ordering only
     names = list(base)
-
-    # recompute last-pass rounds the same way _rotate_stalest_first does,
-    # so the manifest can show verdict ages alongside the order
-    import glob
-    import re
-
-    last_pass: dict[str, int] = {}
-    latest_round = 0
-    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
-        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
-        if not m:
-            continue
-        rnd = int(m.group(1))
-        latest_round = max(latest_round, rnd)
-        with open(path) as f:
-            data = json.load(f)
-        results = data.get("queries", data)
-        for name, v in results.items():
-            if not isinstance(v, dict):
-                continue
-            ok = (
-                v.get("rows_match") is not False
-                and v.get("schema_match") is not False
-                and v.get("hash_match") is not False
-                and v.get("err") is None
-            )
-            if ok:
-                last_pass[name] = max(last_pass.get(name, 0), rnd)
-
-    next_round = latest_round + 1
+    # the SAME computation the rotation itself uses — no parallel
+    # implementation to drift
+    last_pass = entry._last_pass_rounds()
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))
+        if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", p))
+    ]
+    next_round = max(rounds, default=0) + 1
     rows = []
     for i, n in enumerate(names):
         lp = last_pass.get(n)

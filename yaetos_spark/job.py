@@ -205,10 +205,7 @@ class SparkJob:
         if rs and self.params.get("enable_db_push", True):
             from yaetos_spark.sources.jdbc import save_redshift
 
-            spec = dict(rs)
-            if spec.get("table") and not (spec.get("db_table") or spec.get("dbtable")):
-                spec["db_table"] = spec.pop("table")
-            save_redshift(output, spec)
+            save_redshift(output, dict(rs))
         return output
 
 

@@ -80,10 +80,9 @@ def ols_per_group(
     # div matches DuckDB's floor on negatives), cast the now-lossless
     # doubles, and scale back by the exactly-representable divisor.
     # Identity (divisor 1) until sums actually cross the boundary.
-    d2 = F.expr(
-        "1 + greatest(abs(_sx), abs(_sy)) div 9007199254740992"
-    ).alias("_d2")
-    agg = agg.withColumn("_d2", d2)
+    agg = agg.withColumn(
+        "_d2", F.expr("1 + greatest(abs(_sx), abs(_sy)) div 9007199254740992")
+    )
     sx_red = F.signum(F.col("_sx")).cast("long") * F.expr("abs(_sx) div _d2")
     sy_red = F.signum(F.col("_sy")).cast("long") * F.expr("abs(_sy) div _d2")
     intercept = (

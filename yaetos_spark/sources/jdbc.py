@@ -137,7 +137,9 @@ def build_redshift_options(spec: dict) -> tuple[str, dict, str]:
         "tempdir": spec["s3_tmp_dir"],
         "forward_spark_s3_credentials": "true",
     }
-    dbtable = spec.get("db_table") or spec.get("dbtable")
+    # 'table' is the reference's copy_to_redshift spelling
+    # (etl_utils.py:688-689 'schema.tb') — accept all three
+    dbtable = spec.get("db_table") or spec.get("dbtable") or spec.get("table")
     if dbtable:
         if spec.get("schema"):
             dbtable = f"{spec['schema']}.{dbtable}"

@@ -111,7 +111,7 @@ def _first_sheet_part(zf: zipfile.ZipFile) -> str | None:
         except ET.ParseError:
             pass
     numbered = sorted(
-        (n for n in zf.namelist() if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)),
+        (n for n in names if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)),
         key=lambda n: int(re.search(r"sheet(\d+)", n).group(1)),
     )
     return numbered[0] if numbered else None
