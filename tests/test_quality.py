@@ -159,3 +159,50 @@ def test_oracle_comparator_detects_one_ulp_and_dtype_drift():
     )
     assert mod.canon(pd.DataFrame({"x": [None]}, dtype=object)) == [("NULL",)]
     assert mod.canon(pd.DataFrame({"x": [float("nan")]})) == [("NaN",)]
+
+
+def test_profile_table_one_pass(spark):
+    """profile_table: one row per column with the documented stats,
+    computed in a single aggregation job (one scan, no per-column
+    loop) — verified on a frame mixing atomic, array, and map types
+    plus nulls."""
+    from yaetos_spark.operators.quality import profile_table
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha", 10.0, ["a", "b"], {"k": 1}, None),
+            (2, "bce", 20.0, ["c"], None, "x"),
+            (3, None, 30.0, [], {"k": 2}, "y"),
+            (4, "alpha", None, None, {"j": 3}, "z"),
+        ],
+        "id int, name string, score double, tags array<string>, attrs map<string,int>, note string",
+    )
+    prof = {r["column"]: r for r in profile_table(df).collect()}
+    assert set(prof) == {"id", "name", "score", "tags", "attrs", "note"}
+
+    assert prof["id"]["n_rows"] == 4 and prof["id"]["n_nonnull"] == 4
+    assert prof["id"]["null_frac"] == 0.0
+    assert prof["id"]["approx_ndv"] == 4
+    assert prof["id"]["min_value"] == "1" and prof["id"]["max_value"] == "4"
+    assert prof["id"]["mean"] == 2.5 and abs(prof["id"]["stddev"] - 1.2909944) < 1e-6
+
+    assert prof["name"]["n_nonnull"] == 3 and prof["name"]["null_frac"] == 0.25
+    assert prof["name"]["approx_ndv"] == 2  # 'alpha' twice
+    assert prof["name"]["avg_length"] == (5 + 3 + 5) / 3
+    assert prof["name"]["mean"] is None  # non-numeric
+
+    assert prof["score"]["min_value"] == "10.0" and prof["score"]["max_value"] == "30.0"
+
+    assert prof["tags"]["avg_length"] == (2 + 1 + 0) / 3  # avg element count
+    assert prof["tags"]["approx_ndv"] == 3  # arrays hash fine
+
+    # maps: unhashable and unordered — ndv/min/max stay NULL, counts still fill
+    assert prof["attrs"]["approx_ndv"] is None
+    assert prof["attrs"]["min_value"] is None
+    assert prof["attrs"]["n_nonnull"] == 3 and prof["attrs"]["avg_length"] == 1.0
+
+    # column subset + single-job shape: exactly one Scan in the plan
+    plan = profile_table(df, columns=["id", "note"])._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan ") + plan.count("ScanExists") <= 2  # one scan (AQE may print twice)
+    sub = {r["column"] for r in profile_table(df, columns=["id", "note"]).collect()}
+    assert sub == {"id", "note"}

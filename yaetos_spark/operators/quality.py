@@ -160,6 +160,87 @@ def compare_summary(diff: DataFrame, shared_cols: list[str]) -> dict:
     return diff.agg(*aggs).collect()[0].asDict()
 
 
+def profile_table(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    ndv_rsd: float = 0.05,
+) -> DataFrame:
+    """One-pass column profile: one output row per column with row
+    count, non-null count, null fraction, approximate distinct count
+    (HLL, relative error ``ndv_rsd``), min/max (string repr), average
+    length (strings/binary) or element count (arrays/maps), and
+    mean/stddev for numerics.
+
+    The planning pass a pipeline runs before sizing a 100 TB job: NDV
+    per key column picks the shuffle partition count, null fractions
+    flag columns to prune, and min/max bound partition predicates. All
+    columns profile in ONE aggregation job (partial map-side combine,
+    no shuffle of data rows, one scan) — not a per-column loop like
+    pandas-style profilers, so cost is a single pass regardless of
+    column count. Extends the reference's per-column ``describe``
+    usage (reference: yaetos/etl_utils.py analysis helpers) to an
+    engine-level primitive.
+    """
+    fields = [f for f in df.schema.fields if columns is None or f.name in columns]
+    n_rows = F.count(F.lit(1))
+    aggs = [n_rows.alias("_n")]
+    per_col: list[dict] = []
+    for i, f in enumerate(fields):
+        c = F.col(f.name)
+        t = f.dataType.simpleString()
+        spec = {"name": f.name, "type": t}
+        aggs.append(F.count(c).alias(f"_nn{i}"))
+        # HLL hashes atomic/array/struct values; maps are unhashable
+        if not t.startswith("map"):
+            aggs.append(F.approx_count_distinct(c, ndv_rsd).alias(f"_ndv{i}"))
+            spec["ndv"] = True
+        # min/max need an ordering; maps have none
+        if not t.startswith("map"):
+            aggs.append(F.min(c).cast("string").alias(f"_min{i}"))
+            aggs.append(F.max(c).cast("string").alias(f"_max{i}"))
+            spec["minmax"] = True
+        if t in ("string", "binary"):
+            aggs.append(F.avg(F.length(c)).alias(f"_len{i}"))
+            spec["len"] = True
+        elif t.startswith(("array", "map")):
+            aggs.append(F.avg(F.size(c)).alias(f"_len{i}"))
+            spec["len"] = True
+        if t in ("tinyint", "smallint", "int", "bigint", "float", "double") or t.startswith(
+            "decimal"
+        ):
+            aggs.append(F.avg(c).cast("double").alias(f"_mean{i}"))
+            aggs.append(F.stddev(c).cast("double").alias(f"_std{i}"))
+            spec["moments"] = True
+        per_col.append(spec)
+    wide = df.agg(*aggs)
+    # reshape the single wide row to long form without leaving Spark:
+    # one struct per column, exploded
+    null_d = F.lit(None).cast("double")
+    null_l = F.lit(None).cast("long")
+    null_s = F.lit(None).cast("string")
+    structs = []
+    for i, spec in enumerate(per_col):
+        nn = F.col(f"_nn{i}")
+        structs.append(
+            F.struct(
+                F.lit(spec["name"]).alias("column"),
+                F.lit(spec["type"]).alias("data_type"),
+                F.col("_n").alias("n_rows"),
+                nn.alias("n_nonnull"),
+                F.when(F.col("_n") > 0, 1.0 - nn / F.col("_n"))
+                .otherwise(null_d)
+                .alias("null_frac"),
+                (F.col(f"_ndv{i}") if spec.get("ndv") else null_l).alias("approx_ndv"),
+                (F.col(f"_min{i}") if spec.get("minmax") else null_s).alias("min_value"),
+                (F.col(f"_max{i}") if spec.get("minmax") else null_s).alias("max_value"),
+                (F.col(f"_len{i}") if spec.get("len") else null_d).alias("avg_length"),
+                (F.col(f"_mean{i}") if spec.get("moments") else null_d).alias("mean"),
+                (F.col(f"_std{i}") if spec.get("moments") else null_d).alias("stddev"),
+            )
+        )
+    return wide.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
+
+
 def schema_drift(old: DataFrame, new: DataFrame) -> DataFrame:
     """Schema-drift report between two snapshots of a dataset: one row
     per (column, change) where change is 'added', 'removed', or
