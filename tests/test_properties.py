@@ -1121,3 +1121,94 @@ def test_streaming_cms_maintenance_equals_batch_for_any_split(spark, tmp_path_fa
     assert ests(read_count_min(spark, skd)) == ests(
         count_min_build(whole, "word", depth=3, width=32)
     )
+
+
+@st.composite
+def _lsh_dup_case(draw):
+    n_uniques = draw(st.integers(1, 5))
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    texts = [
+        " ".join(draw(st.sampled_from(words)) for _ in range(draw(st.integers(4, 8))))
+        for _ in range(n_uniques)
+    ]
+    # force duplicate groups: each text appears 1-3 times under distinct ids
+    docs, gid = [], 0
+    for t in texts:
+        for _ in range(draw(st.integers(1, 3))):
+            docs.append((gid, t))
+            gid += 1
+    bands = draw(st.sampled_from([2, 4]))
+    return docs, bands
+
+
+@given(_lsh_dup_case())
+@settings(**SETTINGS)
+def test_lsh_identical_docs_always_candidates(spark, case):
+    """The deterministic half of the LSH contract: IDENTICAL texts have
+    identical shingle sets, hence identical minhash signatures, hence
+    every band collides — so a duplicate pair can NEVER be missed by
+    banding, for any band count that divides num_hashes. (Near-dup
+    recall is probabilistic; exact-dup recall is guaranteed, and this
+    is what incremental dedup relies on.)"""
+    from yaetos_spark.operators.dedup import lsh_candidates, minhash_signatures
+
+    docs, bands = case
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    sigs = minhash_signatures(df, num_hashes=8)
+    got = {
+        (r["id1"], r["id2"])
+        for r in lsh_candidates(sigs, num_hashes=8, bands=bands).collect()
+    }
+    by_text: dict[str, list[int]] = {}
+    for i, t in docs:
+        by_text.setdefault(t, []).append(i)
+    for ids in by_text.values():
+        for a in ids:
+            for b in ids:
+                if a < b:
+                    assert (a, b) in got, (a, b)
+
+
+@st.composite
+def _profile_case(draw):
+    n = draw(st.integers(1, 12))
+    ints = [draw(st.one_of(st.none(), st.integers(-50, 50))) for _ in range(n)]
+    strs = [
+        draw(st.one_of(st.none(), st.text(alphabet="abcxyz", max_size=6)))
+        for _ in range(n)
+    ]
+    return list(zip(ints, strs))
+
+
+@given(_profile_case())
+@settings(**SETTINGS)
+def test_profile_table_matches_python_model(spark, rows):
+    """profile_table vs a direct python computation of every stat on
+    random int/string columns with nulls. NDV at rsd=0.05 stays in
+    HLL++ sparse mode (exact) at these cardinalities."""
+    from yaetos_spark.operators.quality import profile_table
+
+    df = spark.createDataFrame(rows, "i int, s string")
+    prof = {r["column"]: r for r in profile_table(df).collect()}
+    n = len(rows)
+    for col, idx in (("i", 0), ("s", 1)):
+        vals = [r[idx] for r in rows if r[idx] is not None]
+        p = prof[col]
+        assert p["n_rows"] == n and p["n_nonnull"] == len(vals)
+        assert abs(p["null_frac"] - (1 - len(vals) / n)) < 1e-12
+        assert p["approx_ndv"] == len(set(vals))
+        if vals:
+            # Spark casts to string post-agg; int order is numeric,
+            # string order is binary (= python codepoint order here).
+            # Empty string stays "" — cast never nulls it.
+            assert p["min_value"] == str(min(vals))
+            assert p["max_value"] == str(max(vals))
+        else:
+            assert p["min_value"] is None and p["max_value"] is None
+    vals_i = [r[0] for r in rows if r[0] is not None]
+    if vals_i:
+        assert abs(prof["i"]["mean"] - sum(vals_i) / len(vals_i)) < 1e-9
+    vals_s = [r[1] for r in rows if r[1] is not None]
+    if vals_s:
+        assert abs(prof["s"]["avg_length"] - sum(map(len, vals_s)) / len(vals_s)) < 1e-9
+    assert prof["s"]["mean"] is None and prof["i"]["avg_length"] is None
