@@ -33,6 +33,13 @@ _DEFAULTS = {
     # parquet columns as raw longs (converted to micros by the loaders)
     # instead of failing the scan.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # In local mode the driver JVM hosts every executor thread AND all
+    # broadcast builds; Spark's 1g default dies with "Not enough memory
+    # to build and broadcast" once inputs grow ~10x past sf0.1 (found
+    # by tools/scale_smoke.py). Only effective at JVM launch; a cluster
+    # submit (or the SPARK_DRIVER_MEMORY env override below) replaces
+    # it like the other sizing knobs.
+    "spark.driver.memory": "8g",
 }
 
 
