@@ -17,6 +17,7 @@ can't overwrite the full artifact).
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -63,6 +64,15 @@ def run_audit(spark, sf_dir: str, names=None) -> dict:
                 "sec": round(time.time() - t0, 2),
                 "err": f"{type(e).__name__}: {str(e)[:200]}",
             }
+        # release this query's persisted intermediates before the next
+        # one runs. Operators persist() for their own job's lifetime
+        # (the framework runs one application per job, so the cache
+        # dies with it); a sequential audit session keeps the JVM, and
+        # at 100x a single leaked shingle cache (~GBs) starves the next
+        # query's broadcast build ("Not enough memory to build and
+        # broadcast") even though both queries pass in isolation.
+        spark.catalog.clearCache()
+        gc.collect()  # drop py refs so ContextCleaner reclaims localCheckpoints
         print(f"# {name}: {results[name]}", file=sys.stderr)
     return results
 
