@@ -4746,6 +4746,11 @@ _VERIFY_NEXT = [
     # regression_stats cleared: re-verified by the driver in CORRECTNESS_r05
     # on the changed code)
     "value_drift",  # r6: intercept now uses the same common-shift integer reduction as the slope (ADVICE stats.py:78)
+    # r6: jaccard_pairs fused the sizes joins into the shingle rows
+    # (dedup.py) — every query built on it re-verifies on the new plan
+    # (dedup_clusters is already in-window as an age-3 rotation head)
+    "ngram_jaccard_pairs",
+    "near_dup_survivors",
 ]
 
 

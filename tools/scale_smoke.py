@@ -175,11 +175,11 @@ def main(argv: list[str]) -> int:
         b, g = base_res[name], big_res[name]
         queries[name] = {
             "base": b,
-            "x10": g,
+            "scaled": g,  # the x{repl} run (repl recorded top-level)
             "time_ratio": round(g["sec"] / b["sec"], 1) if b["sec"] else None,
             "row_ratio": round(g["rows"] / b["rows"], 2) if b.get("rows") else None,
         }
-    errs = [n for n, q in queries.items() if q["base"]["err"] or q["x10"]["err"]]
+    errs = [n for n, q in queries.items() if q["base"]["err"] or q["scaled"]["err"]]
     doc = {
         "base_sf_dir": base,
         "repl": repl,
@@ -188,7 +188,7 @@ def main(argv: list[str]) -> int:
         "env_before": env_before,
         "env_after": _env_signal(),
         "base_total_sec": base_sec,
-        "x10_total_sec": big_sec,
+        "scaled_total_sec": big_sec,
         "n_errors": len(errs),
         "errors": errs,
         "queries": queries,

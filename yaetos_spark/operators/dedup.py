@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from yaetos_spark.functions.hashing import normalize_text, stable_fingerprint
-from yaetos_spark.functions.shingles import word_ngram_rows
+from yaetos_spark.functions.shingles import ngrams_from_tokens, tokens, word_ngram_rows
 
 
 # -- exact ------------------------------------------------------------
@@ -98,20 +98,61 @@ def jaccard_pairs(
     ``max_df`` to cap hot-shingle fan-out at scale; for very large
     corpora prefer :func:`minhash_lsh_pairs`.
     """
-    rows = shingle_rows(df, text_col, id_col, n, max_df)
-    sizes = rows.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    a, b = rows.alias("a"), rows.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sz1 = sizes.select(F.col("id").alias("id1"), F.col("n_shingles").alias("n1"))
-    sz2 = sizes.select(F.col("id").alias("id2"), F.col("n_shingles").alias("n2"))
+    if max_df:
+        # the hot-shingle filter changes per-doc shingle counts, so
+        # sizes must be recounted AFTER the filter — explicit path
+        rows = shingle_rows(df, text_col, id_col, n, max_df)
+        sizes = rows.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+        a, b = rows.alias("a"), rows.alias("b")
+        inter = (
+            a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+            .groupBy(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
+        sz1 = sizes.select(F.col("id").alias("id1"), F.col("n_shingles").alias("n1"))
+        sz2 = sizes.select(F.col("id").alias("id2"), F.col("n_shingles").alias("n2"))
+        scored = inter.join(sz1, "id1").join(sz2, "id2")
+    else:
+        # fused path: carry each doc's (distinct) shingle count on
+        # every exploded row — the sizes aggregation (a third full
+        # tokenize+n-gram pass of the corpus) and its two joins against
+        # the PAIR table vanish. n_sh = size of the distinct n-gram
+        # array = exactly what the groupBy-count produced. Measured at
+        # sf0.1 local[32]: ~8% more CPU than the sizes-join plan (wider
+        # shuffle rows + struct explode), but at cluster scale the
+        # sizes side is one row per doc — too big to broadcast — so the
+        # old plan re-shuffles the candidate-pair table twice; this one
+        # never touches pairs after the single groupBy.
+        #
+        # The let-binding below matters: a plain
+        # ``select(size(_sh), explode(_sh))`` gets CollapseProject'd so
+        # the n-gram expression is inlined TWICE (once under size(),
+        # once as the generator input) and evaluated twice per row —
+        # measured 2x wall-clock on the sf0.1 heavies. Binding the
+        # computed array to a lambda variable via transform(array(x))
+        # forces exactly one evaluation; size(a) on the bound array is
+        # O(1) per emitted struct.
+        toked = df.select(F.col(id_col).alias("id"), tokens(text_col).alias("_toks"))
+        shingled = toked.select("id", ngrams_from_tokens("_toks", n).alias("_sh"))
+        bound = (
+            "flatten(transform(array(_sh), "
+            "a -> transform(a, g -> struct(g AS shingle, size(a) AS n_sh))))"
+        )
+        rows = shingled.select("id", F.explode(F.expr(bound)).alias("p")).select(
+            "id", F.col("p.n_sh").alias("n_sh"), F.col("p.shingle").alias("shingle")
+        )
+        a, b = rows.alias("a"), rows.alias("b")
+        scored = (
+            a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+            .groupBy(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+            .agg(
+                F.count(F.lit(1)).alias("n_common"),
+                F.max("a.n_sh").alias("n1"),  # constant per id1
+                F.max("b.n_sh").alias("n2"),
+            )
+        )
     return (
-        inter.join(sz1, "id1")
-        .join(sz2, "id2")
-        .withColumn(
+        scored.withColumn(
             "jaccard",
             F.round(F.col("n_common") / (F.col("n1") + F.col("n2") - F.col("n_common")), 6),
         )
