@@ -16,6 +16,7 @@ totals also included as "cold_total_sec" for transparency.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import statistics
@@ -108,6 +109,12 @@ def main():
                 f"/ {cold[name]}s cold ({n} rows)",
                 file=sys.stderr,
             )
+            # same release as tools/scale_audit.py: operators persist()
+            # for their own job's lifetime; a sequential bench session
+            # keeps the JVM, so minhash's 4 runs would otherwise leave
+            # 4 shingle caches pressuring the later heavy queries' GC.
+            spark.catalog.clearCache()
+            gc.collect()
         return times, cold
 
     times, cold = time_set(HEADLINE)

@@ -141,6 +141,10 @@ def jaccard_pairs(
         rows = shingled.select("id", F.explode(F.expr(bound)).alias("p")).select(
             "id", F.col("p.n_sh").alias("n_sh"), F.col("p.shingle").alias("shingle")
         )
+        # job-lifetime persist (same pattern as minhash_lsh_pairs):
+        # both self-join sides read ONE materialization instead of
+        # re-tokenizing the corpus; MEMORY_AND_DISK spills at scale.
+        rows = rows.persist()
         a, b = rows.alias("a"), rows.alias("b")
         scored = (
             a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
