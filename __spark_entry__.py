@@ -4751,6 +4751,9 @@ _VERIFY_NEXT = [
     # (dedup_clusters is already in-window as an age-3 rotation head)
     "ngram_jaccard_pairs",
     "near_dup_survivors",
+    # r6: chunk_documents let-binds its token array (was re-tokenizing
+    # the corpus 3x via inlined split()) — curation.py
+    "chunk_sliding_windows",
 ]
 
 

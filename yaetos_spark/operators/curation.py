@@ -324,24 +324,31 @@ def chunk_documents(
             f"overlap_tokens ({overlap_tokens}) must be < chunk_tokens ({chunk_tokens})"
         )
     stride = chunk_tokens - overlap_tokens
-    toked = df.select(
-        F.col(id_col).alias("doc_id"), _tokens(text_col).alias("_toks")
-    ).withColumn("_n", F.size("_toks")).filter(F.col("_n") > 0)
-    starts = F.sequence(
-        F.lit(0),
-        F.greatest(F.col("_n") - overlap_tokens - 1, F.lit(0)),
-        F.lit(stride),
-    )
-    return (
-        toked.select("doc_id", "_toks", "_n", F.explode(starts).alias("_start"))
-        .select(
-            "doc_id",
-            (F.col("_start") / stride).cast("int").alias("chunk_id"),
-            F.least(F.lit(chunk_tokens), F.col("_n") - F.col("_start")).alias("n_tokens"),
-            F.concat_ws(
-                " ", F.slice(F.col("_toks"), F.col("_start") + 1, chunk_tokens)
-            ).alias("chunk_text"),
+
+    # ``let``-bind the token array: referencing a computed ``_toks``
+    # column from the size() filter, the sequence() generator input,
+    # AND the slice() all at once leaves THREE inlined split() calls in
+    # the plan (CollapseProject + no CSE across the Filter/Generate
+    # boundaries) — the corpus would be re-tokenized three times. The
+    # binding tokenizes once and emits finished chunk structs.
+    def chunks_of(t: Column) -> Column:
+        n = F.size(t)
+        starts = F.sequence(
+            F.lit(0), F.greatest(n - overlap_tokens - 1, F.lit(0)), F.lit(stride)
         )
+        return F.transform(
+            starts,
+            lambda s: F.struct(
+                (s / stride).cast("int").alias("chunk_id"),
+                F.least(F.lit(chunk_tokens), n - s).alias("n_tokens"),
+                F.concat_ws(" ", F.slice(t, s + 1, chunk_tokens)).alias("chunk_text"),
+            ),
+        )
+
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(_let(_tokens(text_col), chunks_of)).alias("_c"))
+        .filter(F.col("_c.n_tokens") > 0)
+        .select("doc_id", "_c.chunk_id", "_c.n_tokens", "_c.chunk_text")
     )
 
 

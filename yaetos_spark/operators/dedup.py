@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from yaetos_spark.functions.hashing import normalize_text, stable_fingerprint
+from yaetos_spark.functions.hof import let
 from yaetos_spark.functions.shingles import ngrams_from_tokens, tokens, word_ngram_rows
 
 
@@ -124,21 +125,22 @@ def jaccard_pairs(
         # old plan re-shuffles the candidate-pair table twice; this one
         # never touches pairs after the single groupBy.
         #
-        # The let-binding below matters: a plain
+        # The ``let`` binding matters: a plain
         # ``select(size(_sh), explode(_sh))`` gets CollapseProject'd so
         # the n-gram expression is inlined TWICE (once under size(),
         # once as the generator input) and evaluated twice per row —
-        # measured 2x wall-clock on the sf0.1 heavies. Binding the
-        # computed array to a lambda variable via transform(array(x))
-        # forces exactly one evaluation; size(a) on the bound array is
-        # O(1) per emitted struct.
+        # measured 2x wall-clock on the sf0.1 heavies (no CSE across
+        # the Project/Generate operator boundary). ``let`` binds the
+        # computed array to a lambda variable, forcing exactly one
+        # evaluation; size(a) on the bound array is O(1) per struct.
         toked = df.select(F.col(id_col).alias("id"), tokens(text_col).alias("_toks"))
-        shingled = toked.select("id", ngrams_from_tokens("_toks", n).alias("_sh"))
-        bound = (
-            "flatten(transform(array(_sh), "
-            "a -> transform(a, g -> struct(g AS shingle, size(a) AS n_sh))))"
+        pair_structs = let(
+            ngrams_from_tokens("_toks", n),
+            lambda a: F.transform(
+                a, lambda g: F.struct(g.alias("shingle"), F.size(a).alias("n_sh"))
+            ),
         )
-        rows = shingled.select("id", F.explode(F.expr(bound)).alias("p")).select(
+        rows = toked.select("id", F.explode(pair_structs).alias("p")).select(
             "id", F.col("p.n_sh").alias("n_sh"), F.col("p.shingle").alias("shingle")
         )
         # job-lifetime persist (same pattern as minhash_lsh_pairs):
