@@ -4754,6 +4754,9 @@ _VERIFY_NEXT = [
     # r6: chunk_documents let-binds its token array (was re-tokenizing
     # the corpus 3x via inlined split()) — curation.py
     "chunk_sliding_windows",
+    # r6: lang_id/_word_hits let-bind the normalized text (was ~880
+    # inlined regexp_replace sites) — text.py
+    "lang_quality",
 ]
 
 

@@ -28,19 +28,39 @@ LANG_MARKERS = {
 STOPWORDS = sorted({w for ws in LANG_MARKERS.values() for w in ws})
 
 
-def _word_hits(col: str, words: list[str]) -> Column:
-    """Count of tokens of ``col`` that are in ``words`` — via a padded
-    space-join so word boundaries are exact, no regex dialect issues."""
-    padded = F.concat(F.lit(" "), F.regexp_replace(F.lower(F.col(col)), r"\s+", " "), F.lit(" "))
+def _doubled(col: str) -> Column:
+    """Lower-cased, space-normalized text with every space doubled, so
+    each token is independently surrounded by spaces (consecutive
+    stopwords would otherwise share the separating space and hide one
+    ``' w '`` occurrence)."""
+    return F.regexp_replace(
+        F.concat(F.lit(" "), F.regexp_replace(F.lower(F.col(col)), r"\s+", " "), F.lit(" ")),
+        r" ",
+        "  ",
+    )
+
+
+def _hits_in(doubled: Column, words: list[str]) -> Column:
+    """Sum of per-word ``' w '`` occurrence counts over an ALREADY
+    ``_let``-bound doubled-space string — each count is two cheap
+    string scans (length + replace), no regex."""
     total = F.lit(0)
     for w in words:
-        # occurrences of ' w ' allowing adjacency: count via length diff
-        needle = f" {w} "
-        # overlapping ' a b a ' patterns can't overlap for distinct words+spaces,
-        # but consecutive stopwords share the separating space — double the
-        # spaces first so every token is independently surrounded.
-        total = total + _substr_count(F.regexp_replace(padded, r" ", "  "), needle)
+        total = total + _substr_count(doubled, f" {w} ")
     return total
+
+
+def _word_hits(col: str, words: list[str]) -> Column:
+    """Count of tokens of ``col`` that are in ``words`` — via a padded
+    space-join so word boundaries are exact, no regex dialect issues.
+
+    The normalization chain (2 regexp passes) is ``_let``-bound so it
+    runs ONCE per document: referencing it from every per-word count
+    would otherwise inline it at each use site (Catalyst CSE skips
+    conditional positions), re-regexing the document tens to hundreds
+    of times — measured 25% wall on lang_quality at sf0.1, and worse
+    the longer the documents."""
+    return _let(_doubled(col), lambda d: _hits_in(d, words))
 
 
 def _substr_count(c: Column, needle: str) -> Column:
@@ -93,14 +113,33 @@ def quality_score(col: str) -> Column:
 
 def lang_id(col: str) -> Column:
     """Argmax of per-language marker-stopword hit counts; 'und' when no
-    marker hits. Deterministic tie-break: language name ascending."""
-    scores = [(lang, _word_hits(col, ws)) for lang, ws in sorted(LANG_MARKERS.items())]
-    best = F.greatest(*[s for _, s in scores])
-    result = F.lit("und")
-    # reverse order so earlier languages win ties via later overwrite
-    for lang, s in reversed(scores):
-        result = F.when((s == best) & (best > 0), F.lit(lang)).otherwise(result)
-    return result
+    marker hits. Deterministic tie-break: language name ascending
+    (``array_position`` returns the FIRST max and the score array is
+    built in sorted language order).
+
+    Shape: the doubled-space text and the score array are each
+    ``_let``-bound and computed once per document; a when-chain over
+    per-language scores would instead inline every score (and the
+    normalization under it) into every comparison — this expression
+    alone carried ~880 regexp_replace sites in the physical plan
+    before the binding."""
+    langs = sorted(LANG_MARKERS)
+    return _let(
+        _doubled(col),
+        lambda d: _let(
+            F.array(*[_hits_in(d, LANG_MARKERS[lang]) for lang in langs]),
+            lambda arr: _let(
+                F.array_max(arr),
+                lambda best: F.when(
+                    best > 0,
+                    F.element_at(
+                        F.array(*[F.lit(lang) for lang in langs]),
+                        F.array_position(arr, best).cast("int"),
+                    ),
+                ).otherwise(F.lit("und")),
+            ),
+        ),
+    )
 
 
 
