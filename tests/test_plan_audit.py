@@ -124,3 +124,48 @@ def test_no_query_gains_sortmerge_joins(census):
         f"sort-merge join count grew (committed→live): {worse} — if "
         f"intentional, rerun `python tools/plan_audit.py` and commit"
     )
+
+
+def test_no_query_grows_expensive_expression_sites(census):
+    """CollapseProject inlines a computed column into every use site,
+    and Catalyst CSE does not rescue references across
+    Project/Filter/Generate boundaries or in conditional positions —
+    the bug class that had chunk_documents tokenizing 3x and
+    lang_quality running ~880 regexp passes per document (fixed r6 via
+    functions/hof.py:let). The census counts textual occurrences of
+    per-row-expensive calls; for a fixed plan the count is stable, so
+    any growth means a new inlining blowup (or an intentional plan
+    change — regen the artifact)."""
+    committed = json.loads((REPO / "PLAN_AUDIT.json").read_text())
+    worse = {
+        n: (r["expr_sites"], census[n]["expr_sites"])
+        for n, r in committed["queries"].items()
+        if "err" not in r
+        and n in census
+        and "err" not in census[n]
+        and census[n]["expr_sites"] > r["expr_sites"]
+    }
+    assert not worse, (
+        f"expensive-expression site count grew (committed→live): {worse} "
+        f"— a computed column is probably re-evaluated at every use site; "
+        f"bind it with functions/hof.py:let, or if the growth is "
+        f"intentional rerun `python tools/plan_audit.py` and commit"
+    )
+
+
+def test_detector_catches_inlined_reevaluation(spark):
+    """The expr_sites detector must actually distinguish an inlined
+    double evaluation from a let-bound single one."""
+    from yaetos_spark.functions.hof import let
+
+    df = spark.createDataFrame([("a b c",)], "text string")
+    arr = F.array_distinct(F.split(F.col("text"), " "))
+    inlined = df.select(F.size(arr).alias("n"), F.explode(arr).alias("tok"))
+    bound = df.select(
+        F.explode(
+            let(arr, lambda a: F.transform(a, lambda t: F.struct(F.size(a).alias("n"), t.alias("tok"))))
+        ).alias("p")
+    ).select("p.n", "p.tok")
+    n_inlined = audit_plan(inlined)["expr_sites"]
+    n_bound = audit_plan(bound)["expr_sites"]
+    assert n_inlined > n_bound, (n_inlined, n_bound)

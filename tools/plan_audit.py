@@ -61,9 +61,32 @@ SINGLE_ROW_BROADCASTS = {
 }
 
 
+# Per-row-expensive expression markers. Textual occurrences in the
+# plan over-count true evaluations (partial/final aggregate stages
+# display the same expression; codegen CSE dedupes within an
+# operator) — but the count is STABLE for a given plan, so gating on
+# growth catches the real bug class: Catalyst's CollapseProject
+# inlining a computed column into every use site across
+# Project/Filter/Generate boundaries, where no CSE applies. That
+# inlining took chunk_documents to 3 tokenizations per doc and
+# lang_quality to ~880 regexp sites before functions/hof.py:let
+# bindings fixed them (round 6).
+EXPENSIVE_MARKERS = (
+    "split(",
+    "array_distinct(",
+    "regexp_replace(",
+    "regexp_extract(",
+    "md5(",
+    "sha2(",
+    "levenshtein(",
+    "from_json(",
+)
+
+
 def audit_plan(df) -> dict:
     plan = df._jdf.queryExecution().executedPlan().toString()
     return {
+        "expr_sites": sum(plan.count(m) for m in EXPENSIVE_MARKERS),
         "exchanges": len(re.findall(r"\bExchange\b", plan)),
         "broadcast_joins": plan.count("BroadcastHashJoin"),
         "sortmerge_joins": plan.count("SortMergeJoin"),
@@ -116,7 +139,8 @@ def main(argv: list[str]) -> int:
         "totals": {
             k: sum(r.get(k, 0) for r in results.values() if "err" not in r)
             for k in ("exchanges", "broadcast_joins", "sortmerge_joins",
-                      "cartesian", "bnl", "python_row_udfs", "arrow_python")
+                      "cartesian", "bnl", "python_row_udfs", "arrow_python",
+                      "expr_sites")
         },
         "queries": results,
     }
