@@ -4757,6 +4757,9 @@ _VERIFY_NEXT = [
     # r6: lang_id/_word_hits let-bind the normalized text (was ~880
     # inlined regexp_replace sites) — text.py
     "lang_quality",
+    # r6: winnow short-doc guard moved inside the let binding (was
+    # re-normalizing every doc in the Filter node); rare rows persisted
+    "winnow_overlap_pairs",
 ]
 
 

@@ -193,9 +193,21 @@ def winnow_fingerprints(
             )
         )
 
-    fps = _let(normalize_text(text_col), lambda nrm: _let(kgrams_of(nrm), windows_of))
+    # short-doc exclusion lives INSIDE the binding (empty array →
+    # explode emits nothing): a `where(length(normalize_text(..)) >= k)`
+    # guard would re-run the full normalize chain in the Filter node —
+    # no CSE across Filter/Project, so every document was normalized
+    # twice. The raw-length where below is a cheap superset pre-filter
+    # (normalization never lengthens text: lower preserves, collapsing
+    # one-or-more runs to single chars shrinks, trim shrinks).
+    fps = _let(
+        normalize_text(text_col),
+        lambda nrm: F.when(
+            F.length(nrm) >= k, _let(kgrams_of(nrm), windows_of)
+        ).otherwise(F.array().cast("array<long>")),
+    )
     return (
-        df.where(F.length(normalize_text(text_col)) >= k)
+        df.where(F.length(F.col(text_col)) >= k)
         .select(F.col(id_col), F.explode(fps).alias("fingerprint"))
     )
 
@@ -223,6 +235,10 @@ def winnow_overlap_pairs(
         .where(F.col("_dfreq") <= max_doc_freq)
         .drop("_dfreq")
     )
+    # job-lifetime persist (minhash/jaccard pattern): when AQE picks a
+    # broadcast join for the self-join, the two sides stop sharing the
+    # window's exchange and the corpus would be fingerprinted twice.
+    rare = rare.persist()
     a, b = rare.alias("a"), rare.alias("b")
     return (
         a.join(
