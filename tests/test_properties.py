@@ -853,6 +853,45 @@ def test_chunk_documents_matches_naive(spark, case):
 
 @given(
     st.lists(
+        st.one_of(st.none(), st.text(alphabet=" \taA zZ09.,'", max_size=16)),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(**SETTINGS)
+def test_let_binding_is_value_transparent(spark, texts):
+    """functions/hof.py:let exists purely to control EVALUATION COUNT;
+    five operators (winnowing, jaccard shingles, chunking, lang_id,
+    word hits) rely on ``let(x, body) == body(x)`` value-for-value.
+    Pin that contract over arbitrary strings including NULL (array(x)
+    wraps the null itself, so the lambda must see it), empty, and
+    whitespace-only inputs, for both body shapes used in the codebase:
+    a scalar string reused twice, and a derived array reused twice."""
+    from yaetos_spark.functions.hof import let
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i long, t string"
+    )
+    norm = F.regexp_replace(F.lower(F.trim(F.col("t"))), r"\s+", " ")
+    scalar_body = lambda s: F.length(s) * 100 + F.length(F.replace(s, F.lit("a"), F.lit("")))  # noqa: E731
+    arr = F.split(F.trim(F.col("t")), r"\s+")
+    arr_body = lambda a: F.size(a) * 100 + F.size(F.array_distinct(a))  # noqa: E731
+
+    got = df.select(
+        "i",
+        let(norm, scalar_body).alias("s"),
+        let(arr, arr_body).alias("a"),
+    ).orderBy("i").collect()
+    want = df.select(
+        "i",
+        scalar_body(norm).alias("s"),
+        arr_body(arr).alias("a"),
+    ).orderBy("i").collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+@given(
+    st.lists(
         st.datetimes(
             min_value=pd.Timestamp("2000-01-01").to_pydatetime(),
             max_value=pd.Timestamp("2099-12-31").to_pydatetime(),
