@@ -4760,6 +4760,10 @@ _VERIFY_NEXT = [
     # r6: winnow short-doc guard moved inside the let binding (was
     # re-normalizing every doc in the Filter node); rare rows persisted
     "winnow_overlap_pairs",
+    # r6: LSH verification now joins per-doc shingle ARRAYS (honest
+    # size estimates; the exploded-rows join broadcast a multi-GB
+    # "64MB-estimated" side at 100x and OOM'd) — dedup.py
+    "minhash_lsh_pairs",
 ]
 
 

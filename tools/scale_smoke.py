@@ -177,7 +177,13 @@ def main(argv: list[str]) -> int:
             "base": b,
             "scaled": g,  # the x{repl} run (repl recorded top-level)
             "time_ratio": round(g["sec"] / b["sec"], 1) if b["sec"] else None,
-            "row_ratio": round(g["rows"] / b["rows"], 2) if b.get("rows") else None,
+            # either side may have errored (rows=None) — report the
+            # error through `errors` below instead of crashing the tool
+            "row_ratio": (
+                round(g["rows"] / b["rows"], 2)
+                if b.get("rows") and g.get("rows") is not None
+                else None
+            ),
         }
     errs = [n for n, q in queries.items() if q["base"]["err"] or q["scaled"]["err"]]
     doc = {

@@ -84,6 +84,41 @@ def shingle_rows(
     return rows
 
 
+def shingle_arrays(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    max_df: int | None = None,
+) -> DataFrame:
+    """(id, sh: array<string>) — one row per doc holding its DISTINCT
+    n-gram set; with ``max_df``, shingles occurring in more than
+    ``max_df`` docs are removed (a doc whose every shingle was hot
+    drops out, matching :func:`shingle_rows`).
+
+    Prefer this over exploded rows when the shingles feed a JOIN:
+    Catalyst's size estimate for a Generate output is just its child's,
+    so exploded rows "estimate" as the pruned parquet scan and can get
+    broadcast at ~1000x their estimated size; the per-doc array table's
+    estimate is honest."""
+    toked = df.select(F.col(id_col).alias("id"), tokens(text_col).alias("_toks"))
+    arrs = toked.select("id", ngrams_from_tokens("_toks", n).alias("sh"))
+    if max_df:
+        rows = arrs.select("id", F.explode("sh").alias("shingle"))
+        hot = (
+            rows.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df_count"))
+            .filter(F.col("df_count") > max_df)
+            .select("shingle")
+        )
+        arrs = (
+            rows.join(hot, "shingle", "left_anti")
+            .groupBy("id")
+            .agg(F.collect_list("shingle").alias("sh"))
+        )
+    return arrs
+
+
 def jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -249,25 +284,38 @@ def minhash_lsh_pairs(
     At 100 TB this is the scale path: cost is linear in corpus size
     plus the (threshold-controlled) candidate volume; the only joins
     are equi-joins on hash keys, AQE handles residual skew.
+
+    Verification joins the candidate pairs against per-doc shingle
+    ARRAYS (one row per doc) and computes ``size(array_intersect)``
+    per pair, rather than the textbook exploded-rows join + pair
+    groupBy. Two reasons, both from the 100x growth smoke: (a) the
+    Catalyst size estimate for exploded rows is just the pruned parquet
+    scan (a Generate adds no estimated bytes), so the planner broadcast
+    a multi-GB side that "estimated" under the 64MB threshold and died
+    with "Not enough memory to build and broadcast" — the un-exploded
+    array table's estimate is honest, so AQE broadcasts it when small
+    and merge-joins when big, correctly in BOTH regimes; (b) the
+    exploded join materializes candidate-pairs x shared-shingles rows
+    and re-aggregates them, while the array join carries one row per
+    pair. The sizes come free (``size(sh)``), removing the separate
+    sizes aggregation and its two joins.
     """
-    rows = shingle_rows(df, text_col, id_col, n, max_df).persist()
+    arrs = shingle_arrays(df, text_col, id_col, n, max_df).persist()
+    rows = arrs.select("id", F.explode("sh").alias("shingle"))
     sigs = rows.groupBy("id").agg(*_minhash_aggs(num_hashes))
     cands = lsh_candidates(sigs, num_hashes, bands)
-    # verify candidates with exact jaccard over the shingle sets
-    sizes = rows.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    ra = rows.select(F.col("id").alias("id1"), "shingle")
-    rb = rows.select(F.col("id").alias("id2"), "shingle")
-    inter = (
-        cands.join(ra, "id1")
-        .join(rb, ["id2", "shingle"])
-        .groupBy("id1", "id2")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sz1 = sizes.select(F.col("id").alias("id1"), F.col("n_shingles").alias("n1"))
-    sz2 = sizes.select(F.col("id").alias("id2"), F.col("n_shingles").alias("n2"))
+    s1 = arrs.select(F.col("id").alias("id1"), F.col("sh").alias("sh1"))
+    s2 = arrs.select(F.col("id").alias("id2"), F.col("sh").alias("sh2"))
     return (
-        inter.join(sz1, "id1")
-        .join(sz2, "id2")
+        cands.join(s1, "id1")
+        .join(s2, "id2")
+        .select(
+            "id1",
+            "id2",
+            F.size(F.array_intersect("sh1", "sh2")).alias("n_common"),
+            F.size("sh1").alias("n1"),
+            F.size("sh2").alias("n2"),
+        )
         .withColumn(
             "jaccard",
             F.round(F.col("n_common") / (F.col("n1") + F.col("n2") - F.col("n_common")), 6),
