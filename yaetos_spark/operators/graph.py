@@ -7,11 +7,15 @@ iterative min-label-propagation on DataFrames: each round every node
 adopts the smallest component label among itself and its neighbors;
 rounds needed = graph diameter (tiny for near-dup clusters).
 
-Scale notes: each iteration is two equi-joins + one aggregation on the
-edge list — all shuffle-partitioned by node id; labels are checkpointed
-(localCheckpoint) every few rounds so the lineage doesn't grow
-unboundedly. For web-scale graphs swap in the large-star/small-star
-variant; for dedup clusters this converges in 2-4 rounds.
+Scale notes: each iteration is ONE equi-join (edges x labels) plus a
+union-aggregation — all shuffle-partitioned by node id; labels are
+checkpointed (localCheckpoint) every few rounds so the lineage doesn't
+grow unboundedly. Convergence is probed with an exact label-sum
+aggregate (labels only decrease, so an unchanged sum IS a fixed point)
+rather than a changed-rows join+count — that removes the second join
+the textbook formulation carries. For web-scale graphs swap in the
+large-star/small-star variant; for dedup clusters this converges in
+2-4 rounds.
 """
 
 from __future__ import annotations
@@ -38,10 +42,15 @@ def connected_components(
     edges = edges.select(
         F.col(src).alias("id1"), F.col(dst).alias("id2")
     ).localCheckpoint(eager=True)
+    # repartition on the join key BEFORE persisting: the per-iteration
+    # join probes sym on b every round, and a persisted hash(b) layout
+    # lets Catalyst elide sym's exchange each time — only the (tiny)
+    # label frame shuffles per iteration
     sym = (
         edges.select(F.col("id1").alias("a"), F.col("id2").alias("b"))
         .unionByName(edges.select(F.col("id2").alias("a"), F.col("id1").alias("b")))
         .distinct()
+        .repartition(F.col("b"))
         .persist()
     )
     labels = (
@@ -50,30 +59,36 @@ def connected_components(
         .withColumn("comp", F.col("node"))
         .persist()
     )
+
+    # labels only ever DECREASE (new comp = min over self + neighbors),
+    # so an unchanged exact sum proves the fixed point — the convergence
+    # probe is a scalar aggregate over the freshly-persisted generation
+    # (doubling as its materialization) instead of a changed-rows
+    # join + count. decimal(38,0) keeps the sum exact for any 64-bit id
+    # space (n x 2^63 stays far below 10^38 for any feasible n).
+    def _label_sum(frame: DataFrame):
+        row = frame.agg(F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")).collect()
+        return row[0].s
+
+    prev_sum = _label_sum(labels)
     for i in range(max_iter):
-        neighbor_min = (
-            sym.join(labels, sym.b == labels.node)
-            .groupBy("a")
-            .agg(F.min("comp").alias("nbr_comp"))
+        nbr = sym.join(labels, sym.b == labels.node).select(
+            F.col("a").alias("node"), "comp"
         )
         new_labels = (
-            labels.join(neighbor_min, labels.node == neighbor_min.a, "left")
-            .select(
-                "node",
-                F.least(F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))).alias("comp"),
-                (F.coalesce("nbr_comp", F.col("comp")) < F.col("comp")).alias("_changed"),
-            )
+            nbr.unionByName(labels)
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
             .persist()
         )
-        # materialize the new generation BEFORE dropping the old one so
-        # the convergence probe doesn't recompute the whole lineage
-        n_changed = new_labels.filter("_changed").count()
+        cur_sum = _label_sum(new_labels)
         labels.unpersist()
-        labels = new_labels.drop("_changed")
+        labels = new_labels
         if (i + 1) % checkpoint_every == 0:
             labels = labels.localCheckpoint(eager=True)
-        if n_changed == 0:
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     sym.unpersist()
     edges.unpersist()
     return labels
