@@ -637,6 +637,32 @@ def test_connected_components_matches_union_find(spark, case):
     assert got == expect
 
 
+@given(_edge_case())
+@settings(max_examples=5, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow])
+def test_triangle_count_matches_bruteforce(spark, case):
+    """Degree-oriented wedge enumeration must count exactly the
+    triangles a brute-force triple scan finds, for arbitrary graphs
+    with self-loops, duplicate and reversed edges — each triangle
+    credited once to each of its three corners."""
+    from itertools import combinations
+
+    from yaetos_spark.operators.graph import triangle_count
+
+    n_nodes, edge_list = case
+    if not edge_list:
+        return
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    got = {r.node: r.n_triangles for r in triangle_count(edges).collect()}
+
+    und = {(min(a, b), max(a, b)) for a, b in edge_list if a != b}
+    expect: dict[int, int] = {}
+    for x, y, z in combinations(sorted({v for e in und for v in e}), 3):
+        if (x, y) in und and (x, z) in und and (y, z) in und:
+            for v in (x, y, z):
+                expect[v] = expect.get(v, 0) + 1
+    assert got == expect
+
+
 @st.composite
 def _scd2_case(draw):
     n = draw(st.integers(1, 15))

@@ -182,36 +182,67 @@ def pagerank_fixed_point(
 
 
 def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
-    """Per-vertex triangle counts on an undirected graph.
+    """Per-vertex triangle counts on an undirected graph, via
+    degree-oriented wedge enumeration (Schank-Wagner node-iterator).
 
-    Edges are canonicalized to distinct (a < b) pairs, then triangles
-    (a < b < c) are enumerated with two equi-joins on the oriented edge
-    list — the standard distributed algorithm: orienting every edge
-    from the lower to the higher vertex id means each triangle is
-    enumerated exactly once and the join fan-out is bounded by
-    out-degrees under the orientation. Returns (node, n_triangles),
+    Edges are canonicalized to distinct undirected pairs, each oriented
+    from its LOWER-degree endpoint to its higher (ties by id). Wedges
+    are generated from a common SOURCE — pairs of out-neighbors
+    (y, z) of the same x with y ordered before z — and closed by an
+    equi-join probing for the oriented edge y->z. Every triangle
+    x < y < z (in degree order) is enumerated exactly once, as the
+    wedge at its smallest-degree corner. Returns (node, n_triangles),
     nodes with zero triangles omitted.
 
-    Scale: two shuffles on vertex keys. For skewed (power-law) graphs
-    at 100 TB, orient by DEGREE instead of id (compute degrees first,
-    break ties by id) — that bounds every out-degree by O(sqrt(edges))
-    and is the same plan with a different orientation key.
+    Why degree orientation rather than plain id orientation: under it
+    every out-degree is O(sqrt(m)), so the wedge join's fan-out is
+    bounded at sum(outdeg^2) = O(m^1.5) even on power-law graphs —
+    whereas a path-shaped enumeration (join on e1.dst == e2.src) pairs
+    in-edges with out-edges at the middle vertex, and a celebrity
+    node's unbounded IN-degree makes that blow up at 100 TB. Costs two
+    extra small shuffles up front (the degree aggregation + attach);
+    all joins are equi-joins on vertex keys.
     """
     a, b = F.least(F.col(src), F.col(dst)), F.greatest(F.col(src), F.col(dst))
-    e = (
+    und = (
         edges.select(a.alias("a"), b.alias("b"))
         .where(F.col("a") < F.col("b"))
         .distinct()
     )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da, db = deg.alias("da"), deg.alias("db")
+    # orientation key: (deg, id) lexicographic via struct comparison
+    ka = F.struct(F.col("da.deg").alias("d"), F.col("a").alias("i"))
+    kb = F.struct(F.col("db.deg").alias("d"), F.col("b").alias("i"))
+    e = (
+        und.join(da, und.a == F.col("da.node"))
+        .join(db, und.b == F.col("db.node"))
+        .select(
+            F.when(ka < kb, F.col("a")).otherwise(F.col("b")).alias("src"),
+            F.when(ka < kb, F.col("b")).otherwise(F.col("a")).alias("dst"),
+            F.when(ka < kb, kb).otherwise(ka).alias("dst_key"),
+        )
+    )
     e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
     tri = (
-        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        e1.join(
+            e2,
+            (F.col("e1.src") == F.col("e2.src"))
+            & (F.col("e1.dst_key") < F.col("e2.dst_key")),
+        )
         .join(
             e3,
-            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+            (F.col("e3.src") == F.col("e1.dst")) & (F.col("e3.dst") == F.col("e2.dst")),
         )
         .select(
-            F.col("e1.a").alias("x"), F.col("e1.b").alias("y"), F.col("e2.b").alias("z")
+            F.col("e1.src").alias("x"),
+            F.col("e1.dst").alias("y"),
+            F.col("e2.dst").alias("z"),
         )
     )
     corners = tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
