@@ -639,6 +639,55 @@ def test_connected_components_matches_union_find(spark, case):
 
 @given(_edge_case())
 @settings(max_examples=5, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow])
+def test_connected_components_star_matches_union_find(spark, case):
+    """The large-star/small-star variant must produce exactly the same
+    (node, comp) map as sequential union-find — including on pure
+    self-loop graphs (star contraction must not drop a node whose only
+    edges are self-loops) and long chains (its O(log n) specialty)."""
+    from yaetos_spark.operators.graph import connected_components_star
+
+    n_nodes, edge_list = case
+    if not edge_list:
+        return
+    edges = spark.createDataFrame(edge_list, "id1 long, id2 long")
+    got = {r.node: r.comp for r in connected_components_star(edges).collect()}
+
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edge_list:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    touched = {x for e in edge_list for x in e}
+    expect = {}
+    for root in set(find(x) for x in touched):
+        members = [x for x in touched if find(x) == root]
+        label = min(members)
+        for x in members:
+            expect[x] = label
+    assert got == expect
+
+
+def test_connected_components_star_long_chain(spark):
+    """A 64-node path exercises multiple contraction rounds (min-label
+    would need 63); every node must land in component 0."""
+    from yaetos_spark.operators.graph import connected_components_star
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "id1 long, id2 long"
+    )
+    got = {r.node: r.comp for r in connected_components_star(edges).collect()}
+    assert got == {i: 0 for i in range(64)}
+
+
+@given(_edge_case())
+@settings(max_examples=5, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow])
 def test_triangle_count_matches_bruteforce(spark, case):
     """Degree-oriented wedge enumeration must count exactly the
     triangles a brute-force triple scan finds, for arbitrary graphs
