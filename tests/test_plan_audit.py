@@ -169,3 +169,87 @@ def test_detector_catches_inlined_reevaluation(spark):
     n_inlined = audit_plan(inlined)["expr_sites"]
     n_bound = audit_plan(bound)["expr_sites"]
     assert n_inlined > n_bound, (n_inlined, n_bound)
+
+
+# ---------------------------------------------------------------------------
+# Iterative-operator plan-growth gate (VERDICT r6 item 2).
+#
+# The corpus census above audits EXECUTED plans; it is blind to
+# analysis-time pathologies inside iteration loops (round N's plan
+# referencing round N-1's un-truncated plan several times makes
+# Catalyst's DeduplicateRelations recurse over exponentially-shared
+# subtrees — the r6 connected_components_star bug, where a 64-node
+# chain spun >11 minutes in ANALYSIS). These gates run each hand-rolled
+# iterative operator for enough rounds to cross several checkpoint
+# epochs and fail the build if either (a) wall-clock blows past a bound
+# that is ~10x the healthy time but ~6x under the broken behavior, or
+# (b) the RETURNED frame's analyzed plan is not O(1)-sized — i.e. the
+# lineage was not truncated per round. k-means (train_ivf_centroids) is
+# MLlib-backed and checkpoints internally, so it is out of scope here.
+# ---------------------------------------------------------------------------
+
+def _analyzed_len(df):
+    return len(df._jdf.queryExecution().analyzed().numberedTreeString())
+
+
+# returned-plan budget: healthy operators come back as a couple of
+# joins over localCheckpointed scans (~2-6 KB of tree text); an
+# un-truncated 6-round lineage is hundreds of KB.
+PLAN_TEXT_BUDGET = 50_000
+
+
+def test_star_cc_iteration_stays_flat(spark):
+    """64-node path = ~6 large/small-star rounds; the r6 bug spun >660s
+    here. Healthy: a few seconds."""
+    import time
+
+    from yaetos_spark.operators.graph import connected_components_star
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "id1 long, id2 long"
+    )
+    t0 = time.monotonic()
+    out = connected_components_star(edges)
+    assert _analyzed_len(out) < PLAN_TEXT_BUDGET, (
+        "star-CC returned an un-truncated lineage — localCheckpoint "
+        "every round"
+    )
+    assert out.count() == 64
+    elapsed = time.monotonic() - t0
+    assert elapsed < 120, (
+        f"star-CC took {elapsed:.0f}s on a 64-node path — analysis-time "
+        f"plan growth is back (see graph.py lineage-discipline docstring)"
+    )
+
+
+def test_minlabel_cc_iteration_stays_flat(spark):
+    """24-node path = 23 min-label rounds = 4 checkpoint epochs."""
+    import time
+
+    from yaetos_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(23)], "id1 long, id2 long"
+    )
+    t0 = time.monotonic()
+    out = connected_components(edges, max_iter=30)
+    assert _analyzed_len(out) < PLAN_TEXT_BUDGET
+    assert out.where(F.col("comp") != 0).count() == 0
+    elapsed = time.monotonic() - t0
+    assert elapsed < 180, f"min-label CC took {elapsed:.0f}s over 23 rounds"
+
+
+def test_pagerank_iteration_stays_flat(spark):
+    import time
+
+    from yaetos_spark.operators.graph import pagerank_fixed_point
+
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % 16) for i in range(16)], "src long, dst long"
+    )
+    t0 = time.monotonic()
+    out = pagerank_fixed_point(edges, iters=8)
+    assert _analyzed_len(out) < PLAN_TEXT_BUDGET
+    assert out.count() == 16
+    elapsed = time.monotonic() - t0
+    assert elapsed < 120, f"pagerank took {elapsed:.0f}s over 8 rounds"

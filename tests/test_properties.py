@@ -674,6 +674,27 @@ def test_connected_components_star_matches_union_find(spark, case):
     assert got == expect
 
 
+@given(_edge_case())
+@settings(max_examples=5, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow])
+def test_connected_components_star_equals_min_label(spark, case):
+    """The two CC formulations are interchangeable implementations of
+    one contract: on ANY graph, large-star/small-star contraction must
+    emit exactly the (node, comp) map min-label propagation emits —
+    so callers can pick by graph diameter without a semantics change."""
+    from yaetos_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    n_nodes, edge_list = case
+    if not edge_list:
+        return
+    edges = spark.createDataFrame(edge_list, "id1 long, id2 long")
+    star = {r.node: r.comp for r in connected_components_star(edges).collect()}
+    minlabel = {r.node: r.comp for r in connected_components(edges).collect()}
+    assert star == minlabel
+
+
 def test_connected_components_star_long_chain(spark):
     """A 64-node path exercises multiple contraction rounds (min-label
     would need 63); every node must land in component 0."""

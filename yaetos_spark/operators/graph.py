@@ -99,7 +99,6 @@ def connected_components_star(
     src: str = "id1",
     dst: str = "id2",
     max_iter: int = 50,
-    checkpoint_every: int = 5,
 ) -> DataFrame:
     """Connected components by alternating large-star / small-star
     contraction (Kiveris et al., "Connected Components in MapReduce and
@@ -121,10 +120,27 @@ def connected_components_star(
     - small-star: every node's smaller-or-equal neighbors (and itself)
       re-attach to the minimum of that set.
 
-    The edge set monotonically contracts toward stars rooted at
-    component minima; the fixed point is detected when a round leaves
-    the (distinct, canonical) edge set unchanged — checked with a
-    count + one-sided anti-semantics exceptAll, both tiny by then.
+    Lineage discipline: each generation is ``localCheckpoint(eager)``ed
+    EVERY round. Each round's plan references the previous generation
+    multiple times (both orientations of the sym union, plus both
+    small-star branches), so un-truncated lineage grows exponentially
+    in shared subtrees and Catalyst analysis (DeduplicateRelations)
+    goes super-linear in round count. Rounds are O(log n), so the
+    per-round materialization cost is bounded.
+
+    Convergence probe: one scalar aggregate over the freshly
+    checkpointed generation — (edge count, exact decimal sum of
+    lo + hi) — never a cross-generation ``exceptAll`` (which drags the
+    previous generation's plan back in). Why equality proves the fixed
+    point: pre-dedup, each phase emits exactly one edge per input edge
+    and only ever REWRITES an endpoint to something strictly smaller
+    (large-star: (a,b) -> (min-of-neighborhood(a), b); small-star:
+    (l,h) -> (min-of-group, l) plus the root self-attach), so the
+    multiset sum of endpoints weakly decreases with equality iff both
+    phases were the identity; ``distinct`` only removes rows, so an
+    unchanged count means nothing collapsed. Equal (count, sum) ⇒ the
+    canonical edge set is unchanged ⇒ fixed point — the same monotone
+    argument as the min-label operator's label-sum probe above.
     """
     raw = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     # domain = every node appearing in edges, INCLUDING ones whose only
@@ -144,9 +160,22 @@ def connected_components_star(
         .distinct()
         .localCheckpoint(eager=True)
     )
+
+    # decimal(38,0) keeps the endpoint sum exact for any 64-bit id
+    # space (m x 2^64 stays far below 10^38 for any feasible m)
+    def _probe(frame: DataFrame):
+        row = frame.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.col("lo").cast("decimal(38,0)")
+                + F.col("hi").cast("decimal(38,0)")
+            ).alias("s"),
+        ).collect()[0]
+        return row.n, row.s
+
     cur = e
-    n_cur = cur.count()
-    for i in range(max_iter):
+    prev = _probe(cur)
+    for _ in range(max_iter):
         # -- large-star: group the symmetric neighborhood by u, attach
         #    every neighbor v > u to m = min(N(u) + {u})
         sym = cur.select(F.col("lo").alias("u"), F.col("hi").alias("v")).unionByName(
@@ -175,29 +204,20 @@ def connected_components_star(
             ss_nbrs.unionByName(ss_self)
             .where(F.col("lo") != F.col("hi"))
             .distinct()
-            .persist()
+            .localCheckpoint(eager=True)
         )
-        n_new = new.count()
-        if (i + 1) % checkpoint_every == 0:
-            cp = new.localCheckpoint(eager=True)
-            new.unpersist()
-            new = cp
-        converged = n_new == n_cur and new.exceptAll(cur).isEmpty()
-        if cur is not e:
-            cur.unpersist()
+        cur_probe = _probe(new)
         cur = new
-        n_cur = n_new
-        if converged:
+        if cur_probe == prev:
             break
+        prev = cur_probe
     # fixed point: stars (root=lo, member=hi). Nodes absent from the
     # final edge set are their own component's root.
     members = cur.select(F.col("hi").alias("node"), F.col("lo").alias("comp"))
     roots = all_nodes.join(
         cur.select(F.col("hi").alias("node")), "node", "left_anti"
     ).select("node", F.col("node").alias("comp"))
-    out = members.unionByName(roots)
-    cur.unpersist()
-    return out
+    return members.unionByName(roots)
 
 
 def dedup_clusters(
