@@ -2096,6 +2096,47 @@ FROM documents d LEFT JOIN comps c ON c.node = d.doc_id
 """
 
 
+def _chain_components(spark, sf_dir):
+    """Connected components on a HIGH-DIAMETER graph: each user's
+    events, ordered by (ts, event_id), form a path (~67-node chains at
+    sf0.1 — diameter far beyond near-dup clusters' 2-4). This is the
+    regime where the alternating large-star/small-star operator's
+    O(log n) rounds beat min-label propagation's O(diameter), so the
+    query exercises `connected_components_star` specifically.
+    comp = smallest event_id reachable. The output is invariant to
+    timestamp tie-breaks: any ordering of the same per-user event set
+    yields a path over the same nodes, hence the same components."""
+    from yaetos_spark.operators.graph import connected_components_star
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        ev.select("user_id", "ts", "event_id")
+        .withColumn("prev", F.lag("event_id").over(w))
+        .where(F.col("prev").isNotNull())
+        .select(F.col("prev").alias("id1"), F.col("event_id").alias("id2"))
+    )
+    return connected_components_star(edges).select("node", "comp")
+
+
+_CHAIN_COMPONENTS_SQL = """
+WITH RECURSIVE
+ordered AS (
+  SELECT event_id,
+         lag(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+),
+edges AS (SELECT prev AS a, event_id AS b FROM ordered WHERE prev IS NOT NULL),
+sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+reach(node, r) AS (
+  SELECT a, a FROM sym
+  UNION
+  SELECT s.a, r.r FROM sym s JOIN reach r ON r.node = s.b
+)
+SELECT node, min(r) AS comp FROM reach GROUP BY node
+"""
+
+
 def _near_dup_survivors(spark, sf_dir):
     """The user-facing end of the dedup pipeline: the corpus AFTER
     near-dup removal (operators/dedup.py::drop_near_duplicates — pair
@@ -4742,28 +4783,17 @@ GROUP BY from_type, to_type
 # a fresh verdict describes the old code, so they re-enter the window
 # now regardless of verdict age.  Clear entries once re-verified.
 _VERIFY_NEXT = [
-    # (r5 entries quantized_ann_recall / bloom_join_revenue / value_drift /
-    # regression_stats cleared: re-verified by the driver in CORRECTNESS_r05
-    # on the changed code)
-    "value_drift",  # r6: intercept now uses the same common-shift integer reduction as the slope (ADVICE stats.py:78)
-    # r6: jaccard_pairs fused the sizes joins into the shingle rows
-    # (dedup.py) — every query built on it re-verifies on the new plan
-    # (dedup_clusters is already in-window as an age-3 rotation head)
-    "ngram_jaccard_pairs",
-    "near_dup_survivors",
-    # r6: chunk_documents let-binds its token array (was re-tokenizing
-    # the corpus 3x via inlined split()) — curation.py
-    "chunk_sliding_windows",
-    # r6: lang_id/_word_hits let-bind the normalized text (was ~880
-    # inlined regexp_replace sites) — text.py
-    "lang_quality",
-    # r6: winnow short-doc guard moved inside the let binding (was
-    # re-normalizing every doc in the Filter node); rare rows persisted
-    "winnow_overlap_pairs",
-    # r6: LSH verification now joins per-doc shingle ARRAYS (honest
-    # size estimates; the exploded-rows join broadcast a multi-GB
-    # "64MB-estimated" side at 100x and OOM'd) — dedup.py
-    "minhash_lsh_pairs",
+    # (the seven r6 entries — value_drift, ngram_jaccard_pairs,
+    # near_dup_survivors, chunk_sliding_windows, lang_quality,
+    # winnow_overlap_pairs, minhash_lsh_pairs — cleared: all re-verified
+    # green by the driver in CORRECTNESS_r06 on the changed code)
+    #
+    # r7: connected_components_star rewritten (per-round localCheckpoint,
+    # monotone checksum convergence probe — graph.py); its new oracle twin
+    # must get a first verdict on the fixed code. (chain_components is
+    # verdict-less, so it would sort stalest-first anyway — listed for
+    # the changed-code audit trail.)
+    "chain_components",
 ]
 
 
@@ -4985,6 +5015,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_vocab_overlap": _source_vocab_overlap,
         "tfidf_top_terms": _tfidf_top_terms,
         "ppm_pipeline_stats": _ppm_pipeline_stats,
+        # ---- new in round 7 (no verdict yet -> sort most-stale, enter window) ----
+        "chain_components": _chain_components,
     }
     return _rotate_stalest_first(base)
 
@@ -5095,6 +5127,7 @@ def oracle_sql() -> dict[str, str]:
         "posexplode_words": _POSEXPLODE_SQL,
         "value_histogram": _HISTOGRAM_SQL,
         "dedup_clusters": _dedup_clusters_oracle(),
+        "chain_components": _CHAIN_COMPONENTS_SQL,
         "near_dup_survivors": _near_dup_survivors_oracle(),
         "forecast_revenue": _FORECAST_SQL,
         "priority_exists": _PRIORITY_EXISTS_SQL,
