@@ -203,3 +203,87 @@ def test_idle_termination_script_uploaded_when_configured(project):
     assert not any(k.endswith("terminate_idle_cluster.sh") for (_, k) in s3b.objects)
     boot_key_b = next(k for (_, k) in s3b.objects if k.endswith("setup_nodes.sh"))
     assert "terminate_idle_cluster" not in s3b.objects[("my-bucket", boot_key_b)].decode()
+
+
+# -- registry-driven deployer job (reference: jobs/generic/deployer.py:1-8,
+#    a manifest entry whose whole body is "deploy code / another job") ----
+
+
+def test_deployer_job_code_only_uploads_without_cluster(project):
+    from jobs.generic.deployer_job import DeployerJob
+
+    emr, s3 = FakeEMR(), FakeS3()
+    job = DeployerJob(
+        {
+            "job_name": "deploy_code",
+            "deploy_option": "deploy_code_only",
+            "deploy_config": {
+                "job_name": "jobs/my_job.py",
+                "s3_bucket": "my-bucket",
+                "project_dir": project,
+            },
+            "boto3_session": FakeSession(s3=s3, emr=emr),
+            "deploy_now_str": "20260101T000000",
+        }
+    )
+    assert job.transform() is None
+    # the code tarball and bootstrap script landed in the deploy bucket...
+    names = {k.rsplit("/", 1)[-1] for (_, k) in s3.objects}
+    assert {"scripts.tar.gz", "setup_nodes.sh"} <= names
+    assert job.uploaded_keys
+    # ...and NO cluster was created, NO step submitted (skip_job parity)
+    assert emr.run_job_flow_calls == []
+    assert emr.step_calls == []
+
+
+def test_deployer_job_full_deploy_submits_step(project):
+    from jobs.generic.deployer_job import DeployerJob
+
+    emr, s3 = FakeEMR(), FakeS3()
+    job = DeployerJob(
+        {
+            "job_name": "deploy_code",
+            "deploy_option": "deploy_job",
+            "target_job": "jobs/my_job.py",
+            "deploy_config": {
+                "s3_bucket": "my-bucket",
+                "project_dir": project,
+            },
+            "boto3_session": FakeSession(s3=s3, emr=emr),
+            "deploy_now_str": "20260101T000000",
+        }
+    )
+    assert job.transform() is None
+    cluster_id, step_ids = job.deploy_result
+    assert cluster_id == "j-NEW" and step_ids
+    assert emr.run_job_flow_calls and emr.step_calls
+
+
+def test_deployer_job_rejects_unknown_option(project):
+    from jobs.generic.deployer_job import DeployerJob
+
+    job = DeployerJob(
+        {
+            "deploy_option": "deploy_everything",
+            "deploy_config": {"s3_bucket": "b", "project_dir": project},
+            "boto3_session": FakeSession(),
+        }
+    )
+    with pytest.raises(ValueError, match="deploy_option"):
+        job.transform()
+
+
+def test_deployer_manifest_entry_resolves_to_deployer_job():
+    """conf/jobs.yml's deploy_code entry must route through the normal
+    registry -> job_factory path (the reference drives its deployer from
+    the manifest, not a bespoke CLI)."""
+    from jobs.generic.deployer_job import DeployerJob
+    from yaetos_spark.cli import job_factory
+    from yaetos_spark.plans.registry import Registry
+
+    reg = Registry.from_file(os.path.join(os.path.dirname(__file__), "..", "conf", "jobs.yml"))
+    params = reg.job_params("deploy_code")
+    job = job_factory(reg)("deploy_code", params)
+    assert isinstance(job, DeployerJob)
+    assert params["deploy_option"] == "deploy_code_only"
+    assert params["deploy_config"]["s3_bucket"] == "my-deploy-bucket"
