@@ -1347,3 +1347,85 @@ def test_profile_table_matches_python_model(spark, rows):
     if vals_s:
         assert abs(prof["s"]["avg_length"] - sum(map(len, vals_s)) / len(vals_s)) < 1e-9
     assert prof["s"]["mean"] is None and prof["i"]["avg_length"] is None
+
+
+@st.composite
+def _incr_dedup_case(draw):
+    """Docs are either exact copies of a base text or share ZERO
+    shingles with every other base (per-base disjoint token
+    vocabularies) — the construction that makes minhash estimation
+    EXACT (copies estimate J=1, non-copies J=0 short of a 64-bit hash
+    collision), so the incremental-vs-one-shot comparison is sharp
+    instead of 'within signature-estimation tolerance'."""
+    n_base = draw(st.integers(1, 6))
+    texts = {
+        i: " ".join(f"w{i}x{j}" for j in range(draw(st.integers(3, 8))))
+        for i in range(n_base)
+    }
+    n_docs = draw(st.integers(2, 12))
+    docs = [
+        (did, texts[draw(st.integers(0, n_base - 1))]) for did in range(n_docs)
+    ]
+    split = draw(st.integers(1, n_docs - 1))
+    return docs, split
+
+
+@given(_incr_dedup_case())
+@settings(max_examples=4, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow])
+def test_dedup_against_index_cold_warm_equals_one_shot(spark, case):
+    """Splitting a corpus into (batch1 -> cold index, batch2 -> warm
+    index) must surface exactly the CONTENT a one-shot
+    drop_near_duplicates over the union keeps: the same set of distinct
+    texts, exactly one survivor per text. Representative IDS legitimately
+    differ — one-shot keeps the global min id per cluster, incremental
+    keeps the min id of the EARLIEST batch containing the text (an
+    already-accepted survivor is never evicted by a later smaller id) —
+    so the survivor-id contract is asserted per policy, and equivalence
+    is asserted on surviving text sets."""
+    import shutil
+    import tempfile
+
+    from yaetos_spark.operators.dedup import dedup_against_index, drop_near_duplicates
+
+    docs, split = case
+    schema = "doc_id long, text string"
+    b1 = spark.createDataFrame(docs[:split], schema)
+    b2 = spark.createDataFrame(docs[split:], schema)
+    union = spark.createDataFrame(docs, schema)
+
+    idx = tempfile.mkdtemp(prefix="sig_idx_")
+    shutil.rmtree(idx)  # dedup_against_index expects a NOT-yet-existing cold dir
+    try:
+        s1 = dedup_against_index(b1, idx, threshold=0.5)
+        rows1 = {(r.doc_id, r.text) for r in s1.collect()}
+        s2 = dedup_against_index(b2, idx, threshold=0.5)
+        rows2 = {(r.doc_id, r.text) for r in s2.collect()}
+        sigs = spark.read.parquet(idx)
+        n_indexed = sigs.select("id").distinct().count()
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+    one_shot = {
+        (r.doc_id, r.text) for r in drop_near_duplicates(union, threshold=0.5).collect()
+    }
+
+    # same CONTENT survives either way; exactly one survivor per text
+    incr = rows1 | rows2
+    assert {t for _, t in incr} == {t for _, t in one_shot} == {t for _, t in docs}
+    assert len(incr) == len({t for _, t in incr})
+    assert len(one_shot) == len({t for _, t in one_shot})
+
+    # representative policies: one-shot = global min id per text;
+    # incremental = min id within the earliest batch holding the text
+    by_text: dict[str, list[int]] = {}
+    for did, t in docs:
+        by_text.setdefault(t, []).append(did)
+    assert one_shot == {(min(ids), t) for t, ids in by_text.items()}
+    expect_incr = set()
+    for t, ids in by_text.items():
+        in_b1 = [d for d in ids if d < split]
+        expect_incr.add((min(in_b1) if in_b1 else min(ids), t))
+    assert incr == expect_incr
+
+    # the persisted index holds exactly the survivors' signatures
+    assert n_indexed == len(incr)
