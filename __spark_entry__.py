@@ -4794,6 +4794,12 @@ _VERIFY_NEXT = [
     # verdict-less, so it would sort stalest-first anyway — listed for
     # the changed-code audit trail.)
     "chain_components",
+    # r7: min-label CC now seeds labels with the neighborhood min
+    # (graph.py) — both CC-built queries re-verify on the new plan
+    "dedup_clusters",
+    "near_dup_survivors",
+    # r7: pagerank materializes periodically instead of per round
+    "pagerank_trade_graph",
 ]
 
 

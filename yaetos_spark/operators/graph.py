@@ -53,10 +53,16 @@ def connected_components(
         .repartition(F.col("b"))
         .persist()
     )
+    # seed labels with min(self, neighbors): the same shuffle the
+    # textbook identity init (distinct over node ids) pays, but it IS
+    # round one — computed as a bare groupBy instead of the
+    # join + union + groupBy a loop round costs. Near-dup clusters are
+    # mostly cliques (diameter 1), so seeding makes the loop's first
+    # probe the converged one: one join round total instead of two.
     labels = (
-        sym.select(F.col("a").alias("node"))
-        .distinct()
-        .withColumn("comp", F.col("node"))
+        sym.groupBy(F.col("b").alias("node"))
+        .agg(F.min("a").alias("nbr_min"))
+        .select("node", F.least("node", "nbr_min").alias("comp"))
         .persist()
     )
 
@@ -283,13 +289,23 @@ def pagerank_fixed_point(
     nodes = e.select(F.col("src").alias("node")).distinct().persist()
     base = scale * (damping_den - damping_num) // damping_den
     ranks = nodes.withColumn("r", F.lit(scale).cast("long"))
-    for _ in range(iters):
+    # Rank lineage is a CHAIN (each round references the previous ranks
+    # exactly once), so analysis cost grows only linearly in rounds —
+    # unlike the CC operators, whose rounds reference the prior
+    # generation multiple times and must truncate every round. Chains
+    # only need periodic truncation: materializing every round inserts
+    # a full job barrier per iteration (3 extra scheduler round-trips on
+    # a 3-iter run) for no plan-size benefit, while never materializing
+    # would re-execute the whole chain per action at high iteration
+    # counts. localCheckpoint every few rounds bounds both.
+    materialize_every = 5
+    for i in range(iters):
         contribs = (
             e_deg.join(ranks, e_deg.src == ranks.node)
             .select(F.col("dst"), F.expr("r div outdeg").alias("c"))
         )
         sums = contribs.groupBy("dst").agg(F.sum("c").alias("t"))
-        new_ranks = (
+        ranks = (
             nodes.join(sums, nodes.node == sums.dst, "left")
             .select(
                 "node",
@@ -298,11 +314,9 @@ def pagerank_fixed_point(
                     + F.expr(f"(coalesce(t, 0L) * {damping_num}) div {damping_den}")
                 ).alias("r"),
             )
-            .persist()
         )
-        new_ranks.count()  # materialize before dropping the old generation
-        ranks.unpersist()
-        ranks = new_ranks
+        if (i + 1) % materialize_every == 0 and (i + 1) < iters:
+            ranks = ranks.localCheckpoint(eager=True)
     out = ranks.select("node", (F.col("r").cast("double") / scale).alias("rank"))
     return out
 
