@@ -1429,3 +1429,21 @@ def test_dedup_against_index_cold_warm_equals_one_shot(spark, case):
 
     # the persisted index holds exactly the survivors' signatures
     assert n_indexed == len(incr)
+
+
+def test_connected_components_raises_rather_than_mislabels(spark):
+    """A diameter beyond max_iter must be LOUD: partial labels (some
+    nodes not yet carrying their component min) silently poison every
+    downstream dedup, so the operator refuses to return them."""
+    import pytest as _pytest
+
+    from yaetos_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(20)], "id1 long, id2 long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=3)
+    # and with enough rounds the same graph resolves fine
+    got = {r.node: r.comp for r in connected_components(edges, max_iter=25).collect()}
+    assert got == {i: 0 for i in range(21)}

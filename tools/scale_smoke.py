@@ -60,6 +60,11 @@ SMOKE_QUERIES = [
     "near_dup_survivors",
     "ivf_ann_exactprobe",
     "dedup_clusters",
+    # high-diameter star-CC (r7): events grow 10x as LONGER per-user
+    # chains, so this is the growth direction the O(log n) operator
+    # exists for — rounds grow logarithmically while per-round work
+    # grows linearly
+    "chain_components",
     # pair-generating dedup + similarity paths
     "minhash_lsh_pairs",
     "simhash_docs",

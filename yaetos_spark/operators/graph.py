@@ -77,6 +77,7 @@ def connected_components(
         return row[0].s
 
     prev_sum = _label_sum(labels)
+    converged = False
     for i in range(max_iter):
         nbr = sym.join(labels, sym.b == labels.node).select(
             F.col("a").alias("node"), "comp"
@@ -93,10 +94,21 @@ def connected_components(
         if (i + 1) % checkpoint_every == 0:
             labels = labels.localCheckpoint(eager=True)
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
     sym.unpersist()
     edges.unpersist()
+    if not converged:
+        # returning the partial labels would be SILENTLY WRONG (some
+        # nodes still carry a non-minimal component id) — at 100 TB a
+        # quietly mislabeled cluster map poisons every downstream dedup
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"(graph diameter exceeds max_iter); raise max_iter or use "
+            f"connected_components_star, which needs O(log n) rounds on "
+            f"high-diameter graphs"
+        )
     return labels
 
 
@@ -215,8 +227,18 @@ def connected_components_star(
         cur_probe = _probe(new)
         cur = new
         if cur_probe == prev:
+            converged = True
             break
         prev = cur_probe
+    else:
+        converged = False
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iter} "
+            f"rounds — contraction needs O(log n); a 64-bit-id graph "
+            f"converges well inside the default 50, so this indicates a "
+            f"logic regression, not an undersized max_iter"
+        )
     # fixed point: stars (root=lo, member=hi). Nodes absent from the
     # final edge set are their own component's root.
     members = cur.select(F.col("hi").alias("node"), F.col("lo").alias("comp"))
