@@ -4795,9 +4795,13 @@ _VERIFY_NEXT = [
     # the changed-code audit trail.)
     "chain_components",
     # r7: min-label CC now seeds labels with the neighborhood min
-    # (graph.py) — both CC-built queries re-verify on the new plan
+    # (graph.py) AND jaccard_pairs' shingle self-join is merge-hinted
+    # (dedup.py — the Generate mis-estimate had Catalyst broadcasting
+    # the full exploded shingle relation) — everything on those plans
+    # re-verifies
     "dedup_clusters",
     "near_dup_survivors",
+    "ngram_jaccard_pairs",
     # r7: pagerank materializes periodically instead of per round
     "pagerank_trade_graph",
 ]

@@ -139,7 +139,7 @@ def jaccard_pairs(
         # sizes must be recounted AFTER the filter — explicit path
         rows = shingle_rows(df, text_col, id_col, n, max_df)
         sizes = rows.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
-        a, b = rows.alias("a"), rows.alias("b")
+        a, b = rows.alias("a"), rows.hint("merge").alias("b")
         inter = (
             a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
             .groupBy(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
@@ -182,7 +182,18 @@ def jaccard_pairs(
         # both self-join sides read ONE materialization instead of
         # re-tokenizing the corpus; MEMORY_AND_DISK spills at scale.
         rows = rows.persist()
-        a, b = rows.alias("a"), rows.alias("b")
+        # merge hint: Generate reports its CHILD's size, so Catalyst
+        # "estimates" the exploded shingle relation at the pruned
+        # parquet scan's bytes and broadcasts it at EVERY scale — the
+        # r7 100x growth smoke computed a 3.9 GiB "64MB-estimated"
+        # broadcast build inside dedup_clusters (disk-spilled in local
+        # mode; an executor OOM on a real cluster). Estimates here are
+        # structurally dishonest, so the join strategy must not depend
+        # on them: sort-merge shuffles both sides on the shingle key
+        # and AQE's skew-join splits hot-shingle partitions. (Contrast
+        # the LSH verify join, where per-doc ARRAY rows give honest
+        # estimates and the r6 measurement REJECTED forcing SMJ.)
+        a, b = rows.alias("a"), rows.hint("merge").alias("b")
         scored = (
             a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
             .groupBy(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
