@@ -1809,7 +1809,12 @@ def _source_vocab_overlap(spark, sf_dir):
         .distinct()
     )
     sizes = vocab.groupBy("source").agg(F.count(F.lit(1)).alias("vsize"))
-    a, b = vocab.alias("a"), vocab.alias("b")
+    # merge hint: the per-source vocab is unbounded at web scale and its
+    # estimate is anchored to the exploded words' Generate child, so
+    # Catalyst would broadcast it at ANY corpus size (the census'
+    # broadcast_over_generate class); the source-level `sizes` joins
+    # below stay explicit broadcasts — #sources rows, tiny by design
+    a, b = vocab.alias("a"), vocab.hint("merge").alias("b")
     inter = (
         a.join(b, (F.col("a.word") == F.col("b.word")) & (F.col("a.source") < F.col("b.source")))
         .groupBy(F.col("a.source").alias("s1"), F.col("b.source").alias("s2"))
@@ -1857,13 +1862,13 @@ def _tfidf_top_terms(spark, sf_dir):
     crawl source.  tf = term count within the source's concatenated
     text; idf = ln(n_sources / df) over source-level document
     frequency.  The whole thing is two hash aggregations + one
-    broadcast join — no vocabulary ever sits on the driver, so the
-    same plan runs on a 100 TB corpus (vocab stays distributed; only
-    the scalar source count is collected implicitly via broadcast of
-    the tiny df frame... which itself is vocabulary-sized and stays a
-    shuffle join at scale — Spark picks the strategy by stats).
-    Scores are rounded to 6 dp on both engines so libm ulp noise in
-    ln() can't flip the hash."""
+    merge-hinted join — no vocabulary ever sits on the driver, so the
+    same plan runs on a 100 TB corpus. The df frame is vocabulary-
+    sized (unbounded at web scale) and its estimate is anchored to the
+    exploded words' Generate child, so letting Catalyst "pick by
+    stats" would broadcast it at any scale — the hint forces the
+    word-keyed shuffle join.  Scores are rounded to 6 dp on both
+    engines so libm ulp noise in ln() can't flip the hash."""
     docs = _t(spark, sf_dir, "documents")
     words = docs.select(
         "source", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word")
@@ -1872,7 +1877,7 @@ def _tfidf_top_terms(spark, sf_dir):
     df_ = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
     n_sources = docs.select("source").distinct().count()  # scalar, driver-safe
     scored = (
-        tf.join(df_, "word")
+        tf.join(df_.hint("merge"), "word")
         .select(
             "source",
             "word",
@@ -4797,14 +4802,30 @@ _VERIFY_NEXT = [
     # r7: min-label CC now seeds labels with the neighborhood min
     # (graph.py) AND jaccard_pairs' shingle self-join is merge-hinted
     # (dedup.py — the Generate mis-estimate had Catalyst broadcasting
-    # the full exploded shingle relation) — everything on those plans
-    # re-verifies
+    # the full exploded shingle relation). dedup_clusters exercises
+    # BOTH changed paths; ngram_jaccard_pairs and near_dup_survivors
+    # (same jaccard_pairs + CC code, no unique changed path) DEFER to
+    # r8 — the window must also fit all 45 stalest r4 verdicts this
+    # round, and 45 + changed + new = 52 > 50. Both deferred queries
+    # passed the builder's oracle at sf0.001/0.01/0.1 on the final r7
+    # tree; put them in _VERIFY_NEXT in r8.
     "dedup_clusters",
-    "near_dup_survivors",
-    "ngram_jaccard_pairs",
     # r7: pagerank materializes periodically instead of per round
     "pagerank_trade_graph",
+    # r7: merge hints on Generate-anchored broadcast builds, unique
+    # code paths (LSH band rows / winnow fingerprints / line-dedup
+    # reassembly; vocab+tfidf are r4-stale and enter the window anyway)
+    "minhash_lsh_pairs",
+    "winnow_overlap_pairs",
+    "corpus_line_dedup",
+    "source_vocab_overlap",
+    "tfidf_top_terms",
 ]
+
+# r8 TODO (rotation): add "ngram_jaccard_pairs", "near_dup_survivors"
+# to _VERIFY_NEXT — r7 changed their plans (jaccard merge hint, CC
+# seeding) but the window could not fit them past the 45 stalest-r4
+# verdicts; their r7 coverage is transitive via dedup_clusters.
 
 
 def _last_pass_rounds() -> dict[str, int]:

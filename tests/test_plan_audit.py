@@ -253,3 +253,31 @@ def test_pagerank_iteration_stays_flat(spark):
     assert out.count() == 16
     elapsed = time.monotonic() - t0
     assert elapsed < 120, f"pagerank took {elapsed:.0f}s over 8 rounds"
+
+
+def test_no_query_grows_broadcast_over_generate(census):
+    """Generate reports its CHILD's size, so a broadcast whose build
+    subtree contains an explode is anchored to a fantasy estimate and
+    stays 'small' at ANY data scale — the class behind r6's LSH-verify
+    OOM and r7's 3.9 GiB shingle-join broadcast (both found by growth
+    smokes, both fixed with merge hints). Remaining committed sites are
+    tiny BY CONSTRUCTION (top-k limits, fixed sketch cells, explicit
+    broadcast of a small-by-contract frame); any NEW site must justify
+    itself the same way or take the shuffle join."""
+    committed = json.loads((REPO / "PLAN_AUDIT.json").read_text())
+    worse = {
+        n: (r["broadcast_over_generate"], census[n]["broadcast_over_generate"])
+        for n, r in committed["queries"].items()
+        if "err" not in r
+        and n in census
+        and "err" not in census[n]
+        and census[n].get("broadcast_over_generate", 0)
+        > r.get("broadcast_over_generate", 0)
+    }
+    assert not worse, (
+        f"broadcast-over-Generate count grew (committed→live): {worse} — "
+        f"a data-proportional exploded relation is probably being "
+        f"broadcast on a Generate-anchored estimate; merge-hint the join "
+        f"(see dedup.py jaccard_pairs), or if the frame is tiny by "
+        f"construction rerun `python tools/plan_audit.py` and commit"
+    )

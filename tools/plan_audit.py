@@ -83,9 +83,46 @@ EXPENSIVE_MARKERS = (
 )
 
 
+def _tree_indent(line: str) -> int:
+    """Offset where a plan-tree line's operator name starts (past the
+    ``:  +-`` drawing characters) — a depth proxy for subtree walks."""
+    i = 0
+    while i < len(line) and line[i] in " :+|-*()0123456789":
+        i += 1
+    return i
+
+
+def broadcast_over_generate(plan: str) -> int:
+    """BroadcastExchange nodes whose build subtree contains a Generate.
+
+    The scale-bug class the growth smokes caught twice (r6 LSH verify,
+    r7 jaccard shingle self-join): Generate reports its CHILD's size
+    estimate, so Catalyst sees an exploded relation as "64 MB" while it
+    really holds GBs, broadcasts it, and a real cluster OOMs. A
+    broadcast build over exploded rows is only safe when the exploded
+    frame is tiny BY CONSTRUCTION (e.g. a 50-row probe set), so the
+    census records the count and the gate pins it to the committed
+    value — any growth is a new mis-broadcast to justify or fix."""
+    lines = plan.splitlines()
+    count = 0
+    for idx, line in enumerate(lines):
+        if not line[_tree_indent(line):].startswith("BroadcastExchange"):
+            continue
+        ind = _tree_indent(line)
+        for nxt in lines[idx + 1:]:
+            nind = _tree_indent(nxt)
+            if nxt.strip() and nind <= ind:
+                break
+            if nxt[nind:].startswith("Generate"):
+                count += 1
+                break
+    return count
+
+
 def audit_plan(df) -> dict:
     plan = df._jdf.queryExecution().executedPlan().toString()
     return {
+        "broadcast_over_generate": broadcast_over_generate(plan),
         "expr_sites": sum(plan.count(m) for m in EXPENSIVE_MARKERS),
         "exchanges": len(re.findall(r"\bExchange\b", plan)),
         "broadcast_joins": plan.count("BroadcastHashJoin"),

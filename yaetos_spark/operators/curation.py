@@ -444,9 +444,16 @@ def dedup_corpus_lines(
     n_removed = removed.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_removed"))
     # docs whose every line was removed keep an empty-text row
     base = docs.select(id_col)
+    # merge hints: both frames are ONE ROW PER DOC — `reassembled`
+    # carries the full cleaned corpus text — but their size estimates
+    # are anchored to the exploded lines' Generate child, so Catalyst
+    # would broadcast the reassembled corpus at ANY scale (the
+    # broadcast_over_generate census class). The hot-line broadcast
+    # above stays: that frame is tiny by construction and broadcast
+    # EXPLICITLY.
     return (
-        base.join(reassembled, id_col, "left")
-        .join(n_removed, id_col, "left")
+        base.join(reassembled.hint("merge"), id_col, "left")
+        .join(n_removed.hint("merge"), id_col, "left")
         .select(
             id_col,
             F.coalesce("text_clean", F.lit("")).alias("text_clean"),

@@ -266,7 +266,12 @@ def lsh_candidates(
     buckets = signatures.select(
         F.col("id"), F.explode(F.array(*band_cols)).alias("bk")
     ).select("id", F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig"))
-    a, b2 = buckets.alias("a"), buckets.alias("b")
+    # merge hint: band rows are docs x bands — data-proportional — but
+    # their Catalyst estimate is anchored to the Generate's child, so
+    # the planner would happily broadcast them at ANY corpus size (the
+    # plan census' broadcast_over_generate class). Shuffle on the band
+    # key instead; AQE splits skewed hot buckets.
+    a, b2 = buckets.alias("a"), buckets.hint("merge").alias("b")
     return (
         a.join(
             b2,
@@ -562,8 +567,12 @@ def dedup_against_index(
         cand = (
             _band_rows(new_sigs, num_hashes, bands)
             .join(
+                # merge hint: band rows are index_docs x bands — data-
+                # proportional, Generate-anchored estimate (see
+                # lsh_candidates) — never a broadcast build
                 _band_rows(old_sigs, num_hashes, bands)
-                .withColumnRenamed("id", "old_id"),
+                .withColumnRenamed("id", "old_id")
+                .hint("merge"),
                 ["band", "sig"],
             )
             .select("id", "old_id")

@@ -239,7 +239,13 @@ def winnow_overlap_pairs(
     # broadcast join for the self-join, the two sides stop sharing the
     # window's exchange and the corpus would be fingerprinted twice.
     rare = rare.persist()
-    a, b = rare.alias("a"), rare.alias("b")
+    # merge hint: fingerprint rows are ~tokens/window per doc — data-
+    # proportional — but their estimate is anchored to the Generate's
+    # child, so the planner would broadcast them at any corpus size
+    # (the broadcast_over_generate census class; same fix as the
+    # jaccard shingle self-join). max_doc_freq already bounds per-key
+    # fan-out, so the shuffle join has no skew cliff.
+    a, b = rare.alias("a"), rare.hint("merge").alias("b")
     return (
         a.join(
             b,
