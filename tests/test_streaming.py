@@ -617,3 +617,81 @@ def test_append_mode_closes_windows_and_drops_late_data(spark, tmp_path):
     # late event dropped: the 10:00 window was NOT re-emitted/updated;
     # the 20:00 window closed (watermark moved to 21:00 via 23:00)
     assert got == {(10, "a"): (2, 3.0), (20, "b"): (1, 3.0)}
+
+
+# -- streaming incremental corpus dedup (streaming/dedup.py) -----------
+
+
+def test_streaming_dedup_within_and_cross_batch(spark, tmp_path):
+    """Two micro-batches through the signature index: within-batch dups
+    collapse to the min-id representative, cross-batch dups of an
+    already-accepted doc are dropped, fresh docs survive. Docs are
+    exact copies or share zero shingles (disjoint vocabularies), so
+    signature estimation is exact and the expected sets are sharp."""
+    from yaetos_spark.streaming.dedup import read_survivors, streaming_dedup
+
+    src = str(tmp_path / "docs")
+    idx = str(tmp_path / "index")
+    out = str(tmp_path / "survivors")
+    ckpt = str(tmp_path / "ckpt")
+
+    t_a = "a0 a1 a2 a3 a4"
+    t_b = "b0 b1 b2 b3 b4"
+    t_c = "c0 c1 c2 c3 c4"
+
+    def run():
+        stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+        q = streaming_dedup(stream, idx, out, ckpt, threshold=0.5)
+        q.awaitTermination(timeout=120)
+        assert not q.isActive
+
+    # batch 0: doc2 duplicates doc0 -> within-batch dedup keeps 0
+    spark.createDataFrame(
+        [(0, t_a), (1, t_b), (2, t_a)], "doc_id long, text string"
+    ).coalesce(1).write.mode("append").parquet(src)
+    run()
+    assert {r.doc_id for r in read_survivors(spark, out).collect()} == {0, 1}
+
+    # batch 1: doc10 duplicates accepted doc1 -> dropped against index;
+    # doc12 duplicates doc11 -> within-batch keeps 11
+    spark.createDataFrame(
+        [(10, t_b), (11, t_c), (12, t_c)], "doc_id long, text string"
+    ).coalesce(1).write.mode("append").parquet(src)
+    run()
+    assert {r.doc_id for r in read_survivors(spark, out).collect()} == {0, 1, 11}
+    # the index holds exactly the survivors' signatures
+    sigs = spark.read.parquet(idx)
+    assert {r.id for r in sigs.select("id").collect()} == {0, 1, 11}
+
+
+def test_streaming_dedup_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: replaying a batch id must rewrite
+    its partitions with identical content — in particular the replayed
+    docs must NOT collide with their own signatures from the failed
+    attempt (the naive-append failure mode, where every replayed doc
+    estimates Jaccard 1.0 against itself and the whole batch vanishes)."""
+    from yaetos_spark.streaming.dedup import dedup_batch_exactly_once, read_survivors
+
+    idx = str(tmp_path / "index")
+    out = str(tmp_path / "survivors")
+    b0 = spark.createDataFrame(
+        [(0, "a0 a1 a2 a3 a4"), (1, "b0 b1 b2 b3 b4")], "doc_id long, text string"
+    )
+    dedup_batch_exactly_once(b0, 0, idx, out, threshold=0.5)
+    first = {(r.doc_id, r.text) for r in read_survivors(spark, out).collect()}
+    assert {d for d, _ in first} == {0, 1}
+
+    # replay the SAME batch id (failed-commit scenario)
+    dedup_batch_exactly_once(b0, 0, idx, out, threshold=0.5)
+    again = {(r.doc_id, r.text) for r in read_survivors(spark, out).collect()}
+    assert again == first
+    sigs = spark.read.parquet(idx)
+    assert sigs.count() == sigs.select("id").distinct().count() == 2
+
+    # a genuinely NEW batch still dedups against batch 0's survivors
+    b1 = spark.createDataFrame(
+        [(10, "a0 a1 a2 a3 a4"), (11, "z0 z1 z2 z3 z4")], "doc_id long, text string"
+    )
+    dedup_batch_exactly_once(b1, 1, idx, out, threshold=0.5)
+    final = {r.doc_id for r in read_survivors(spark, out).collect()}
+    assert final == {0, 1, 11}

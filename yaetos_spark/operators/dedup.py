@@ -521,6 +521,61 @@ def build_signature_index(
     )
 
 
+def filter_against_signatures(
+    within: DataFrame,
+    new_sigs: DataFrame,
+    old_sigs: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Drop rows of ``within`` whose minhash signature estimates
+    Jaccard >= ``threshold`` against ANY signature in ``old_sigs``
+    (banded-LSH candidates first, so only bucket-colliding pairs are
+    estimated). The cross-corpus half of incremental dedup, shared by
+    the batch path (:func:`dedup_against_index`) and the streaming
+    path (``streaming/dedup.py``): every join is an equi-join on band
+    buckets or ids; nothing here touches document text."""
+    cand = (
+        _band_rows(new_sigs, num_hashes, bands)
+        .join(
+            # merge hint: band rows are index_docs x bands — data-
+            # proportional, Generate-anchored estimate (see
+            # lsh_candidates) — never a broadcast build
+            _band_rows(old_sigs, num_hashes, bands)
+            .withColumnRenamed("id", "old_id")
+            .hint("merge"),
+            ["band", "sig"],
+        )
+        .select("id", "old_id")
+        .distinct()
+    )
+    ns = new_sigs.select(
+        F.col("id").alias("_nid"),
+        *[F.col(f"mh{i}").alias(f"nmh{i}") for i in range(num_hashes)],
+    )
+    os_ = old_sigs.select(
+        F.col("id").alias("_oid"),
+        *[F.col(f"mh{i}").alias(f"omh{i}") for i in range(num_hashes)],
+    )
+    matches = sum(
+        (F.col(f"nmh{i}") == F.col(f"omh{i}")).cast("int")
+        for i in range(num_hashes)
+    )
+    dup_new_ids = (
+        cand.join(ns, cand["id"] == ns["_nid"])
+        .join(os_, cand["old_id"] == os_["_oid"])
+        .select(F.col("id"), (matches / num_hashes).alias("est_j"))
+        .where(F.col("est_j") >= threshold)
+        .select("id")
+        .distinct()
+    )
+    return within.join(
+        dup_new_ids.withColumnRenamed("id", id_col), id_col, "left_anti"
+    )
+
+
 def dedup_against_index(
     new_docs: DataFrame,
     index_dir: str,
@@ -564,42 +619,8 @@ def dedup_against_index(
         have_index = False
 
     if have_index:
-        cand = (
-            _band_rows(new_sigs, num_hashes, bands)
-            .join(
-                # merge hint: band rows are index_docs x bands — data-
-                # proportional, Generate-anchored estimate (see
-                # lsh_candidates) — never a broadcast build
-                _band_rows(old_sigs, num_hashes, bands)
-                .withColumnRenamed("id", "old_id")
-                .hint("merge"),
-                ["band", "sig"],
-            )
-            .select("id", "old_id")
-            .distinct()
-        )
-        ns = new_sigs.select(
-            F.col("id").alias("_nid"),
-            *[F.col(f"mh{i}").alias(f"nmh{i}") for i in range(num_hashes)],
-        )
-        os_ = old_sigs.select(
-            F.col("id").alias("_oid"),
-            *[F.col(f"mh{i}").alias(f"omh{i}") for i in range(num_hashes)],
-        )
-        matches = sum(
-            (F.col(f"nmh{i}") == F.col(f"omh{i}")).cast("int")
-            for i in range(num_hashes)
-        )
-        dup_new_ids = (
-            cand.join(ns, cand["id"] == ns["_nid"])
-            .join(os_, cand["old_id"] == os_["_oid"])
-            .select(F.col("id"), (matches / num_hashes).alias("est_j"))
-            .where(F.col("est_j") >= threshold)
-            .select("id")
-            .distinct()
-        )
-        survivors = within.join(
-            dup_new_ids.withColumnRenamed("id", id_col), id_col, "left_anti"
+        survivors = filter_against_signatures(
+            within, new_sigs, old_sigs, id_col, threshold, num_hashes, bands
         )
     else:
         survivors = within
