@@ -695,3 +695,42 @@ def test_streaming_dedup_replay_is_idempotent(spark, tmp_path):
     dedup_batch_exactly_once(b1, 1, idx, out, threshold=0.5)
     final = {r.doc_id for r in read_survivors(spark, out).collect()}
     assert final == {0, 1, 11}
+
+
+def test_streaming_dedup_index_compaction_preserves_semantics(spark, tmp_path):
+    """Folding the index's batch partitions into the -1 history
+    partition must not change any future dedup decision, and a batch
+    arriving AFTER compaction still dedups against the compacted
+    history."""
+    from yaetos_spark.streaming.dedup import (
+        compact_index,
+        dedup_batch_exactly_once,
+        read_survivors,
+    )
+
+    idx = str(tmp_path / "index")
+    out = str(tmp_path / "survivors")
+    dedup_batch_exactly_once(
+        spark.createDataFrame([(0, "a0 a1 a2 a3 a4")], "doc_id long, text string"),
+        0, idx, out, threshold=0.5,
+    )
+    dedup_batch_exactly_once(
+        spark.createDataFrame([(1, "b0 b1 b2 b3 b4")], "doc_id long, text string"),
+        1, idx, out, threshold=0.5,
+    )
+    compact_index(spark, idx)
+    sigs = spark.read.parquet(idx)
+    assert {r._batch_id for r in sigs.select("_batch_id").distinct().collect()} == {-1}
+    assert sigs.count() == 2
+    # post-compaction batch: dup of history doc 0 dropped, fresh doc kept
+    dedup_batch_exactly_once(
+        spark.createDataFrame(
+            [(10, "a0 a1 a2 a3 a4"), (11, "z0 z1 z2 z3 z4")],
+            "doc_id long, text string",
+        ),
+        2, idx, out, threshold=0.5,
+    )
+    assert {r.doc_id for r in read_survivors(spark, out).collect()} == {0, 1, 11}
+    # compaction replay is idempotent
+    compact_index(spark, idx)
+    assert spark.read.parquet(idx).count() == 3

@@ -141,3 +141,21 @@ def streaming_dedup(
 def read_survivors(spark, survivors_dir: str) -> DataFrame:
     """The accepted corpus so far (all batch partitions)."""
     return spark.read.parquet(survivors_dir).drop(BATCH_COL)
+
+
+def compact_index(spark, index_dir: str) -> None:
+    """Fold all batch partitions of the signature index into a single
+    ``_batch_id=-1`` history partition, so the against-index scan stays
+    O(1) partitions as batches accumulate (same recipe as
+    ``sketch.compact_count_min``). Run it between streaming runs; the
+    replay guard keeps working because a replayed batch id is never -1,
+    and the next live batch re-adds its own partition on top.
+    localCheckpoint before the static overwrite avoids the
+    read-own-input hazard; re-running compaction is idempotent."""
+    merged = (
+        spark.read.parquet(index_dir)
+        .drop(BATCH_COL)
+        .withColumn(BATCH_COL, F.lit(-1))
+        .localCheckpoint(eager=True)
+    )
+    merged.write.mode("overwrite").partitionBy(BATCH_COL).parquet(index_dir)
