@@ -2142,6 +2142,126 @@ SELECT node, min(r) AS comp FROM reach GROUP BY node
 """
 
 
+def _incremental_dedup_survivors(spark, sf_dir):
+    """Incremental (two-batch) near-dup dedup without the filesystem:
+    batch 1 = even doc_ids, batch 2 = odd. Each batch dedups WITHIN
+    itself (exact n-gram Jaccard, min-id survivor); batch 2's survivors
+    are then checked against batch 1 survivors' minhash SIGNATURES
+    (banded-LSH candidates, estimated Jaccard >= threshold drops the
+    new doc) — the exact core `dedup_against_index` and the streaming
+    dedup sink run against their persisted index
+    (operators/dedup.py:filter_against_signatures). The DuckDB oracle
+    replicates the md5-minhash estimation bit-for-bit, so the
+    signature-estimated drops are value-checked, not just counted."""
+    from yaetos_spark.operators.dedup import (
+        drop_near_duplicates,
+        filter_against_signatures,
+        minhash_signatures,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    b1 = docs.where(F.col("doc_id") % 2 == 0)
+    b2 = docs.where(F.col("doc_id") % 2 == 1)
+    w1 = drop_near_duplicates(b1, n=_NGRAM_N, threshold=_JACCARD_THRESHOLD)
+    w2 = drop_near_duplicates(b2, n=_NGRAM_N, threshold=_JACCARD_THRESHOLD)
+    s1 = minhash_signatures(w1, n=_NGRAM_N, num_hashes=_MINHASH_K)
+    s2 = minhash_signatures(w2, n=_NGRAM_N, num_hashes=_MINHASH_K)
+    surv2 = filter_against_signatures(
+        w2, s2, s1,
+        threshold=_JACCARD_THRESHOLD,
+        num_hashes=_MINHASH_K,
+        bands=_MINHASH_BANDS,
+    )
+    return (
+        w1.unionByName(surv2)
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+def _incremental_dedup_oracle() -> str:
+    from yaetos_spark.operators.dedup import MINHASH_PRIME
+
+    k, bands, n, thr = _MINHASH_K, _MINHASH_BANDS, _NGRAM_N, _JACCARD_THRESHOLD
+    r = k // bands
+    mh_cols = ", ".join(
+        f"min((h1 + {i} * h2) % {MINHASH_PRIME}) AS mh{i}" for i in range(k)
+    )
+    band_selects = "\nUNION ALL\n".join(
+        "SELECT id, half, {b} AS band, {concat} AS bsig FROM sigs".format(
+            b=b,
+            concat="concat_ws('_', " + ", ".join(f"mh{b * r + j}" for j in range(r)) + ")",
+        )
+        for b in range(bands)
+    )
+    matches = " + ".join(
+        f"(CASE WHEN sn.mh{i} = so.mh{i} THEN 1 ELSE 0 END)" for i in range(k)
+    )
+    # within-half pairs never span halves, so ONE recursive CTE over the
+    # union of both halves' pairs computes both within-batch dedups
+    return rf"""
+WITH RECURSIVE
+toks AS (
+  SELECT doc_id AS id, doc_id % 2 AS half,
+         regexp_split_to_array(trim(text), '\s+') AS t
+  FROM documents
+),
+sh AS (
+  SELECT id, half, unnest(CASE WHEN len(t) < {n} THEN [array_to_string(t, ' ')]
+       ELSE list_distinct(list_transform(generate_series(1, len(t) - {n - 1}),
+            i -> array_to_string(t[i:i+{n - 1}], ' '))) END) AS shingle
+  FROM toks
+),
+sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS id1, b.id AS id2, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.half = b.half AND a.id < b.id
+  GROUP BY a.id, b.id
+),
+pairs AS (
+  SELECT i.id1, i.id2
+  FROM inter i JOIN sizes z1 ON z1.id = i.id1 JOIN sizes z2 ON z2.id = i.id2
+  WHERE round(i.n_common / (z1.n_sh + z2.n_sh - i.n_common), 6) >= {thr}
+),
+sym AS (SELECT id1 AS a, id2 AS b FROM pairs UNION SELECT id2, id1 FROM pairs),
+reach(node, rt) AS (
+  SELECT a, a FROM sym
+  UNION
+  SELECT s.a, r.rt FROM sym s JOIN reach r ON r.node = s.b
+),
+comps AS (SELECT node, min(rt) AS comp FROM reach GROUP BY node),
+winners AS (
+  SELECT d.doc_id AS id, d.doc_id % 2 AS half
+  FROM documents d LEFT JOIN comps c ON c.node = d.doc_id
+  WHERE coalesce(c.comp, d.doc_id) = d.doc_id
+),
+hashed AS (
+  SELECT s.id, s.half,
+         {_hex_long_sql('md5(shingle)', 1)} AS h1,
+         {_hex_long_sql('md5(shingle)', 9)} AS h2
+  FROM sh s JOIN winners w ON w.id = s.id
+),
+sigs AS (SELECT id, half, {mh_cols} FROM hashed GROUP BY id, half),
+buckets AS (
+{band_selects}
+),
+cand AS (
+  SELECT DISTINCT nb.id AS nid, ob.id AS oid
+  FROM buckets nb JOIN buckets ob
+    ON nb.band = ob.band AND nb.bsig = ob.bsig AND nb.half = 1 AND ob.half = 0
+),
+dropped AS (
+  SELECT DISTINCT c.nid
+  FROM cand c JOIN sigs sn ON sn.id = c.nid JOIN sigs so ON so.id = c.oid
+  WHERE ({matches}) / {k}.0 >= {thr}
+)
+SELECT d.doc_id, d.lang, d.source, d.n_chars
+FROM documents d JOIN winners w ON w.id = d.doc_id
+WHERE NOT (w.half = 1 AND d.doc_id IN (SELECT nid FROM dropped))
+ORDER BY d.doc_id
+"""
+
+
 def _near_dup_survivors(spark, sf_dir):
     """The user-facing end of the dedup pipeline: the corpus AFTER
     near-dup removal (operators/dedup.py::drop_near_duplicates — pair
@@ -4827,6 +4947,16 @@ _VERIFY_NEXT = [
 # seeding) but the window could not fit them past the 45 stalest-r4
 # verdicts; their r7 coverage is transitive via dedup_clusters.
 
+# New queries pushed BEHIND the verdict-bearing order for ONE round
+# because the current window must fit a full stalest cohort; they have
+# no verdict, so next round they sort most-stale and enter on their
+# own. Clear entries once they hold a verdict.
+_DEFER_ONCE = [
+    # r7: added with the streaming-dedup work; the r7 window is exactly
+    # 45 stalest-r4 + 4 unique-changed-path + chain_components = 50
+    "incremental_dedup_survivors",
+]
+
 
 def _last_pass_rounds() -> dict[str, int]:
     """Per-query round of the latest PASSING driver verdict, read from
@@ -4879,14 +5009,19 @@ def _rotate_stalest_first(
     rotation is scripted and self-applying every round — no manual
     reordering to forget.  A query with no verdict yet (new this
     round), or whose latest verdict FAILED, sorts most-stale and enters
-    the window immediately.  Ties keep the hand-written base order, so
-    the result is fully deterministic given the committed artifacts."""
+    the window immediately — unless it is listed in ``_DEFER_ONCE``,
+    which pushes it BEHIND the verdict-bearing queries for one round
+    (used when the window must first fit a full stalest cohort; a
+    deferred query still has no verdict next round, so it auto-enters
+    then).  Ties keep the hand-written base order, so the result is
+    fully deterministic given the committed artifacts."""
     last_pass = _last_pass_rounds()
     pos = {n: i for i, n in enumerate(base)}
     ordered = sorted(
         base,
         key=lambda n: (
-            -1 if n in _VERIFY_NEXT else last_pass.get(n, -1),
+            10**6 if n in _DEFER_ONCE and n not in last_pass
+            else (-1 if n in _VERIFY_NEXT else last_pass.get(n, -1)),
             pos[n],
         ),
     )
@@ -5048,6 +5183,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppm_pipeline_stats": _ppm_pipeline_stats,
         # ---- new in round 7 (no verdict yet -> sort most-stale, enter window) ----
         "chain_components": _chain_components,
+        # ---- new in round 7, deferred to the r8 window (_DEFER_ONCE) ----
+        "incremental_dedup_survivors": _incremental_dedup_survivors,
     }
     return _rotate_stalest_first(base)
 
@@ -5159,6 +5296,7 @@ def oracle_sql() -> dict[str, str]:
         "value_histogram": _HISTOGRAM_SQL,
         "dedup_clusters": _dedup_clusters_oracle(),
         "chain_components": _CHAIN_COMPONENTS_SQL,
+        "incremental_dedup_survivors": _incremental_dedup_oracle(),
         "near_dup_survivors": _near_dup_survivors_oracle(),
         "forecast_revenue": _FORECAST_SQL,
         "priority_exists": _PRIORITY_EXISTS_SQL,

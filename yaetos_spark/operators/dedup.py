@@ -563,9 +563,13 @@ def filter_against_signatures(
         (F.col(f"nmh{i}") == F.col(f"omh{i}")).cast("int")
         for i in range(num_hashes)
     )
+    # merge hints: both signature frames are ONE ROW PER DOC (the old
+    # side is the whole index) and their estimates are anchored to the
+    # exploded shingles' Generate child — Catalyst would broadcast the
+    # index at ANY corpus size. Shuffle on the id keys instead.
     dup_new_ids = (
-        cand.join(ns, cand["id"] == ns["_nid"])
-        .join(os_, cand["old_id"] == os_["_oid"])
+        cand.join(ns.hint("merge"), cand["id"] == ns["_nid"])
+        .join(os_.hint("merge"), cand["old_id"] == os_["_oid"])
         .select(F.col("id"), (matches / num_hashes).alias("est_j"))
         .where(F.col("est_j") >= threshold)
         .select("id")
