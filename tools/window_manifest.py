@@ -52,22 +52,32 @@ def build_manifest() -> dict:
                 "last_pass_round": lp,
                 "verdict_age_rounds": (next_round - lp) if lp else None,
                 "verify_next": n in entry._VERIFY_NEXT,
+                "deferred_once": n in getattr(entry, "_DEFER_ONCE", ()),
             }
         )
     ages = [r["verdict_age_rounds"] for r in rows if r["verdict_age_rounds"]]
+    # a _DEFER_ONCE row without a verdict sits outside the window BY
+    # DESIGN for one round (it auto-enters next round, still the
+    # stalest) — exclude it from the outside-window age alarm; any
+    # OTHER verdict-less row outside the window is a real rotation bug
+    # and keeps the loud 10**9 sentinel
+    outside = [
+        r for r in rows
+        if not r["in_window"]
+        and not (r["deferred_once"] and r["verdict_age_rounds"] is None)
+    ]
     return {
         "for_round": next_round,
         "window_size": WINDOW,
         "total_queries": len(names),
         "max_verdict_age_rounds": max(ages) if ages else None,
         "max_age_outside_window": max(
-            (r["verdict_age_rounds"] or 10**9)
-            for r in rows
-            if not r["in_window"]
+            (r["verdict_age_rounds"] or 10**9) for r in outside
         )
-        if len(rows) > WINDOW
+        if outside and len(rows) > WINDOW
         else None,
         "verify_next": list(entry._VERIFY_NEXT),
+        "deferred_once": list(getattr(entry, "_DEFER_ONCE", ())),
         "queries": rows,
     }
 
