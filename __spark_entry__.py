@@ -4908,54 +4908,67 @@ GROUP BY from_type, to_type
 # a fresh verdict describes the old code, so they re-enter the window
 # now regardless of verdict age.  Clear entries once re-verified.
 _VERIFY_NEXT = [
-    # (the seven r6 entries — value_drift, ngram_jaccard_pairs,
-    # near_dup_survivors, chunk_sliding_windows, lang_quality,
-    # winnow_overlap_pairs, minhash_lsh_pairs — cleared: all re-verified
-    # green by the driver in CORRECTNESS_r06 on the changed code)
+    # (the eight r7 entries — chain_components, dedup_clusters,
+    # pagerank_trade_graph, minhash_lsh_pairs, winnow_overlap_pairs,
+    # corpus_line_dedup, source_vocab_overlap, tfidf_top_terms —
+    # cleared: all re-verified green by the driver in CORRECTNESS_r07
+    # on the changed code)
     #
-    # r7: connected_components_star rewritten (per-round localCheckpoint,
-    # monotone checksum convergence probe — graph.py); its new oracle twin
-    # must get a first verdict on the fixed code. (chain_components is
-    # verdict-less, so it would sort stalest-first anyway — listed for
-    # the changed-code audit trail.)
-    "chain_components",
-    # r7: min-label CC now seeds labels with the neighborhood min
-    # (graph.py) AND jaccard_pairs' shingle self-join is merge-hinted
-    # (dedup.py — the Generate mis-estimate had Catalyst broadcasting
-    # the full exploded shingle relation). dedup_clusters exercises
-    # BOTH changed paths; ngram_jaccard_pairs and near_dup_survivors
-    # (same jaccard_pairs + CC code, no unique changed path) DEFER to
-    # r8 — the window must also fit all 45 stalest r4 verdicts this
-    # round, and 45 + changed + new = 52 > 50. Both deferred queries
-    # passed the builder's oracle at sf0.001/0.01/0.1 on the final r7
-    # tree; put them in _VERIFY_NEXT in r8.
-    "dedup_clusters",
-    # r7: pagerank materializes periodically instead of per round
-    "pagerank_trade_graph",
-    # r7: merge hints on Generate-anchored broadcast builds, unique
-    # code paths (LSH band rows / winnow fingerprints / line-dedup
-    # reassembly; vocab+tfidf are r4-stale and enter the window anyway)
+    # r8: the two queries whose r7 plan changes (jaccard_pairs merge
+    # hint, CC neighborhood-min seeding — both from the r7
+    # broadcast_over_generate hunt) could not fit the r7 window past
+    # the 45 stalest-r4 verdicts; their r7 coverage was transitive via
+    # dedup_clusters (same jaccard_pairs + CC code path), and they now
+    # take their own verdicts on the changed code.
+    "ngram_jaccard_pairs",
+    "near_dup_survivors",
+    # r8: minhash_lsh_pairs' candidate-verification stage rewritten
+    # (verify once per identical-shingle-set class, fan results back —
+    # the 100x growth fix); its r7 verdict describes the old plan.
     "minhash_lsh_pairs",
-    "winnow_overlap_pairs",
-    "corpus_line_dedup",
-    "source_vocab_overlap",
-    "tfidf_top_terms",
 ]
 
-# r8 TODO (rotation): add "ngram_jaccard_pairs", "near_dup_survivors"
-# to _VERIFY_NEXT — r7 changed their plans (jaccard merge hint, CC
-# seeding) but the window could not fit them past the 45 stalest-r4
-# verdicts; their r7 coverage is transitive via dedup_clusters.
+# New queries pushed BEHIND the verdict-bearing order for ONE specific
+# round because that round's window must fit a full stalest cohort:
+# maps query name -> the round number in which the deferral applies.
+# The entry EXPIRES BY ITSELF once the corpus moves past that round
+# (the query, still verdict-less, then sorts most-stale and enters the
+# window) — no manual edit needed, and the window-manifest age alarm
+# is only suppressed for the one round the deferral names.
+_DEFER_ONCE: dict[str, int] = {
+    # r7: added with the streaming-dedup work; the r7 window was
+    # exactly 45 stalest-r4 + 4 unique-changed-path + chain_components
+    # = 50. Expired at r8 (kept for the audit trail): the query enters
+    # the r8 window for its first driver verdict.
+    "incremental_dedup_survivors": 7,
+}
 
-# New queries pushed BEHIND the verdict-bearing order for ONE round
-# because the current window must fit a full stalest cohort; they have
-# no verdict, so next round they sort most-stale and enter on their
-# own. Clear entries once they hold a verdict.
-_DEFER_ONCE = [
-    # r7: added with the streaming-dedup work; the r7 window is exactly
-    # 45 stalest-r4 + 4 unique-changed-path + chain_components = 50
-    "incremental_dedup_survivors",
-]
+
+def _next_round() -> int:
+    """The round the NEXT driver grading belongs to = one past the
+    newest committed ``CORRECTNESS_r*.json`` — shared by the rotation
+    and ``tools/window_manifest.py`` so a ``_DEFER_ONCE`` exemption
+    can be keyed to a concrete round and expire automatically."""
+    import glob
+    import os
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))
+        if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", p))
+    ]
+    return max(rounds, default=0) + 1
+
+
+def _active_deferrals() -> set[str]:
+    """_DEFER_ONCE names whose deferral round is the upcoming round.
+    Entries for past (or future) rounds are inert — the 'once' is
+    enforced by the round key, not by remembering to delete the
+    entry."""
+    nr = _next_round()
+    return {n for n, rnd in _DEFER_ONCE.items() if rnd == nr}
 
 
 def _last_pass_rounds() -> dict[str, int]:
@@ -5009,18 +5022,20 @@ def _rotate_stalest_first(
     rotation is scripted and self-applying every round — no manual
     reordering to forget.  A query with no verdict yet (new this
     round), or whose latest verdict FAILED, sorts most-stale and enters
-    the window immediately — unless it is listed in ``_DEFER_ONCE``,
-    which pushes it BEHIND the verdict-bearing queries for one round
-    (used when the window must first fit a full stalest cohort; a
-    deferred query still has no verdict next round, so it auto-enters
-    then).  Ties keep the hand-written base order, so the result is
-    fully deterministic given the committed artifacts."""
+    the window immediately — unless ``_DEFER_ONCE`` names it FOR THIS
+    specific round, which pushes it BEHIND the verdict-bearing queries
+    (used when a round's window must first fit a full stalest cohort;
+    the deferral expires with the round key, so next round the still
+    verdict-less query auto-enters).  Ties keep the hand-written base
+    order, so the result is fully deterministic given the committed
+    artifacts."""
     last_pass = _last_pass_rounds()
+    deferred = _active_deferrals()
     pos = {n: i for i, n in enumerate(base)}
     ordered = sorted(
         base,
         key=lambda n: (
-            10**6 if n in _DEFER_ONCE and n not in last_pass
+            10**6 if n in deferred and n not in last_pass
             else (-1 if n in _VERIFY_NEXT else last_pass.get(n, -1)),
             pos[n],
         ),

@@ -52,15 +52,17 @@ def test_window_covers_stalest_queries():
     for forced in entrymod._VERIFY_NEXT:
         assert forced in window, f"_VERIFY_NEXT entry {forced} outside window"
     # no query behind the window may be staler than any window entry —
-    # except a _DEFER_ONCE entry WITHOUT a verdict, which the rotation
-    # deliberately holds back one round when the window must first fit
-    # a full stalest cohort (it auto-enters next round, still
-    # verdict-less; a deferred name WITH a verdict means the defer is
-    # stale and must be cleared, so it is NOT exempt)
+    # except a _DEFER_ONCE entry whose round key names the UPCOMING
+    # round and which has no verdict: the rotation deliberately holds
+    # it back for exactly that round when the window must first fit a
+    # full stalest cohort. The round key makes the exemption expire by
+    # itself — an expired entry (or one WITH a verdict) is NOT exempt,
+    # so a deferral can never silently outlive its one round.
     staleness = lambda n: -1 if n in entrymod._VERIFY_NEXT else last.get(n, -1)
     worst_in_window = max(staleness(n) for n in window)
+    active_defer = entrymod._active_deferrals()
     for n in behind:
-        if n in entrymod._DEFER_ONCE and n not in last:
+        if n in active_defer and n not in last:
             continue
         assert staleness(n) >= worst_in_window, (
             f"{n} (last pass r{last.get(n)}) is staler than a window entry"

@@ -35,12 +35,10 @@ def build_manifest() -> dict:
     # the SAME computation the rotation itself uses — no parallel
     # implementation to drift
     last_pass = entry._last_pass_rounds()
-    rounds = [
-        int(m.group(1))
-        for p in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))
-        if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", p))
-    ]
-    next_round = max(rounds, default=0) + 1
+    next_round = entry._next_round()
+    # round-keyed deferrals: only a _DEFER_ONCE entry naming THIS round
+    # is live; expired entries are audit-trail rows with no effect
+    active_defer = entry._active_deferrals()
     rows = []
     for i, n in enumerate(names):
         lp = last_pass.get(n)
@@ -52,15 +50,16 @@ def build_manifest() -> dict:
                 "last_pass_round": lp,
                 "verdict_age_rounds": (next_round - lp) if lp else None,
                 "verify_next": n in entry._VERIFY_NEXT,
-                "deferred_once": n in getattr(entry, "_DEFER_ONCE", ()),
+                "deferred_once": n in active_defer,
             }
         )
     ages = [r["verdict_age_rounds"] for r in rows if r["verdict_age_rounds"]]
-    # a _DEFER_ONCE row without a verdict sits outside the window BY
-    # DESIGN for one round (it auto-enters next round, still the
-    # stalest) — exclude it from the outside-window age alarm; any
-    # OTHER verdict-less row outside the window is a real rotation bug
-    # and keeps the loud 10**9 sentinel
+    # a _DEFER_ONCE row deferred FOR THIS round (and without a verdict)
+    # sits outside the window BY DESIGN — exclude it from the
+    # outside-window age alarm for exactly this one round; the round
+    # key expires the exemption, so any verdict-less row outside the
+    # window in a later round is a real rotation bug and keeps the
+    # loud 10**9 sentinel
     outside = [
         r for r in rows
         if not r["in_window"]
@@ -77,7 +76,8 @@ def build_manifest() -> dict:
         if outside and len(rows) > WINDOW
         else None,
         "verify_next": list(entry._VERIFY_NEXT),
-        "deferred_once": list(getattr(entry, "_DEFER_ONCE", ())),
+        "deferred_once": sorted(active_defer),
+        "defer_once_table": dict(getattr(entry, "_DEFER_ONCE", {})),
         "queries": rows,
     }
 
