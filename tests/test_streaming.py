@@ -697,10 +697,23 @@ def test_streaming_dedup_replay_is_idempotent(spark, tmp_path):
     assert final == {0, 1, 11}
 
 
+def _commit_batches(tmp_path, *batch_ids) -> str:
+    """Build a checkpoint dir whose commits/ records the given batch
+    ids — the layout Structured Streaming writes one file per COMMITTED
+    batch into (plus the .tmp noise a real checkpoint contains)."""
+    ckpt = tmp_path / "ckpt_fake"
+    commits = ckpt / "commits"
+    commits.mkdir(parents=True, exist_ok=True)
+    for b in batch_ids:
+        (commits / str(b)).write_text("v1\n{}")
+    (commits / ".0.tmp.crc").write_text("")
+    return str(ckpt)
+
+
 def test_streaming_dedup_index_compaction_preserves_semantics(spark, tmp_path):
-    """Folding the index's batch partitions into the -1 history
-    partition must not change any future dedup decision, and a batch
-    arriving AFTER compaction still dedups against the compacted
+    """Folding the index's COMMITTED batch partitions into the -1
+    history partition must not change any future dedup decision, and a
+    batch arriving AFTER compaction still dedups against the compacted
     history."""
     from yaetos_spark.streaming.dedup import (
         compact_index,
@@ -718,7 +731,8 @@ def test_streaming_dedup_index_compaction_preserves_semantics(spark, tmp_path):
         spark.createDataFrame([(1, "b0 b1 b2 b3 b4")], "doc_id long, text string"),
         1, idx, out, threshold=0.5,
     )
-    compact_index(spark, idx)
+    ckpt = _commit_batches(tmp_path, 0, 1)
+    compact_index(spark, idx, ckpt)
     sigs = spark.read.parquet(idx)
     assert {r._batch_id for r in sigs.select("_batch_id").distinct().collect()} == {-1}
     assert sigs.count() == 2
@@ -731,6 +745,114 @@ def test_streaming_dedup_index_compaction_preserves_semantics(spark, tmp_path):
         2, idx, out, threshold=0.5,
     )
     assert {r.doc_id for r in read_survivors(spark, out).collect()} == {0, 1, 11}
-    # compaction replay is idempotent
-    compact_index(spark, idx)
+    # compaction replay is idempotent (batch 2 committed by now)
+    compact_index(spark, idx, _commit_batches(tmp_path, 0, 1, 2))
     assert spark.read.parquet(idx).count() == 3
+
+
+def test_streaming_dedup_compaction_spares_uncommitted_batches(spark, tmp_path):
+    """The crash-then-compact-then-replay hazard: batch 1's sink data
+    landed but its checkpoint commit did NOT (crash between the
+    foreachBatch writes and the offset commit). Compaction must leave
+    that partition alone — folding it into -1 would defeat the
+    ``_batch_id != batch_id`` replay exclusion, every replayed doc
+    would self-collide at estimated Jaccard 1.0, and the whole batch
+    would silently vanish from the corpus."""
+    from yaetos_spark.streaming.dedup import (
+        compact_index,
+        dedup_batch_exactly_once,
+        read_survivors,
+    )
+
+    idx = str(tmp_path / "index")
+    out = str(tmp_path / "survivors")
+    b1_rows = [(10, "c0 c1 c2 c3 c4"), (11, "d0 d1 d2 d3 d4")]
+    dedup_batch_exactly_once(
+        spark.createDataFrame([(0, "a0 a1 a2 a3 a4")], "doc_id long, text string"),
+        0, idx, out, threshold=0.5,
+    )
+    # batch 1 writes its sink data, then "crashes" before the commit:
+    # only batch 0 appears in the checkpoint's commits dir
+    dedup_batch_exactly_once(
+        spark.createDataFrame(b1_rows, "doc_id long, text string"),
+        1, idx, out, threshold=0.5,
+    )
+    ckpt = _commit_batches(tmp_path, 0)
+    compact_index(spark, idx, ckpt)
+    # batch 1's partition survived compaction un-folded
+    parts = {r._batch_id for r in spark.read.parquet(idx).select("_batch_id").distinct().collect()}
+    assert parts == {-1, 1}
+    # restart replays batch 1: its docs must NOT collide with their own
+    # failed-attempt signatures — both survive, decisions unchanged
+    dedup_batch_exactly_once(
+        spark.createDataFrame(b1_rows, "doc_id long, text string"),
+        1, idx, out, threshold=0.5,
+    )
+    assert {r.doc_id for r in read_survivors(spark, out).collect()} == {0, 10, 11}
+    sigs = spark.read.parquet(idx)
+    assert sigs.count() == sigs.select("id").distinct().count() == 3
+
+    # with NOTHING committed, compaction is a no-op (nothing is safe)
+    idx2 = str(tmp_path / "index2")
+    out2 = str(tmp_path / "survivors2")
+    dedup_batch_exactly_once(
+        spark.createDataFrame([(5, "e0 e1 e2 e3 e4")], "doc_id long, text string"),
+        0, idx2, out2, threshold=0.5,
+    )
+    empty_ckpt = str(tmp_path / "ckpt_empty")
+    compact_index(spark, idx2, empty_ckpt)
+    assert {r._batch_id for r in spark.read.parquet(idx2).select("_batch_id").distinct().collect()} == {0}
+
+
+def test_streaming_dedup_compaction_pins_static_overwrite(spark, tmp_path):
+    """An ambient partitionOverwriteMode=dynamic must not change
+    compaction semantics: the full-directory replace is pinned static,
+    so stale batch partitions cannot survive the fold."""
+    from yaetos_spark.streaming.dedup import compact_index, dedup_batch_exactly_once
+
+    idx = str(tmp_path / "index")
+    out = str(tmp_path / "survivors")
+    for b, text in enumerate(["a0 a1 a2 a3 a4", "b0 b1 b2 b3 b4"]):
+        dedup_batch_exactly_once(
+            spark.createDataFrame([(b, text)], "doc_id long, text string"),
+            b, idx, out, threshold=0.5,
+        )
+    ckpt = _commit_batches(tmp_path, 0, 1)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        compact_index(spark, idx, ckpt)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    sigs = spark.read.parquet(idx)
+    assert {r._batch_id for r in sigs.select("_batch_id").distinct().collect()} == {-1}
+    assert sigs.count() == 2
+    # ambient setting restored, not clobbered by the pin
+    assert spark.conf.get("spark.sql.sources.partitionOverwriteMode") == prev
+
+
+def test_streaming_dedup_unreadable_index_raises(spark, tmp_path):
+    """A corrupt/unreadable EXISTING index must fail the batch loudly —
+    not masquerade as a cold start (which would skip cross-batch dedup
+    and permanently re-admit duplicates). No survivor data may land for
+    the failed batch."""
+    import pytest
+
+    from yaetos_spark.streaming.dedup import dedup_batch_exactly_once
+
+    idx = tmp_path / "index"
+    out = tmp_path / "survivors"
+    # an index path that EXISTS but is not readable parquet
+    idx.mkdir()
+    (idx / "part-00000.parquet").write_text("this is not parquet")
+    with pytest.raises(Exception):
+        dedup_batch_exactly_once(
+            spark.createDataFrame(
+                [(0, "a0 a1 a2 a3 a4")], "doc_id long, text string"
+            ),
+            0, str(idx), str(out), threshold=0.5,
+        )
+    # the batch failed BEFORE any sink write
+    import os
+
+    assert not os.path.exists(str(out))

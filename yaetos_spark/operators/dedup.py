@@ -611,16 +611,15 @@ def dedup_against_index(
     # localCheckpoint: the signature agg is reused by candidates AND the
     # index append, and truncating here keeps the estimate join flat
     new_sigs = new_sigs.localCheckpoint(eager=True)
-    import os
+    from yaetos_spark.plans.paths import path_exists
 
-    if "://" in index_dir or os.path.exists(index_dir):
-        try:
-            old_sigs = spark.read.parquet(index_dir)
-            have_index = True
-        except Exception:  # remote dir absent: same cold-start path
-            have_index = False
-    else:  # local cold start: skip the read attempt (no JVM stack noise)
-        have_index = False
+    # cold start = the index path does not exist, checked EXPLICITLY
+    # (local or hadoop FS) — never inferred from a failed read, which
+    # would also swallow permission/corruption/transient errors and
+    # silently skip cross-corpus dedup ("raise, don't mislabel")
+    have_index = path_exists(index_dir, spark)
+    if have_index:
+        old_sigs = spark.read.parquet(index_dir)
 
     if have_index:
         survivors = filter_against_signatures(

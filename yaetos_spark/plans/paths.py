@@ -49,6 +49,40 @@ def list_subfolders(parent: str, spark=None) -> list[str]:
     return [d for d in os.listdir(parent) if os.path.isdir(os.path.join(parent, d))]
 
 
+def path_exists(path: str, spark=None) -> bool:
+    """Existence check that works on local paths AND any hadoop-backed
+    filesystem (s3a, hdfs, ...). Used to distinguish 'dataset not
+    written yet' (a legitimate cold start) from a FAILED read of an
+    existing dataset — the two must never share an except branch, or a
+    transient FS error silently degrades into 'no data'."""
+    if is_s3_path(path) or "://" in path:
+        if spark is None:
+            raise ValueError("checking a remote path requires a SparkSession")
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        p = jvm.org.apache.hadoop.fs.Path(to_spark_path(path))
+        return p.getFileSystem(conf).exists(p)
+    return os.path.exists(path)
+
+
+def list_file_names(path: str, spark=None) -> list[str]:
+    """Base names of the entries directly under ``path`` (files and
+    dirs), local or hadoop FS; [] when the path does not exist."""
+    if is_s3_path(path) or "://" in path:
+        if spark is None:
+            raise ValueError("listing a remote path requires a SparkSession")
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        p = jvm.org.apache.hadoop.fs.Path(to_spark_path(path))
+        fs = p.getFileSystem(conf)
+        if not fs.exists(p):
+            return []
+        return [s.getPath().getName() for s in fs.listStatus(p)]
+    if not os.path.isdir(path):
+        return []
+    return os.listdir(path)
+
+
 def expand_latest(path: str, spark=None) -> str:
     """Replace each {{latest}} segment with the max lexicographic
     subfolder at that level (reference: yaetos/etl_utils.py:1097-1104)."""

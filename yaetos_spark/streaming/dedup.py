@@ -38,8 +38,27 @@ from yaetos_spark.operators.dedup import (
     filter_against_signatures,
     minhash_signatures,
 )
+from yaetos_spark.plans.paths import list_file_names, path_exists
 
 BATCH_COL = "_batch_id"
+
+
+def last_committed_batch(spark, checkpoint_dir: str) -> int | None:
+    """Highest batch id with a COMMIT recorded in the streaming
+    checkpoint (the files under ``<checkpoint>/commits`` are named by
+    batch id; Spark writes one only after the batch's foreachBatch
+    completed). Batches above this id may have written sink data in an
+    attempt whose commit never landed — exactly the ones a restart
+    replays, so exactly the ones compaction must leave alone. None =
+    nothing committed yet."""
+    commits = checkpoint_dir.rstrip("/") + "/commits"
+    ids = []
+    for name in list_file_names(commits, spark):
+        try:
+            ids.append(int(name))
+        except ValueError:  # .tmp / metadata entries
+            continue
+    return max(ids, default=None)
 
 
 def _dynamic_overwrite(df: DataFrame, out_dir: str, batch_id: int) -> None:
@@ -75,15 +94,19 @@ def dedup_batch_exactly_once(
         within, text_col, id_col, n, num_hashes
     ).localCheckpoint(eager=True)
 
-    try:
+    # cold start is detected by an EXPLICIT existence check, never by
+    # catching the read error: a bare except here would also swallow
+    # permission failures, corrupt footers, and transient FS errors,
+    # silently skipping cross-batch dedup for the batch and admitting
+    # duplicates into the corpus forever ("raise, don't mislabel" —
+    # same standard as graph.py's non-convergence guard). A failed
+    # read of an EXISTING index now fails the batch, and the stream's
+    # at-least-once retry re-runs it.
+    have_index = path_exists(index_dir, spark)
+    if have_index:
         old_sigs = spark.read.parquet(index_dir).where(
             F.col(BATCH_COL) != int(batch_id)
         )
-        have_index = True
-    except Exception:  # cold start: no index yet
-        have_index = False
-
-    if have_index:
         survivors = filter_against_signatures(
             within, new_sigs, old_sigs, id_col, threshold, num_hashes, bands
         )
@@ -143,19 +166,50 @@ def read_survivors(spark, survivors_dir: str) -> DataFrame:
     return spark.read.parquet(survivors_dir).drop(BATCH_COL)
 
 
-def compact_index(spark, index_dir: str) -> None:
-    """Fold all batch partitions of the signature index into a single
-    ``_batch_id=-1`` history partition, so the against-index scan stays
-    O(1) partitions as batches accumulate (same recipe as
-    ``sketch.compact_count_min``). Run it between streaming runs; the
-    replay guard keeps working because a replayed batch id is never -1,
-    and the next live batch re-adds its own partition on top.
+def compact_index(spark, index_dir: str, checkpoint_dir: str) -> None:
+    """Fold the COMMITTED batch partitions of the signature index into
+    a single ``_batch_id=-1`` history partition, so the against-index
+    scan stays O(1) partitions as batches accumulate (same recipe as
+    ``sketch.compact_count_min``). Run it between streaming runs.
+
+    Only partitions whose batch id is <= the checkpoint's last COMMITTED
+    batch (``last_committed_batch``) are folded; anything above stays in
+    its own partition. This is what keeps the exactly-once replay guard
+    sound across compaction: a batch written by a FAILED attempt (sink
+    data landed, checkpoint commit did not) will be REPLAYED on restart,
+    and its replay excludes its own signatures via the
+    ``_batch_id != batch_id`` partition filter — if compaction had
+    folded that partition into -1, every replayed doc would collide
+    with its own failed-attempt signature at estimated Jaccard 1.0 and
+    the whole batch would silently vanish. Folding only committed
+    batches is safe precisely because committed batches are never
+    replayed.
+
     localCheckpoint before the static overwrite avoids the
-    read-own-input hazard; re-running compaction is idempotent."""
-    merged = (
-        spark.read.parquet(index_dir)
+    read-own-input hazard; re-running compaction is idempotent. The
+    write pins ``partitionOverwriteMode=static`` (full-directory
+    replace): under an ambient ``dynamic`` setting the overwrite would
+    only replace the partitions present in ``merged`` — with an
+    already-compacted index that is just -1, leaving every stale batch
+    partition in place (duplicated signatures, and a surviving stale
+    partition re-exposes the self-collision replay drop)."""
+    last = last_committed_batch(spark, checkpoint_dir)
+    if last is None:
+        # nothing committed: every batch partition is potentially a
+        # failed attempt awaiting replay — folding any would break the
+        # replay guard, so there is nothing safe to compact
+        return
+    idx = spark.read.parquet(index_dir)
+    fold = (
+        idx.where(F.col(BATCH_COL) <= F.lit(int(last)))
         .drop(BATCH_COL)
         .withColumn(BATCH_COL, F.lit(-1))
-        .localCheckpoint(eager=True)
     )
-    merged.write.mode("overwrite").partitionBy(BATCH_COL).parquet(index_dir)
+    keep = idx.where(F.col(BATCH_COL) > F.lit(int(last)))
+    merged = fold.unionByName(keep).localCheckpoint(eager=True)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        merged.write.mode("overwrite").partitionBy(BATCH_COL).parquet(index_dir)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
