@@ -1206,6 +1206,105 @@ SELECT count(*) AS n_true_pairs, TRUE AS recall_ok FROM brute
 """
 
 
+_IVF_RECALL_CELLS = 8
+_IVF_RECALL_PROBE = 4
+_IVF_RECALL_BOUND = 0.5
+
+
+def _ivf_ann_recall(spark, sf_dir):
+    """IVF recall contract for the APPROXIMATE path users actually run
+    at 100 TB (``n_probe < n_cells`` — unlike `ivf_ann_exactprobe`,
+    which probes every cell to value-check the machinery). The IVF
+    top-k depends on the trained centroids, so it has no SQL twin;
+    instead the query returns a checkable report row, like
+    `lsh_ann_pairs`: the exact brute-force top-k pair count (oracle-
+    computable) and whether probing half the cells recovered at least
+    half of the true neighbors. Measured recall at these parameters:
+    0.84 (sf0.01) / 0.74 (sf0.1) — the 0.5 bound holds with margin
+    while still catching an assignment/probe regression (a broken cell
+    router scores ~n_probe/n_cells of random cells' worth of
+    neighbors)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _ANN_N_QUERIES)
+    cents = S.train_ivf_centroids(emb, n_cells=_IVF_RECALL_CELLS, max_iter=10)
+    approx = (
+        S.ivf_topk(emb, queries, cents, k=_ANN_K, n_probe=_IVF_RECALL_PROBE)
+        .select("query_id", "neighbor_id")
+        .withColumn("_hit", F.lit(1))
+    )
+    brute = S.cosine_topk(emb, queries, k=_ANN_K).select("query_id", "neighbor_id")
+    # one pass over the brute result: left join + conditional count
+    # (same shape as lsh_ann_pairs — the matmul branch executes once)
+    return (
+        brute.join(approx, ["query_id", "neighbor_id"], "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_true"),
+            F.count("_hit").alias("n_found"),
+        )
+        .select(
+            "n_true",
+            (F.col("n_found") >= F.lit(_IVF_RECALL_BOUND) * F.col("n_true")).alias(
+                "recall_ok"
+            ),
+        )
+    )
+
+
+_IVF_RECALL_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < {_ANN_N_QUERIES}
+),
+c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+scored AS (
+  SELECT q.query_id, c.neighbor_id,
+         list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cos
+  FROM c, q WHERE c.neighbor_id != q.query_id
+),
+ranked AS (
+  SELECT query_id, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT count(*) AS n_true, TRUE AS recall_ok FROM ranked WHERE rank <= {_ANN_K}
+"""
+
+
+_SIMHASH_PAIR_HAMMING = 3  # = bands - 1, so byte-banding is LOSSLESS
+_SIMHASH_SUBSET_MOD = 10
+
+
+def _simhash_near_pairs(spark, sf_dir):
+    """SimHash near-dup PAIR generation end-to-end (dedup.py:
+    simhash_pairs — byte-band candidate bucketing + exact hamming
+    verification), value-checked: with max_hamming = bands - 1 the
+    pigeonhole guarantee makes banding lossless, so the operator's
+    output contract is exactly 'all pairs at hamming <= 3' — which
+    DuckDB states directly (bit_count(xor(s1, s2))). Runs on the
+    deterministic doc_id % {mod} == 0 subset: simhash concentrates on
+    this corpus (short docs, shared vocab), and the subset keeps the
+    oracle's pair table at hundreds of rows (sf0.01) / ~15k (sf0.1)
+    instead of 10^6."""
+    docs = _t(spark, sf_dir, "documents").where(
+        F.col("doc_id") % _SIMHASH_SUBSET_MOD == 0
+    )
+    sim = D.simhash(docs)
+    return D.simhash_pairs(sim, max_hamming=_SIMHASH_PAIR_HAMMING, bits=32, bands=4)
+
+
+def _simhash_near_pairs_oracle() -> str:
+    base = _simhash_oracle()
+    sim_cte = base.replace("FROM documents", f"FROM documents WHERE doc_id % {_SIMHASH_SUBSET_MOD} = 0")
+    # wrap the per-doc simhash CTE, then state the pair contract
+    return rf"""
+WITH sims AS (
+{sim_cte}
+)
+SELECT a.id AS id1, b.id AS id2,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sims a JOIN sims b ON a.id < b.id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {_SIMHASH_PAIR_HAMMING}
+"""
+
+
 # ---------------------------------------------------------------------
 # corpus extension: pivot / cube / grouping sets / window frames /
 # sessionization / arrays / strings / multimodal
@@ -5198,8 +5297,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppm_pipeline_stats": _ppm_pipeline_stats,
         # ---- new in round 7 (no verdict yet -> sort most-stale, enter window) ----
         "chain_components": _chain_components,
-        # ---- new in round 7, deferred to the r8 window (_DEFER_ONCE) ----
+        # ---- new in round 7, deferred to the r8 window (_DEFER_ONCE, expired) ----
         "incremental_dedup_survivors": _incremental_dedup_survivors,
+        # ---- new in round 8 (no verdict yet -> sort most-stale, enter window) ----
+        "simhash_near_pairs": _simhash_near_pairs,
+        "ivf_ann_recall": _ivf_ann_recall,
     }
     return _rotate_stalest_first(base)
 
@@ -5236,6 +5338,8 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_pairs": _minhash_oracle(),
         "ngram_jaccard_pairs": _ngram_jaccard_oracle(),
         "simhash_docs": _simhash_oracle(),
+        "simhash_near_pairs": _simhash_near_pairs_oracle(),
+        "ivf_ann_recall": _IVF_RECALL_SQL,
         "ann_cosine_topk": _ANN_SQL,
         "embedding_near_dup": _NEAR_DUP_SQL,
         "lsh_ann_pairs": _LSH_RECALL_SQL,
