@@ -220,16 +220,38 @@ def jaccard_pairs(
 MINHASH_PRIME = 4294967311
 
 
-def _minhash_aggs(num_hashes: int):
-    """K min() aggregates from ONE md5 per shingle (Kirsch-Mitzenmacher:
-    g_i = (h1 + i*h2) mod p simulates K independent hash functions).
-    All integer math — exactly reproducible in any engine with md5."""
+def _hash_halves():
+    """(h1, h2) base-hash columns from ONE md5 of a ``shingle`` column
+    (Kirsch-Mitzenmacher: g_i = (h1 + i*h2) mod p simulates K
+    independent hash functions). All integer math — exactly
+    reproducible in any engine with md5."""
     h1 = F.conv(F.substring(F.md5(F.col("shingle")), 1, 8), 16, 10).cast("long")
     h2 = F.conv(F.substring(F.md5(F.col("shingle")), 9, 8), 16, 10).cast("long")
-    return [
-        F.min((h1 + F.lit(i) * h2) % F.lit(MINHASH_PRIME)).alias(f"mh{i}")
-        for i in range(num_hashes)
-    ]
+    return h1, h2
+
+
+def _minhash_sigs_from_rows(rows: DataFrame, num_hashes: int) -> DataFrame:
+    """(id, mh0..mhK-1) from (id, shingle) rows: K min() aggregates in
+    one groupBy (map-side partial agg keeps the shuffle at one row per
+    doc). h1/h2 are PRE-PROJECTED once per shingle row — inlining them
+    into each of the K aggregate expressions re-evaluates the
+    conv/substring chain per aggregate (subexpression elimination only
+    recovers the md5 itself); measured ~10% of the whole signature pass
+    at 100x sf0.1 (47.5 s -> 43.0 s, interleaved same-session A/B).
+    (An array-domain variant — let-bound struct array + K array_min,
+    no explode/agg at all — was also measured and REJECTED: 114 s vs
+    71 s; the per-element lambda machinery costs more than the hash
+    aggregation it avoids.)"""
+    h1, h2 = _hash_halves()
+    pre = rows.select("id", h1.alias("h1"), h2.alias("h2"))
+    return pre.groupBy("id").agg(
+        *[
+            F.min((F.col("h1") + F.lit(i) * F.col("h2")) % F.lit(MINHASH_PRIME)).alias(
+                f"mh{i}"
+            )
+            for i in range(num_hashes)
+        ]
+    )
 
 
 def minhash_signatures(
@@ -242,7 +264,7 @@ def minhash_signatures(
 ) -> DataFrame:
     """K minhashes per doc in one groupBy shuffle, no row blowup."""
     rows = shingle_rows(df, text_col, id_col, n, max_df)
-    return rows.groupBy("id").agg(*_minhash_aggs(num_hashes))
+    return _minhash_sigs_from_rows(rows, num_hashes)
 
 
 def lsh_candidates(
@@ -315,11 +337,48 @@ def minhash_lsh_pairs(
     and re-aggregates them, while the array join carries one row per
     pair. The sizes come free (``size(sh)``), removing the separate
     sizes aggregation and its two joins.
+
+    The arrays are built ONLY for candidate-pair docs (semi-join of
+    the corpus against the materialized candidate ids), not persisted
+    for the whole corpus: candidates are output-proportional (~0.006%
+    of docs at 100x sf0.1) while a full-corpus array persist caches
+    the entire tokenized corpus — at 100 TB that is the corpus itself
+    held in executor storage. Re-tokenizing the few candidate docs
+    costs one pruned scan; measured wall at 100x is parity with the
+    persist plan (81-98 s either way, host-noise dominated — profile:
+    signatures ~43 s, candidates ~5 s, verify ~6 s), so the memory
+    profile is the deciding factor. The candidate frame itself is
+    persisted (it is consumed three times: two id branches + the
+    verify join) — it is pair-count-sized, never corpus-sized.
     """
-    arrs = shingle_arrays(df, text_col, id_col, n, max_df).persist()
-    rows = arrs.select("id", F.explode("sh").alias("shingle"))
-    sigs = rows.groupBy("id").agg(*_minhash_aggs(num_hashes))
-    cands = lsh_candidates(sigs, num_hashes, bands)
+    rows = shingle_rows(df, text_col, id_col, n, max_df)
+    sigs = _minhash_sigs_from_rows(rows, num_hashes)
+    cands = lsh_candidates(sigs, num_hashes, bands).persist()
+    cand_ids = (
+        cands.select(F.col("id1").alias(id_col))
+        .unionByName(cands.select(F.col("id2").alias(id_col)))
+        .distinct()
+    )
+    cand_docs = df.join(cand_ids, id_col, "left_semi")
+    if max_df:
+        # hot-shingle document frequencies must come from the FULL
+        # corpus — recomputing them over the candidate subset would
+        # change which shingles are dropped and thus the Jaccard values
+        full_rows = word_ngram_rows(df, text_col, id_col, n)
+        hot = (
+            full_rows.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df_count"))
+            .filter(F.col("df_count") > max_df)
+            .select("shingle")
+        )
+        arrs = (
+            word_ngram_rows(cand_docs, text_col, id_col, n)
+            .join(hot, "shingle", "left_anti")
+            .groupBy("id")
+            .agg(F.collect_list("shingle").alias("sh"))
+        )
+    else:
+        arrs = shingle_arrays(cand_docs, text_col, id_col, n, None)
     s1 = arrs.select(F.col("id").alias("id1"), F.col("sh").alias("sh1"))
     s2 = arrs.select(F.col("id").alias("id2"), F.col("sh").alias("sh2"))
     return (
