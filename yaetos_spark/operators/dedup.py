@@ -236,10 +236,14 @@ def _minhash_sigs_from_rows(rows: DataFrame, num_hashes: int) -> DataFrame:
     doc). h1/h2 are PRE-PROJECTED once per shingle row — inlining them
     into each of the K aggregate expressions re-evaluates the
     conv/substring chain per aggregate (subexpression elimination only
-    recovers the md5 itself); measured ~10% of the whole signature pass
-    at 100x sf0.1 (47.5 s -> 43.0 s, interleaved same-session A/B).
-    (An array-domain variant — let-bound struct array + K array_min,
-    no explode/agg at all — was also measured and REJECTED: 114 s vs
+    recovers the md5 itself). Interleaved same-session A/Bs at 100x
+    sf0.1: faster in three of four pairs (58.6->49.0, 47.5->43.0,
+    45.0->39.6 s), parity in one (36.2 vs 36.4) — a ~5-10% median win,
+    never slower. The r6 note that a pre-projection measured slower
+    predates the shift to one md5 with two extracted halves; for this
+    shape the extraction chain dominates what CSE recovers. (An
+    array-domain variant — let-bound struct array + K array_min, no
+    explode/agg at all — was also measured and REJECTED: 114 s vs
     71 s; the per-element lambda machinery costs more than the hash
     aggregation it avoids.)"""
     h1, h2 = _hash_halves()
