@@ -5021,9 +5021,10 @@ _VERIFY_NEXT = [
     # take their own verdicts on the changed code.
     "ngram_jaccard_pairs",
     "near_dup_survivors",
-    # r8: minhash_lsh_pairs' candidate-verification stage rewritten
-    # (verify once per identical-shingle-set class, fan results back —
-    # the 100x growth fix); its r7 verdict describes the old plan.
+    # r8: minhash_lsh_pairs restructured (candidate-restricted
+    # verification arrays instead of a full-corpus persist; h1/h2
+    # pre-projection — see COVERAGE.md round-8 notes); its r7 verdict
+    # describes the old plan.
     "minhash_lsh_pairs",
 ]
 
