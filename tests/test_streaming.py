@@ -750,6 +750,45 @@ def test_streaming_dedup_index_compaction_preserves_semantics(spark, tmp_path):
     assert spark.read.parquet(idx).count() == 3
 
 
+def test_streaming_dedup_compaction_reads_real_checkpoint(spark, tmp_path):
+    """compact_index against the checkpoint a REAL streaming run wrote
+    (not a fabricated commits dir): after the availableNow query drains
+    and commits, its batches fold into -1; the commits-dir layout
+    assumption (files named by batch id) is validated against what
+    Structured Streaming actually writes."""
+    from yaetos_spark.streaming.dedup import (
+        compact_index,
+        last_committed_batch,
+        read_survivors,
+        streaming_dedup,
+    )
+
+    src = str(tmp_path / "docs")
+    idx = str(tmp_path / "index")
+    out = str(tmp_path / "survivors")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(
+        [(0, "a0 a1 a2 a3 a4"), (1, "b0 b1 b2 b3 b4")], "doc_id long, text string"
+    ).coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = streaming_dedup(stream, idx, out, ckpt, threshold=0.5)
+    q.awaitTermination(timeout=120)
+    assert not q.isActive
+    # the real checkpoint recorded batch 0 as committed
+    assert last_committed_batch(spark, ckpt) == 0
+    compact_index(spark, idx, ckpt)
+    sigs = spark.read.parquet(idx)
+    assert {r._batch_id for r in sigs.select("_batch_id").distinct().collect()} == {-1}
+    # post-compaction streaming continuation still dedups against history
+    spark.createDataFrame(
+        [(10, "a0 a1 a2 a3 a4"), (11, "z0 z1 z2 z3 z4")], "doc_id long, text string"
+    ).coalesce(1).write.mode("append").parquet(src)
+    stream2 = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q2 = streaming_dedup(stream2, idx, out, ckpt, threshold=0.5)
+    q2.awaitTermination(timeout=120)
+    assert {r.doc_id for r in read_survivors(spark, out).collect()} == {0, 1, 11}
+
+
 def test_streaming_dedup_compaction_spares_uncommitted_batches(spark, tmp_path):
     """The crash-then-compact-then-replay hazard: batch 1's sink data
     landed but its checkpoint commit did NOT (crash between the
