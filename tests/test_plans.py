@@ -118,6 +118,20 @@ def test_output_max_timestamp(spark, tmp_path):
     assert inc.get_output_max_timestamp(spark, str(tmp_path / "missing"), "d") is None
 
 
+def test_output_max_timestamp_unreadable_existing_output_raises(spark, tmp_path):
+    """An EXISTING but unreadable previous output must raise, not
+    return None: None means 'first run', and incremental jobs append —
+    a swallowed read error would re-process the full history into the
+    existing output (silent duplication)."""
+    import pytest
+
+    bad = tmp_path / "corrupt"
+    bad.mkdir()
+    (bad / "part-00000.parquet").write_text("not parquet at all")
+    with pytest.raises(Exception):
+        inc.get_output_max_timestamp(spark, str(bad), "d")
+
+
 # -- reference param-stack edge cases (etl_utils_test.py:106-237) -----
 
 

@@ -37,14 +37,23 @@ def get_periods(first_day: str, last_day: dt.date | None = None) -> list[str]:
 
 def get_output_max_timestamp(spark, path: str, inc_field: str, output_type: str = "parquet"):
     """Watermark of previously-materialized output; None if absent
-    (reference: yaetos/etl_utils.py:579-593)."""
-    try:
-        if output_type == "csv":
-            prev = spark.read.option("header", True).csv(path)
-        else:
-            prev = spark.read.parquet(path)
-    except Exception:
+    (reference: yaetos/etl_utils.py:579-593).
+
+    Absence is an EXPLICIT existence check, never inferred from a
+    failed read: a None here means "first run — process everything",
+    and incremental jobs append. If an EXISTING output fails to read
+    (permissions, corrupt footer, transient FS error), swallowing the
+    error would silently re-process the full history INTO the existing
+    output — duplicated data, the worst failure mode an incremental
+    pipeline has. Raise instead ("raise, don't mislabel")."""
+    from yaetos_spark.plans.paths import path_exists
+
+    if not path_exists(path, spark):
         return None
+    if output_type == "csv":
+        prev = spark.read.option("header", True).csv(path)
+    else:
+        prev = spark.read.parquet(path)
     if inc_field not in prev.columns:
         return None
     return prev.agg(F.max(inc_field).alias("m")).collect()[0]["m"]
