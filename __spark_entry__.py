@@ -1268,6 +1268,85 @@ SELECT count(*) AS n_true, TRUE AS recall_ok FROM ranked WHERE rank <= {_ANN_K}
 """
 
 
+_TFCOS_THRESHOLD = 0.9
+_TFCOS_MAX_DF = 2000
+
+
+def _tfcosine_doc_pairs(spark, sf_dir):
+    """Sparse document-pair cosine similarity over term-frequency
+    vectors via an inverted term index (operators/text.py:
+    tf_cosine_pairs). Bit-exact across engines by construction: all
+    aggregations are integer (tf counts, dot products, norm sums) and
+    the single float op per pair (divide by sqrt of a product of
+    exactly-representable ints) is IEEE correctly-rounded — no ln(),
+    so no idf, deliberately (the r5 1-ulp lesson). The max_df hot-term
+    guard is ACTIVE at sf0.1 (terms in >2000 of 5000 docs drop —
+    the stopword class), bounding the inverted-index join fan-out at
+    sum(df^2) <= max_df * index_size."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.tf_cosine_pairs(
+        docs, threshold=_TFCOS_THRESHOLD, max_df=_TFCOS_MAX_DF
+    )
+
+
+_TFCOSINE_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id AS id,
+         unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> t != '')) AS term
+  FROM documents
+),
+tf0 AS (SELECT id, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY id, term),
+hot AS (SELECT term FROM tf0 GROUP BY term HAVING count(*) > {_TFCOS_MAX_DF}),
+tf AS (SELECT * FROM tf0 WHERE term NOT IN (SELECT term FROM hot)),
+norms AS (SELECT id, CAST(sum(tf * tf) AS BIGINT) AS n2 FROM tf GROUP BY id),
+dots AS (
+  SELECT a.id AS id1, b.id AS id2, CAST(sum(a.tf * b.tf) AS BIGINT) AS dot
+  FROM tf a JOIN tf b ON a.term = b.term AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT d.id1, d.id2, d.dot,
+       round(d.dot / sqrt(CAST(x.n2 AS DOUBLE) * CAST(y.n2 AS DOUBLE)), 6) AS cos_sim
+FROM dots d JOIN norms x ON x.id = d.id1 JOIN norms y ON y.id = d.id2
+WHERE round(d.dot / sqrt(CAST(x.n2 AS DOUBLE) * CAST(y.n2 AS DOUBLE)), 6) >= {_TFCOS_THRESHOLD}
+"""
+
+
+_REDUNDANCY_MIN_DF = 3
+
+
+def _doc_redundancy_scores(spark, sf_dir):
+    """Per-doc boilerplate fraction (operators/text.py:
+    redundancy_scores): the share of each doc's distinct n-gram
+    shingles occurring in more than min_df docs corpus-wide — the
+    doc-level redundancy signal curation filters act on. Integer
+    counts + one IEEE division, engine-reproducible."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.redundancy_scores(docs, n=_NGRAM_N, min_df=_REDUNDANCY_MIN_DF)
+
+
+def _doc_redundancy_oracle() -> str:
+    n, k = _NGRAM_N, _REDUNDANCY_MIN_DF
+    return rf"""
+WITH toks AS (
+  SELECT doc_id AS id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+),
+sh AS (
+  SELECT id, unnest(CASE WHEN len(t) < {n} THEN [array_to_string(t, ' ')]
+       ELSE list_distinct(list_transform(generate_series(1, len(t) - {n - 1}),
+            i -> array_to_string(t[i:i+{n - 1}], ' '))) END) AS shingle
+  FROM toks
+),
+common AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > {k})
+SELECT s.id AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN c.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+       round(CAST(sum(CASE WHEN c.shingle IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS common_frac
+FROM sh s LEFT JOIN common c ON c.shingle = s.shingle
+GROUP BY s.id
+"""
+
+
 _SIMHASH_PAIR_HAMMING = 3  # = bands - 1, so byte-banding is LOSSLESS
 _SIMHASH_SUBSET_MOD = 10
 
@@ -5041,6 +5120,12 @@ _DEFER_ONCE: dict[str, int] = {
     # = 50. Expired at r8 (kept for the audit trail): the query enters
     # the r8 window for its first driver verdict.
     "incremental_dedup_survivors": 7,
+    # r8: the r8 window is exactly full (44 stalest-r5 + 3 verdict-less
+    # + 3 _VERIFY_NEXT = 50), so these two new queries wait one round;
+    # the r9 stalest cohort is ~45 r6 verdicts, leaving room. Both pass
+    # the builder's oracle at sf0.001/0.01/0.1 on this tree.
+    "tfcosine_doc_pairs": 8,
+    "doc_redundancy_scores": 8,
 }
 
 
@@ -5303,6 +5388,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- new in round 8 (no verdict yet -> sort most-stale, enter window) ----
         "simhash_near_pairs": _simhash_near_pairs,
         "ivf_ann_recall": _ivf_ann_recall,
+        # ---- new in round 8, deferred to the r9 window (_DEFER_ONCE[..]=8) ----
+        "tfcosine_doc_pairs": _tfcosine_doc_pairs,
+        "doc_redundancy_scores": _doc_redundancy_scores,
     }
     return _rotate_stalest_first(base)
 
@@ -5341,6 +5429,8 @@ def oracle_sql() -> dict[str, str]:
         "simhash_docs": _simhash_oracle(),
         "simhash_near_pairs": _simhash_near_pairs_oracle(),
         "ivf_ann_recall": _IVF_RECALL_SQL,
+        "tfcosine_doc_pairs": _TFCOSINE_SQL,
+        "doc_redundancy_scores": _doc_redundancy_oracle(),
         "ann_cosine_topk": _ANN_SQL,
         "embedding_near_dup": _NEAR_DUP_SQL,
         "lsh_ann_pairs": _LSH_RECALL_SQL,

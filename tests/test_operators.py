@@ -815,3 +815,64 @@ def test_ols_reduction_keeps_accuracy_at_giant_magnitudes(spark):
     s, icept = np.polyfit(np.array(xs, dtype=float), np.array(ys, dtype=float), 1)
     assert abs(out.slope - s) <= 1e-9 * abs(s)
     assert abs(out.intercept - icept) <= 1e-6 * abs(icept)
+
+
+def test_tf_cosine_pairs_exact_values_and_hot_term_guard(spark):
+    """Hand-checkable integer tf vectors: docs 1/2 share 'x x y' shape,
+    doc 3 is disjoint. cos(d1,d2) = (2*2+1*1)/sqrt(5*5) = 1.0 for
+    identical vectors; with a hot term dropped the cosine is recomputed
+    over the FILTERED vectors, not just filtered pairs."""
+    from yaetos_spark.operators.text import tf_cosine_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "x x y"),
+            (2, "x x y"),
+            (3, "z z w"),
+            (4, "x q"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r.id1, r.id2): (r.dot, r.cos_sim)
+        for r in tf_cosine_pairs(df, threshold=0.0).collect()
+    }
+    # identical docs: dot = 2*2 + 1*1 = 5, norms 5 -> cos 1.0
+    assert out[(1, 2)] == (5, 1.0)
+    # docs 1/4 share only 'x': dot = 2*1 = 2; norms 5 and 2
+    assert out[(1, 4)][0] == 2
+    assert abs(out[(1, 4)][1] - round(2 / (5 * 2) ** 0.5, 6)) < 1e-12
+    # doc 3 shares no term with anyone -> no pairs materialize
+    assert not any(3 in p for p in out)
+
+    # 'x' occurs in 3 docs; max_df=2 drops it EVERYWHERE: docs 1/2
+    # reduce to pure-'y' vectors (cos 1.0, dot 1), doc 4 reduces to
+    # 'q' only and no longer pairs with anyone
+    guarded = {
+        (r.id1, r.id2): (r.dot, r.cos_sim)
+        for r in tf_cosine_pairs(df, threshold=0.0, max_df=2).collect()
+    }
+    assert guarded == {(1, 2): (1, 1.0)}
+
+
+def test_redundancy_scores_counts_and_fraction(spark):
+    """4 docs where one shingle ('a b c') appears in 3 docs: with
+    min_df=2 that shingle is common; each doc's fraction is its common
+    count over its distinct shingle count."""
+    from yaetos_spark.operators.text import redundancy_scores
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d"),   # shingles: 'a b c', 'b c d'
+            (2, "a b c"),     # 'a b c'
+            (3, "a b c"),     # 'a b c'
+            (4, "p q r"),     # 'p q r'
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: (r.n_shingles, r.n_common, r.common_frac) for r in
+           redundancy_scores(df, n=3, min_df=2).collect()}
+    assert out[1] == (2, 1, 0.5)
+    assert out[2] == (1, 1, 1.0)
+    assert out[3] == (1, 1, 1.0)
+    assert out[4] == (1, 0, 0.0)

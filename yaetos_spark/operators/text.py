@@ -317,3 +317,116 @@ def doc_oov_counts(
             F.sum(F.when(F.col("_in_vocab").isNull(), 1).otherwise(0)).alias("n_oov"),
         )
     )
+
+
+def tf_cosine_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Document-pair cosine similarity over term-frequency vectors via
+    an INVERTED TERM INDEX — the sparse-similarity shape that scales:
+    pairs materialize only for docs sharing a term (one equi-join on
+    the term key), never as an all-pairs product.
+
+    Returns (id1, id2, dot, cos_sim), id1 < id2, cos_sim >= threshold.
+
+    Cross-engine exactness by construction: tf counts, the pair dot
+    product sum(tf1*tf2) and the norm sums sum(tf^2) are all INTEGER
+    aggregations (exact, order-independent), and the only float ops —
+    one multiply, one sqrt, one divide per surviving pair — are IEEE
+    correctly-rounded, so any engine computes bit-identical cos_sim.
+    (No idf weighting here on purpose: ln() is not correctly-rounded
+    and drifts across math libraries — the r5 1-ulp lesson.)
+
+    ``max_df`` drops terms appearing in more than that many docs
+    BEFORE the self-join — the hot-key guard bounding join fan-out at
+    sum(df^2) <= max_df * index_size (same idea as the hot-shingle
+    guard in dedup). Norms are computed AFTER the drop so the cosine
+    is exactly the cosine of the filtered vectors. The self-join and
+    the norm joins are merge-hinted: the term rows hang off a Generate
+    (explode of split), so their Catalyst size estimate is the pruned
+    scan's — structurally dishonest at any scale."""
+    toks = F.filter(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), lambda t: t != "")
+    rows = df.select(F.col(id_col).alias("id"), F.explode(toks).alias("term"))
+    tf = rows.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    if max_df:
+        hot = (
+            tf.groupBy("term")
+            .agg(F.count(F.lit(1)).alias("df_count"))
+            .filter(F.col("df_count") > max_df)
+            .select("term")
+        )
+        tf = tf.join(hot, "term", "left_anti")
+    # job-lifetime persist: the index feeds both self-join sides and
+    # the two norm branches — one materialization instead of four
+    # corpus tokenizations; one row per (doc, distinct term), far
+    # smaller than the token stream itself
+    tf = tf.persist()
+    norms = tf.groupBy("id").agg(F.sum(F.col("tf") * F.col("tf")).alias("n2"))
+    a, b = tf.alias("a"), tf.hint("merge").alias("b")
+    dots = (
+        a.join(b, (F.col("a.term") == F.col("b.term")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        .agg(F.sum(F.col("a.tf") * F.col("b.tf")).alias("dot"))
+    )
+    n1 = norms.select(F.col("id").alias("id1"), F.col("n2").alias("n2_1"))
+    n2 = norms.select(F.col("id").alias("id2"), F.col("n2").alias("n2_2"))
+    return (
+        dots.join(n1.hint("merge"), "id1")
+        .join(n2.hint("merge"), "id2")
+        .withColumn(
+            "cos_sim",
+            F.round(
+                F.col("dot")
+                / F.sqrt(F.col("n2_1").cast("double") * F.col("n2_2").cast("double")),
+                6,
+            ),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id1", "id2", "dot", "cos_sim")
+    )
+
+
+def redundancy_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_df: int = 3,
+) -> DataFrame:
+    """Per-document boilerplate fraction: the share of a doc's distinct
+    n-gram shingles that occur in more than ``min_df`` docs corpus-wide
+    — the doc-LEVEL redundancy signal (curation filters drop or
+    down-weight high-fraction docs), complementing the corpus-level
+    line dedup and the intra-doc repetition profile.
+
+    Returns (doc_id, n_shingles, n_common, common_frac). All counts are
+    integers; the single division is IEEE-exact, so the output is
+    engine-reproducible. Cost: one shingle fan-out, one df-count
+    aggregation, one semi-ish join back — linear in corpus size, the
+    same shape at 5k docs and 5B."""
+    from yaetos_spark.functions.shingles import word_ngram_rows
+
+    rows = word_ngram_rows(df, text_col, id_col, n)
+    # persist: feeds the df-count aggregation AND the per-doc rollup
+    rows = rows.persist()
+    common = (
+        rows.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df_count"))
+        .filter(F.col("df_count") > min_df)
+        .select("shingle", F.lit(1).alias("_common"))
+    )
+    return (
+        rows.join(common.hint("merge"), "shingle", "left")
+        .groupBy(F.col("id").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("_common").isNotNull(), 1).otherwise(0)).alias("n_common"),
+        )
+        .withColumn(
+            "common_frac", F.round(F.col("n_common") / F.col("n_shingles"), 6)
+        )
+    )
