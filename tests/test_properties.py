@@ -1447,3 +1447,86 @@ def test_connected_components_raises_rather_than_mislabels(spark):
     # and with enough rounds the same graph resolves fine
     got = {r.node: r.comp for r in connected_components(edges, max_iter=25).collect()}
     assert got == {i: 0 for i in range(21)}
+
+
+@st.composite
+def _tiny_docs(draw):
+    """Small random corpora over a tiny vocabulary, so term sharing
+    (and thus pair generation) actually happens."""
+    vocab = ["aa", "bb", "cc", "dd"]
+    n_docs = draw(st.integers(2, 7))
+    return [
+        (i, " ".join(draw(st.lists(st.sampled_from(vocab), min_size=1, max_size=8))))
+        for i in range(n_docs)
+    ]
+
+
+@given(case=_tiny_docs(), max_df=st.one_of(st.none(), st.integers(1, 5)))
+@settings(**SETTINGS)
+def test_tf_cosine_pairs_matches_python_model(spark, case, max_df):
+    """tf_cosine_pairs == a naive all-pairs python model (tf dicts,
+    hot-term drop, integer dot, one float cosine) for any tiny corpus
+    and any max_df — including docs emptied entirely by the guard."""
+    import math
+    from collections import Counter
+
+    from yaetos_spark.operators.text import tf_cosine_pairs
+
+    df = spark.createDataFrame(case, "doc_id long, text string")
+    got = {
+        (r.id1, r.id2): (r.dot, r.cos_sim)
+        for r in tf_cosine_pairs(df, threshold=0.0, max_df=max_df).collect()
+    }
+
+    tfs = {i: Counter(t.lower().split()) for i, t in case}
+    if max_df:
+        dfc = Counter(term for c in tfs.values() for term in c)
+        tfs = {
+            i: Counter({t: n for t, n in c.items() if dfc[t] <= max_df})
+            for i, c in tfs.items()
+        }
+    want = {}
+    ids = sorted(tfs)
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = ids[ai], ids[bi]
+            dot = sum(tfs[a][t] * tfs[b][t] for t in tfs[a].keys() & tfs[b].keys())
+            if dot == 0:
+                continue  # no shared term -> the inverted index never pairs them
+            n1 = sum(v * v for v in tfs[a].values())
+            n2 = sum(v * v for v in tfs[b].values())
+            want[(a, b)] = (dot, round(dot / math.sqrt(float(n1) * float(n2)), 6))
+    assert got == want
+
+
+@given(case=_tiny_docs(), min_df=st.integers(1, 4))
+@settings(**SETTINGS)
+def test_redundancy_scores_matches_python_model(spark, case, min_df):
+    """redundancy_scores == a naive model over per-doc distinct-shingle
+    sets for any tiny corpus and threshold."""
+    from yaetos_spark.operators.text import redundancy_scores
+
+    n = 2
+    df = spark.createDataFrame(case, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_shingles, r.n_common, r.common_frac)
+        for r in redundancy_scores(df, n=n, min_df=min_df).collect()
+    }
+
+    def shingles(text):
+        toks = text.strip().split()
+        if len(toks) < n:
+            return {" ".join(toks)}
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    sets = {i: shingles(t) for i, t in case}
+    dfc = {}
+    for s in sets.values():
+        for sh in s:
+            dfc[sh] = dfc.get(sh, 0) + 1
+    want = {}
+    for i, s in sets.items():
+        n_sh = len(s)
+        n_common = sum(1 for sh in s if dfc[sh] > min_df)
+        want[i] = (n_sh, n_common, round(n_common / n_sh, 6))
+    assert got == want
