@@ -51,6 +51,11 @@ def test_window_covers_stalest_queries():
     window, behind = set(names[:50]), names[50:]
     for forced in entrymod._VERIFY_NEXT:
         assert forced in window, f"_VERIFY_NEXT entry {forced} outside window"
+    # deferral table hygiene: every entry names a real query and a
+    # concrete round (a typo'd name would silently defer nothing)
+    for dname, drnd in entrymod._DEFER_ONCE.items():
+        assert dname in names, f"_DEFER_ONCE names unknown query {dname}"
+        assert isinstance(drnd, int) and drnd > 0, f"_DEFER_ONCE[{dname}] not a round"
     # no query behind the window may be staler than any window entry —
     # except a _DEFER_ONCE entry whose round key names the UPCOMING
     # round and which has no verdict: the rotation deliberately holds
