@@ -1074,7 +1074,11 @@ def _simhash_docs(spark, sf_dir):
     return D.simhash(docs)
 
 
-def _simhash_oracle() -> str:
+def _simhash_oracle(where_clause: str = "") -> str:
+    """Per-doc simhash CTE chain; ``where_clause`` (e.g. ``"WHERE
+    doc_id % 10 = 0"``) restricts the scanned corpus — parameterized
+    so derived oracles (``_simhash_near_pairs_oracle``) state their
+    subset explicitly instead of text-patching this SQL."""
     bits = 32
     vote_cols = []
     for i in range(bits):
@@ -1089,7 +1093,7 @@ def _simhash_oracle() -> str:
     return rf"""
 WITH toks AS (
   SELECT doc_id AS id, unnest(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS tok
-  FROM documents
+  FROM documents {where_clause}
 ),
 h AS (SELECT id, md5(tok) AS m FROM toks),
 votes AS (SELECT id, {votes} FROM h GROUP BY id)
@@ -1370,9 +1374,13 @@ def _simhash_near_pairs(spark, sf_dir):
 
 
 def _simhash_near_pairs_oracle() -> str:
-    base = _simhash_oracle()
-    sim_cte = base.replace("FROM documents", f"FROM documents WHERE doc_id % {_SIMHASH_SUBSET_MOD} = 0")
-    # wrap the per-doc simhash CTE, then state the pair contract
+    # the subset predicate is passed INTO the base oracle (never
+    # text-patched onto its SQL, which could silently no-op if the
+    # base were reworded); wrap the per-doc simhash CTE, then state
+    # the pair contract
+    sim_cte = _simhash_oracle(
+        where_clause=f"WHERE doc_id % {_SIMHASH_SUBSET_MOD} = 0"
+    )
     return rf"""
 WITH sims AS (
 {sim_cte}
@@ -5086,25 +5094,12 @@ GROUP BY from_type, to_type
 # a fresh verdict describes the old code, so they re-enter the window
 # now regardless of verdict age.  Clear entries once re-verified.
 _VERIFY_NEXT = [
-    # (the eight r7 entries — chain_components, dedup_clusters,
-    # pagerank_trade_graph, minhash_lsh_pairs, winnow_overlap_pairs,
-    # corpus_line_dedup, source_vocab_overlap, tfidf_top_terms —
-    # cleared: all re-verified green by the driver in CORRECTNESS_r07
-    # on the changed code)
+    # (r8's three entries — ngram_jaccard_pairs, near_dup_survivors,
+    # minhash_lsh_pairs — cleared: all re-verified green by the driver
+    # in CORRECTNESS_r08 on the changed code.)
     #
-    # r8: the two queries whose r7 plan changes (jaccard_pairs merge
-    # hint, CC neighborhood-min seeding — both from the r7
-    # broadcast_over_generate hunt) could not fit the r7 window past
-    # the 45 stalest-r4 verdicts; their r7 coverage was transitive via
-    # dedup_clusters (same jaccard_pairs + CC code path), and they now
-    # take their own verdicts on the changed code.
-    "ngram_jaccard_pairs",
-    "near_dup_survivors",
-    # r8: minhash_lsh_pairs restructured (candidate-restricted
-    # verification arrays instead of a full-corpus persist; h1/h2
-    # pre-projection — see COVERAGE.md round-8 notes); its r7 verdict
-    # describes the old plan.
-    "minhash_lsh_pairs",
+    # r9 changed-code entries are appended below as this round's work
+    # lands; clear each once the driver re-verifies it.
 ]
 
 # New queries pushed BEHIND the verdict-bearing order for ONE specific

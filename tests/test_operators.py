@@ -48,6 +48,41 @@ def test_minhash_lsh_finds_near_dup(spark):
     assert (1, 4) in pairs  # identical docs always collide in every band
 
 
+def test_minhash_lsh_pairs_max_df_matches_exact_jaccard(spark):
+    """The max_df path (hot-shingle frame computed ONCE, shared by the
+    signature rows and the verification arrays): every pair minhash
+    emits must carry exactly the Jaccard that the exact shingle
+    equi-join computes over the SAME filtered shingle sets — if the
+    two branches disagreed on the hot set, the values would drift."""
+    docs = spark.createDataFrame(
+        [
+            # "the end of this doc" boilerplate shared by ALL docs: with
+            # max_df=3 its shingles are hot and must be dropped from
+            # both the signatures and the verification arrays
+            (1, "alpha beta gamma delta the end of this doc"),
+            (2, "alpha beta gamma delta the end of this doc"),
+            (3, "unrelated words appear here the end of this doc"),
+            (4, "alpha beta gamma epsilon the end of this doc"),
+        ],
+        "doc_id bigint, text string",
+    )
+    exact = {
+        (r.id1, r.id2): r.jaccard
+        for r in D.jaccard_pairs(docs, n=3, threshold=0.2, max_df=3).collect()
+    }
+    lsh = {
+        (r.id1, r.id2): r.jaccard
+        for r in D.minhash_lsh_pairs(docs, n=3, threshold=0.2, max_df=3).collect()
+    }
+    # banding may miss candidates but never invents or mis-scores one
+    assert lsh and all(exact.get(p) == j for p, j in lsh.items())
+    # identical post-filter docs always collide in every band
+    assert lsh.get((1, 2)) == 1.0
+    # without the guard, the boilerplate shingles alone push 1-3 over
+    # the threshold; with it they share nothing -> no 1-3 pair
+    assert (1, 3) not in lsh
+
+
 def test_minhash_signature_determinism(spark):
     s1 = D.minhash_signatures(_docs(spark)).collect()
     s2 = D.minhash_signatures(_docs(spark)).collect()
@@ -62,8 +97,28 @@ def test_simhash_identical_docs_equal(spark):
 
 def test_simhash_pairs_hamming(spark):
     sim = D.simhash(_docs(spark))
-    pairs = {(r.id1, r.id2): r.hamming for r in D.simhash_pairs(sim, max_hamming=5).collect()}
+    pairs = {(r.id1, r.id2): r.hamming for r in D.simhash_pairs(sim, max_hamming=3).collect()}
     assert pairs.get((1, 4)) == 0
+
+
+def test_simhash_pairs_rejects_lossy_banding(spark):
+    """max_hamming >= bands breaks the pigeonhole guarantee (a pair can
+    differ on every band and never bucket-collide) — the operator must
+    raise instead of silently losing recall; same for bits not
+    divisible by bands (orphan bits outside every band key)."""
+    import pytest
+
+    sim = D.simhash(_docs(spark))
+    with pytest.raises(ValueError, match="pigeonhole"):
+        D.simhash_pairs(sim, max_hamming=5, bits=32, bands=4)
+    with pytest.raises(ValueError, match="pigeonhole"):
+        D.simhash_pairs(sim, max_hamming=4, bits=32, bands=4)
+    with pytest.raises(ValueError, match="divisible"):
+        D.simhash_pairs(sim, max_hamming=3, bits=32, bands=5)
+    # the lossless boundary still works
+    assert D.simhash_pairs(sim, max_hamming=3, bits=32, bands=4).columns == [
+        "id1", "id2", "hamming",
+    ]
 
 
 # -- curation ---------------------------------------------------------
@@ -835,7 +890,7 @@ def test_tf_cosine_pairs_exact_values_and_hot_term_guard(spark):
     )
     out = {
         (r.id1, r.id2): (r.dot, r.cos_sim)
-        for r in tf_cosine_pairs(df, threshold=0.0).collect()
+        for r in tf_cosine_pairs(df, threshold=0.0, max_df=None).collect()
     }
     # identical docs: dot = 2*2 + 1*1 = 5, norms 5 -> cos 1.0
     assert out[(1, 2)] == (5, 1.0)
@@ -853,6 +908,14 @@ def test_tf_cosine_pairs_exact_values_and_hot_term_guard(spark):
         for r in tf_cosine_pairs(df, threshold=0.0, max_df=2).collect()
     }
     assert guarded == {(1, 2): (1, 1.0)}
+
+    # the hot-term guard is REQUIRED: omitting max_df entirely (the
+    # silent-quadratic-on-stopwords footgun) is a TypeError, not an
+    # unguarded join — opting out takes an explicit max_df=None
+    import pytest
+
+    with pytest.raises(TypeError):
+        tf_cosine_pairs(df, threshold=0.0)
 
 
 def test_redundancy_scores_counts_and_fraction(spark):

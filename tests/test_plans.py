@@ -132,6 +132,40 @@ def test_output_max_timestamp_unreadable_existing_output_raises(spark, tmp_path)
         inc.get_output_max_timestamp(spark, str(bad), "d")
 
 
+def test_output_max_timestamp_crashed_first_write_is_cold_start(spark, tmp_path):
+    """A directory holding only write-protocol droppings (_temporary/,
+    _SUCCESS, .spark-staging-*) is the footprint of a FIRST write that
+    crashed before committing any data file. That is a cold start
+    (return None), not an existing output: treating it as warm makes
+    spark.read raise 'unable to infer schema' on every retry until a
+    human deletes the dir."""
+    crashed = tmp_path / "crashed"
+    (crashed / "_temporary" / "0").mkdir(parents=True)
+    (crashed / ".spark-staging-xyz").mkdir()
+    assert inc.get_output_max_timestamp(spark, str(crashed), "d") is None
+
+
+def test_dataset_exists_vs_path_exists(spark, tmp_path):
+    """dataset_exists = path exists AND has >=1 non-hidden entry; a
+    partition-subdir layout counts as data, hidden-only dirs do not."""
+    assert not PH.dataset_exists(str(tmp_path / "missing"))
+    crashed = tmp_path / "crashed"
+    (crashed / "_temporary").mkdir(parents=True)
+    (crashed / "_SUCCESS").write_text("")
+    assert PH.path_exists(str(crashed))
+    assert not PH.dataset_exists(str(crashed))
+    # committed flat layout
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    (flat / "part-00000.parquet").write_text("x")
+    assert PH.dataset_exists(str(flat))
+    # committed partitioned layout: partition dir, data file nested
+    part = tmp_path / "part"
+    (part / "batch=3").mkdir(parents=True)
+    (part / "_SUCCESS").write_text("")
+    assert PH.dataset_exists(str(part))
+
+
 # -- reference param-stack edge cases (etl_utils_test.py:106-237) -----
 
 

@@ -637,6 +637,16 @@ def test_incremental_dedup_against_index(spark, tmp_path):
     assert sorted(r.doc_id for r in out2.collect()) == [10, 11, 13]
     assert spark.read.parquet(idx2).count() == 3
 
+    # crashed FIRST index write (dir exists but holds only _temporary/):
+    # must self-heal as a cold start — not wedge every retry on
+    # "unable to infer schema" until the dir is deleted by hand
+    idx3 = tmp_path / "crashed_index"
+    (idx3 / "_temporary" / "0").mkdir(parents=True)
+    out3 = dedup_against_index(batch, str(idx3), threshold=0.5)
+    assert sorted(r.doc_id for r in out3.collect()) == [10, 11, 13]
+    # the overwrite seeding replaced the droppings with a real index
+    assert spark.read.parquet(str(idx3)).count() == 3
+
 
 def test_gopher_filter_rules(spark):
     from yaetos_spark.operators.curation import gopher_filter

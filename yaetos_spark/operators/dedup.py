@@ -355,7 +355,26 @@ def minhash_lsh_pairs(
     persisted (it is consumed three times: two id branches + the
     verify join) — it is pair-count-sized, never corpus-sized.
     """
-    rows = shingle_rows(df, text_col, id_col, n, max_df)
+    rows = word_ngram_rows(df, text_col, id_col, n)
+    hot = None
+    if max_df:
+        # hot-shingle document frequencies must come from the FULL
+        # corpus — recomputing them over the candidate subset would
+        # change which shingles are dropped and thus the Jaccard
+        # values.  Computed ONCE and persisted (the frame is tiny —
+        # only shingles present in more than max_df docs) and shared
+        # by the signature path and the verification arrays: both must
+        # drop the IDENTICAL hot set, and without the shared persist
+        # each branch re-tokenizes and re-aggregates the whole corpus
+        # to recount it — a duplicate full-corpus shuffle.
+        hot = (
+            rows.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df_count"))
+            .filter(F.col("df_count") > max_df)
+            .select("shingle")
+            .persist()
+        )
+        rows = rows.join(hot, "shingle", "left_anti")
     sigs = _minhash_sigs_from_rows(rows, num_hashes)
     cands = lsh_candidates(sigs, num_hashes, bands).persist()
     cand_ids = (
@@ -365,16 +384,6 @@ def minhash_lsh_pairs(
     )
     cand_docs = df.join(cand_ids, id_col, "left_semi")
     if max_df:
-        # hot-shingle document frequencies must come from the FULL
-        # corpus — recomputing them over the candidate subset would
-        # change which shingles are dropped and thus the Jaccard values
-        full_rows = word_ngram_rows(df, text_col, id_col, n)
-        hot = (
-            full_rows.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("df_count"))
-            .filter(F.col("df_count") > max_df)
-            .select("shingle")
-        )
         arrs = (
             word_ngram_rows(cand_docs, text_col, id_col, n)
             .join(hot, "shingle", "left_anti")
@@ -442,7 +451,27 @@ def simhash(
 def simhash_pairs(sim: DataFrame, max_hamming: int = 3, bits: int = 32, bands: int = 4) -> DataFrame:
     """Candidate pairs with hamming(simhash) <= max_hamming via
     byte-band bucketing (a pair within distance ``bands-1`` must agree
-    on at least one band), then exact hamming verification."""
+    on at least one band), then exact hamming verification.
+
+    Raises when the pigeonhole guarantee does not hold for the given
+    (max_hamming, bands): with ``max_hamming >= bands`` a qualifying
+    pair can differ in every band and would be silently dropped —
+    raise, don't mislabel.  Same for ``bits % bands != 0``: the
+    remainder bits would belong to no band, so two signatures
+    differing only there would collide on every band yet the caller
+    likely believes all ``bits`` participate in banding."""
+    if max_hamming >= bands:
+        raise ValueError(
+            f"simhash_pairs: max_hamming={max_hamming} with bands={bands} breaks "
+            f"the pigeonhole guarantee (a pair differing in {max_hamming} bits can "
+            f"disagree on all {bands} bands and would be silently missed); need "
+            f"max_hamming <= bands - 1 — raise bands or verify all pairs exactly."
+        )
+    if bits % bands != 0:
+        raise ValueError(
+            f"simhash_pairs: bits={bits} is not divisible by bands={bands}; the "
+            f"top {bits % bands} bits would be excluded from every band key."
+        )
     r = bits // bands
     mask = (1 << r) - 1
     band_cols = [
@@ -674,13 +703,13 @@ def dedup_against_index(
     # localCheckpoint: the signature agg is reused by candidates AND the
     # index append, and truncating here keeps the estimate join flat
     new_sigs = new_sigs.localCheckpoint(eager=True)
-    from yaetos_spark.plans.paths import path_exists
+    from yaetos_spark.plans.paths import dataset_exists
 
     # cold start = the index path does not exist, checked EXPLICITLY
     # (local or hadoop FS) — never inferred from a failed read, which
     # would also swallow permission/corruption/transient errors and
     # silently skip cross-corpus dedup ("raise, don't mislabel")
-    have_index = path_exists(index_dir, spark)
+    have_index = dataset_exists(index_dir, spark)
     if have_index:
         old_sigs = spark.read.parquet(index_dir)
 

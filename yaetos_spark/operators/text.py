@@ -324,7 +324,8 @@ def tf_cosine_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.5,
-    max_df: int | None = None,
+    *,
+    max_df: int | None,
 ) -> DataFrame:
     """Document-pair cosine similarity over term-frequency vectors via
     an INVERTED TERM INDEX — the sparse-similarity shape that scales:
@@ -344,7 +345,11 @@ def tf_cosine_pairs(
     ``max_df`` drops terms appearing in more than that many docs
     BEFORE the self-join — the hot-key guard bounding join fan-out at
     sum(df^2) <= max_df * index_size (same idea as the hot-shingle
-    guard in dedup). Norms are computed AFTER the drop so the cosine
+    guard in dedup). It is REQUIRED (keyword-only, no default): on a
+    real corpus, stopwords make the unguarded self-join quadratic in
+    the hottest term, so skipping the guard must be an explicit
+    decision — pass ``max_df=None`` to opt out on a corpus known to be
+    small. Norms are computed AFTER the drop so the cosine
     is exactly the cosine of the filtered vectors. The self-join and
     the norm joins are merge-hinted: the term rows hang off a Generate
     (explode of split), so their Catalyst size estimate is the pruned

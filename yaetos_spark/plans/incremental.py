@@ -46,9 +46,9 @@ def get_output_max_timestamp(spark, path: str, inc_field: str, output_type: str 
     error would silently re-process the full history INTO the existing
     output — duplicated data, the worst failure mode an incremental
     pipeline has. Raise instead ("raise, don't mislabel")."""
-    from yaetos_spark.plans.paths import path_exists
+    from yaetos_spark.plans.paths import dataset_exists
 
-    if not path_exists(path, spark):
+    if not dataset_exists(path, spark):
         return None
     if output_type == "csv":
         prev = spark.read.option("header", True).csv(path)

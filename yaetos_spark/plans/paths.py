@@ -65,6 +65,30 @@ def path_exists(path: str, spark=None) -> bool:
     return os.path.exists(path)
 
 
+def dataset_exists(path: str, spark=None) -> bool:
+    """True iff ``path`` exists AND holds at least one non-hidden entry
+    (a data file or a partition subdirectory).
+
+    The distinction from :func:`path_exists` matters for cold-start
+    detection: a write that crashes after creating the directory but
+    before committing any data file leaves only ``_temporary/`` /
+    ``.spark-staging-*`` / ``_SUCCESS`` droppings. ``path_exists`` calls
+    that a warm start, the subsequent ``spark.read.parquet`` raises
+    "unable to infer schema", and every retry fails the same way until
+    a human deletes the directory — a permanent wedge from a transient
+    crash. Listing the directory (one cheap FS call) and ignoring
+    ``_``/``.``-prefixed names classifies that footprint as the cold
+    start it really is, while a FAILED READ of a dir that does contain
+    data files still raises (never swallowed — "raise, don't
+    mislabel")."""
+    if not path_exists(path, spark):
+        return False
+    return any(
+        not name.startswith(("_", "."))
+        for name in list_file_names(path, spark)
+    )
+
+
 def list_file_names(path: str, spark=None) -> list[str]:
     """Base names of the entries directly under ``path`` (files and
     dirs), local or hadoop FS; [] when the path does not exist."""

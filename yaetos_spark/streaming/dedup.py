@@ -38,7 +38,7 @@ from yaetos_spark.operators.dedup import (
     filter_against_signatures,
     minhash_signatures,
 )
-from yaetos_spark.plans.paths import list_file_names, path_exists
+from yaetos_spark.plans.paths import dataset_exists, list_file_names
 
 BATCH_COL = "_batch_id"
 
@@ -102,7 +102,7 @@ def dedup_batch_exactly_once(
     # same standard as graph.py's non-convergence guard). A failed
     # read of an EXISTING index now fails the batch, and the stream's
     # at-least-once retry re-runs it.
-    have_index = path_exists(index_dir, spark)
+    have_index = dataset_exists(index_dir, spark)
     if have_index:
         old_sigs = spark.read.parquet(index_dir).where(
             F.col(BATCH_COL) != int(batch_id)
