@@ -693,6 +693,39 @@ def test_connected_components_star_equals_min_label(spark, case):
     star = {r.node: r.comp for r in connected_components_star(edges).collect()}
     minlabel = {r.node: r.comp for r in connected_components(edges).collect()}
     assert star == minlabel
+    # the skew_robust phases (partial-agg groupBy + join instead of
+    # whole-group windows) are a pure physical-plan swap — identical
+    # (node, comp) map on any graph
+    robust = {
+        r.node: r.comp
+        for r in connected_components_star(edges, skew_robust=True).collect()
+    }
+    assert robust == star
+
+
+def test_connected_components_star_skew_robust_on_stars(spark):
+    """Both phase implementations on the two adversarial-skew shapes:
+    a root-hub star (every edge's min endpoint is the hub — the
+    late-round contraction shape) and a reverse star (hub is the MAX
+    id, so small-star receives the whole component in one group)."""
+    from yaetos_spark.operators.graph import connected_components_star
+
+    hub_root = spark.createDataFrame(
+        [(0, i) for i in range(1, 200)], "id1 long, id2 long"
+    )
+    hub_max = spark.createDataFrame(
+        [(i, 500) for i in range(200)], "id1 long, id2 long"
+    )
+    for g, expect in [
+        (hub_root, {i: 0 for i in range(200)}),
+        (hub_max, {i: 0 for i in list(range(200)) + [500]}),
+    ]:
+        for robust in (False, True):
+            got = {
+                r.node: r.comp
+                for r in connected_components_star(g, skew_robust=robust).collect()
+            }
+            assert got == expect, (robust, len(got))
 
 
 def test_connected_components_star_long_chain(spark):

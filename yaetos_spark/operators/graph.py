@@ -117,6 +117,7 @@ def connected_components_star(
     src: str = "id1",
     dst: str = "id2",
     max_iter: int = 50,
+    skew_robust: bool = False,
 ) -> DataFrame:
     """Connected components by alternating large-star / small-star
     contraction (Kiveris et al., "Connected Components in MapReduce and
@@ -159,6 +160,29 @@ def connected_components_star(
     unchanged count means nothing collapsed. Equal (count, sum) ⇒ the
     canonical edge set is unchanged ⇒ fixed point — the same monotone
     argument as the min-label operator's label-sum probe above.
+
+    ``skew_robust``: the default phases are WINDOW aggregates
+    (min-over-group stays attached to the rows in one shuffle), which
+    is the fastest plan on bounded-degree graphs — measured on 2M-edge
+    chains at local[32]: window phases 31 s vs 50 s for
+    groupBy+join large-star vs 120 s for groupBy+join both. But a
+    window partition cannot be split: every row of a group lands in
+    ONE task, and late contraction rounds concentrate each component's
+    entire membership around its root, so a 10^8-10^9-member component
+    makes that task a straggler (WindowExec spills rather than OOMs,
+    but a single-task sort of 10^9 rows is minutes-to-hours that AQE
+    cannot parallelize). ``skew_robust=True`` switches BOTH phases to
+    partial-aggregating ``groupBy().agg(min)`` + equi-join back: the
+    min is combined map-side (a hub group reduces to one row per input
+    partition before the shuffle) and the re-attach join is an
+    equi-join AQE can skew-split. Measured on deliberately skewed
+    star graphs (every node in one group): parity at 2M and 20M
+    members (±25%, host noise) — the robustness costs nothing there
+    and only the bounded-degree fast path pays the extra exchanges.
+    Use it for power-law graphs (web links, social followers) where
+    single components of 10^8+ nodes are expected; leave the default
+    for near-dup clusters, event chains, and other bounded-skew
+    topologies.
     """
     raw = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     # domain = every node appearing in edges, INCLUDING ones whose only
@@ -213,13 +237,26 @@ def connected_components_star(
         sym = cur.select(F.col("lo").alias("u"), F.col("hi").alias("v")).unionByName(
             cur.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
         )
-        wu = Window.partitionBy("u")
-        ls = (
-            sym.withColumn("m", F.least(F.min("v").over(wu), F.col("u")))
-            .where(F.col("v") > F.col("u"))
-            .select(F.col("m").alias("lo"), F.col("v").alias("hi"))
-            .where(F.col("lo") != F.col("hi"))
-        )
+        if skew_robust:
+            # partial-aggregating min + skew-splittable equi-join back
+            mins_u = sym.groupBy("u").agg(F.min("v").alias("_mn"))
+            ls = (
+                sym.join(mins_u, "u")
+                .where(F.col("v") > F.col("u"))
+                .select(
+                    F.least(F.col("_mn"), F.col("u")).alias("lo"),
+                    F.col("v").alias("hi"),
+                )
+                .where(F.col("lo") != F.col("hi"))
+            )
+        else:
+            wu = Window.partitionBy("u")
+            ls = (
+                sym.withColumn("m", F.least(F.min("v").over(wu), F.col("u")))
+                .where(F.col("v") > F.col("u"))
+                .select(F.col("m").alias("lo"), F.col("v").alias("hi"))
+                .where(F.col("lo") != F.col("hi"))
+            )
         # -- small-star: direct every edge from its larger endpoint;
         #    group by that endpoint, attach it and every smaller
         #    neighbor to the minimum of the set. One ordered window
@@ -229,18 +266,28 @@ def connected_components_star(
         #    minimum, row_number still fires once per group, and the
         #    final distinct removes duplicate outputs — dropping the
         #    intermediate distinct saves a full (lo, hi) shuffle.
-        wh = Window.partitionBy("hi").orderBy("lo")
-        whf = wh.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-        tagged = ls.select(
-            "lo",
-            "hi",
-            F.first("lo").over(whf).alias("m"),
-            F.row_number().over(wh).alias("rn"),
-        )
-        ss_nbrs = tagged.select(F.col("m").alias("lo"), F.col("lo").alias("hi"))
-        ss_self = tagged.where(F.col("rn") == 1).select(
-            F.col("m").alias("lo"), F.col("hi")
-        )
+        if skew_robust:
+            # the group-min frame doubles as the root self-attach rows
+            mins_h = ls.groupBy("hi").agg(F.min("lo").alias("m"))
+            ss_nbrs = ls.join(mins_h, "hi").select(
+                F.col("m").alias("lo"), F.col("lo").alias("hi")
+            )
+            ss_self = mins_h.select(F.col("m").alias("lo"), F.col("hi"))
+        else:
+            wh = Window.partitionBy("hi").orderBy("lo")
+            whf = wh.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+            tagged = ls.select(
+                "lo",
+                "hi",
+                F.first("lo").over(whf).alias("m"),
+                F.row_number().over(wh).alias("rn"),
+            )
+            ss_nbrs = tagged.select(F.col("m").alias("lo"), F.col("lo").alias("hi"))
+            ss_self = tagged.where(F.col("rn") == 1).select(
+                F.col("m").alias("lo"), F.col("hi")
+            )
         new = (
             ss_nbrs.unionByName(ss_self)
             .where(F.col("lo") != F.col("hi"))
