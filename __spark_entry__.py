@@ -2350,6 +2350,15 @@ def _incremental_dedup_survivors(spark, sf_dir):
     b2 = docs.where(F.col("doc_id") % 2 == 1)
     w1 = drop_near_duplicates(b1, n=_NGRAM_N, threshold=_JACCARD_THRESHOLD)
     w2 = drop_near_duplicates(b2, n=_NGRAM_N, threshold=_JACCARD_THRESHOLD)
+    # each survivor frame is consumed twice (signature derivation +
+    # the output union / cross-batch filter), and each is the output
+    # of a full jaccard+CC+anti-join pipeline — checkpoint so that
+    # pipeline runs ONCE per batch, not once per reference. Survivor
+    # rows are one row per doc (batch-sized), never the tokenized
+    # corpus. Measured (r9, interleaved medians): sf0.1 7.87→6.71s,
+    # 10x replica 19.02→17.40s, identical output.
+    w1 = w1.localCheckpoint(eager=True)
+    w2 = w2.localCheckpoint(eager=True)
     s1 = minhash_signatures(w1, n=_NGRAM_N, num_hashes=_MINHASH_K)
     s2 = minhash_signatures(w2, n=_NGRAM_N, num_hashes=_MINHASH_K)
     surv2 = filter_against_signatures(
@@ -5100,6 +5109,12 @@ _VERIFY_NEXT = [
     #
     # r9 changed-code entries are appended below as this round's work
     # lands; clear each once the driver re-verifies it.
+    #
+    # r9: the two survivor frames are now localCheckpoint'ed so the
+    # within-batch dedup pipeline runs once per batch instead of once
+    # per reference (measured sf0.1 7.87->6.71s, 10x 19.02->17.40s,
+    # identical rows) — the r8 verdict describes the old plan.
+    "incremental_dedup_survivors",
 ]
 
 # New queries pushed BEHIND the verdict-bearing order for ONE specific

@@ -698,6 +698,12 @@ def dedup_against_index(
     """
     spark = new_docs.sparkSession
     within = drop_near_duplicates(new_docs, text_col, id_col, n, threshold)
+    # the survivor frame feeds the signature derivation AND the
+    # cross-corpus filter (and through it the returned rows) — without
+    # a checkpoint the whole within-batch jaccard+CC+anti-join pipeline
+    # re-executes per reference. One row per surviving doc: batch-
+    # sized, never the tokenized corpus.
+    within = within.localCheckpoint(eager=True)
 
     new_sigs = minhash_signatures(within, text_col, id_col, n, num_hashes)
     # localCheckpoint: the signature agg is reused by candidates AND the
