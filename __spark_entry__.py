@@ -5125,15 +5125,14 @@ _VERIFY_NEXT = [
 # window) — no manual edit needed, and the window-manifest age alarm
 # is only suppressed for the one round the deferral names.
 _DEFER_ONCE: dict[str, int] = {
-    # r7: added with the streaming-dedup work; the r7 window was
-    # exactly 45 stalest-r4 + 4 unique-changed-path + chain_components
-    # = 50. Expired at r8 (kept for the audit trail): the query enters
-    # the r8 window for its first driver verdict.
-    "incremental_dedup_survivors": 7,
-    # r8: the r8 window is exactly full (44 stalest-r5 + 3 verdict-less
-    # + 3 _VERIFY_NEXT = 50), so these two new queries wait one round;
-    # the r9 stalest cohort is ~45 r6 verdicts, leaving room. Both pass
-    # the builder's oracle at sf0.001/0.01/0.1 on this tree.
+    # (r7's incremental_dedup_survivors entry deleted after its r8
+    # verdict landed — an expired entry is inert, but the table should
+    # only carry rows whose query still lacks a verdict.)
+    #
+    # r8: the r8 window was exactly full (44 stalest-r5 + 3 verdict-less
+    # + 3 _VERIFY_NEXT = 50), so these two new queries waited one round;
+    # expired at r9 (kept until their first verdict lands): both enter
+    # the r9 window as verdict-less queries.
     "tfcosine_doc_pairs": 8,
     "doc_redundancy_scores": 8,
 }
