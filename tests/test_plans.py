@@ -164,6 +164,12 @@ def test_dataset_exists_vs_path_exists(spark, tmp_path):
     (part / "batch=3").mkdir(parents=True)
     (part / "_SUCCESS").write_text("")
     assert PH.dataset_exists(str(part))
+    # underscore-named partition COLUMN (the streaming dedup index is
+    # partitioned by _batch_id): `_x=v` is data per Spark's own
+    # visibility rule, not a hidden write-protocol entry
+    upart = tmp_path / "upart"
+    (upart / "_batch_id=0").mkdir(parents=True)
+    assert PH.dataset_exists(str(upart))
 
 
 # -- reference param-stack edge cases (etl_utils_test.py:106-237) -----

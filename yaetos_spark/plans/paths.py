@@ -80,11 +80,21 @@ def dataset_exists(path: str, spark=None) -> bool:
     ``_``/``.``-prefixed names classifies that footprint as the cold
     start it really is, while a FAILED READ of a dir that does contain
     data files still raises (never swallowed — "raise, don't
-    mislabel")."""
+    mislabel").
+
+    "Hidden" here is exactly Spark's own path-visibility rule
+    (HadoopFsUtils.shouldFilterOutPathName): a name starting with ``.``,
+    or starting with ``_`` WITHOUT containing ``=`` — a partition
+    directory like ``_batch_id=3`` is data even though it starts with
+    an underscore (the streaming dedup index is laid out exactly like
+    that), while ``_temporary`` / ``_SUCCESS`` are not."""
     if not path_exists(path, spark):
         return False
     return any(
-        not name.startswith(("_", "."))
+        not (
+            name.startswith(".")
+            or (name.startswith("_") and "=" not in name)
+        )
         for name in list_file_names(path, spark)
     )
 
