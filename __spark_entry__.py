@@ -2310,12 +2310,15 @@ def _chain_components(spark, sf_dir):
     return connected_components_star(edges).select("node", "comp")
 
 
-_CHAIN_COMPONENTS_SQL = """
+def _chain_components_sql(where_clause: str = "") -> str:
+    # parameterized like _simhash_oracle: derived oracles state their
+    # subset predicate explicitly instead of text-patching the SQL
+    return f"""
 WITH RECURSIVE
 ordered AS (
   SELECT event_id,
          lag(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
-  FROM events
+  FROM events {where_clause}
 ),
 edges AS (SELECT prev AS a, event_id AS b FROM ordered WHERE prev IS NOT NULL),
 sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
@@ -2326,6 +2329,38 @@ reach(node, r) AS (
 )
 SELECT node, min(r) AS comp FROM reach GROUP BY node
 """
+
+
+_CHAIN_COMPONENTS_SQL = _chain_components_sql()
+
+_CHAIN_ROBUST_USER_MOD = 4
+
+
+def _chain_components_robust(spark, sf_dir):
+    """The skew_robust star-CC phases (r9: partial-aggregating
+    groupBy+join instead of whole-group windows — the mode for
+    power-law graphs whose hub components would straggle a window
+    task) on real data, value-checked against the same recursive-CTE
+    contract as `chain_components`. Runs on the deterministic
+    user_id % {mod} == 0 subset: per-user chains are whole components,
+    so subsetting by user keeps every component intact while keeping
+    the oracle's transitive closure small. Identical (node, comp)
+    semantics to the default mode is ALSO property-tested
+    (test_connected_components_star_equals_min_label); this query gets
+    the driver to grade the robust plan itself."""
+    from yaetos_spark.operators.graph import connected_components_star
+
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("user_id") % _CHAIN_ROBUST_USER_MOD == 0
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        ev.select("user_id", "ts", "event_id")
+        .withColumn("prev", F.lag("event_id").over(w))
+        .where(F.col("prev").isNotNull())
+        .select(F.col("prev").alias("id1"), F.col("event_id").alias("id2"))
+    )
+    return connected_components_star(edges, skew_robust=True).select("node", "comp")
 
 
 def _incremental_dedup_survivors(spark, sf_dir):
@@ -5400,6 +5435,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- new in round 8, deferred to the r9 window (_DEFER_ONCE[..]=8) ----
         "tfcosine_doc_pairs": _tfcosine_doc_pairs,
         "doc_redundancy_scores": _doc_redundancy_scores,
+        # ---- new in round 9 (no verdict yet -> sort most-stale, enter window) ----
+        "chain_components_robust": _chain_components_robust,
     }
     return _rotate_stalest_first(base)
 
@@ -5515,6 +5552,9 @@ def oracle_sql() -> dict[str, str]:
         "value_histogram": _HISTOGRAM_SQL,
         "dedup_clusters": _dedup_clusters_oracle(),
         "chain_components": _CHAIN_COMPONENTS_SQL,
+        "chain_components_robust": _chain_components_sql(
+            where_clause=f"WHERE user_id % {_CHAIN_ROBUST_USER_MOD} = 0"
+        ),
         "incremental_dedup_survivors": _incremental_dedup_oracle(),
         "near_dup_survivors": _near_dup_survivors_oracle(),
         "forecast_revenue": _FORECAST_SQL,
