@@ -172,6 +172,21 @@ def test_dataset_exists_vs_path_exists(spark, tmp_path):
     assert PH.dataset_exists(str(upart))
 
 
+def test_dataset_exists_hadoop_fs_branch_via_file_scheme(spark, tmp_path):
+    """Same verdicts through the JVM Hadoop FileSystem branch (a
+    file:// URI), which is what s3a/hdfs paths hit in production."""
+    crashed = tmp_path / "crashed"
+    (crashed / "_temporary" / "0").mkdir(parents=True)
+    assert PH.path_exists(f"file://{crashed}", spark)
+    assert not PH.dataset_exists(f"file://{crashed}", spark)
+    part = tmp_path / "part"
+    (part / "_batch_id=7").mkdir(parents=True)
+    assert PH.dataset_exists(f"file://{part}", spark)
+    assert not PH.dataset_exists(f"file://{tmp_path}/missing", spark)
+    with pytest.raises(ValueError):
+        PH.dataset_exists(f"file://{part}")  # remote scheme needs a session
+
+
 # -- reference param-stack edge cases (etl_utils_test.py:106-237) -----
 
 

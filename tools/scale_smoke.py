@@ -65,6 +65,9 @@ SMOKE_QUERIES = [
     # exists for — rounds grow logarithmically while per-round work
     # grows linearly
     "chain_components",
+    # r9: the skew_robust phase mode (partial-agg groupBy+join) on the
+    # same growth direction — evidence the robust plan scales too
+    "chain_components_robust",
     # pair-generating dedup + similarity paths
     "minhash_lsh_pairs",
     "simhash_docs",
