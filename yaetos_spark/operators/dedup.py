@@ -136,8 +136,13 @@ def jaccard_pairs(
     """
     if max_df:
         # the hot-shingle filter changes per-doc shingle counts, so
-        # sizes must be recounted AFTER the filter — explicit path
-        rows = shingle_rows(df, text_col, id_col, n, max_df)
+        # sizes must be recounted AFTER the filter — explicit path.
+        # Persisted like the fused path below: the frame feeds BOTH
+        # self-join sides and the sizes aggregation, and each lazy
+        # reference would otherwise re-run the full-corpus tokenize
+        # AND the hot-shingle df-count aggregation (the same
+        # duplicate-work class fixed in minhash_lsh_pairs this round).
+        rows = shingle_rows(df, text_col, id_col, n, max_df).persist()
         sizes = rows.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
         a, b = rows.alias("a"), rows.hint("merge").alias("b")
         inter = (
