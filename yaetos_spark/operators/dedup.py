@@ -16,7 +16,7 @@ Scale design notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from yaetos_spark.functions.hashing import normalize_text, stable_fingerprint
@@ -39,14 +39,23 @@ def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
 
 
 def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Keep one row (min id) per exact text fingerprint. Single shuffle
-    on the fingerprint; survives any scale."""
-    w = Window.partitionBy(stable_fingerprint(text_col)).orderBy(F.col(id_col))
-    return (
-        df.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+    """Keep one row (min id) per exact text fingerprint.
+
+    One PARTIAL-AGGREGATING shuffle: ``min_by(struct(*cols), id)`` per
+    fingerprint combines map-side, so each partition contributes at
+    most one row per fingerprint to the shuffle. The textbook
+    ``row_number() over (partition by fp)`` ships EVERY row to the
+    fingerprint's single window task — and the hot fingerprint is
+    exactly what exact dedup exists to find (a boilerplate/empty doc
+    duplicated 10^8 times across a web corpus makes that task the
+    job), so the window formulation fails precisely on the operator's
+    target input. Column order and types are preserved."""
+    packed = df.groupBy(stable_fingerprint(text_col).alias("_fp")).agg(
+        F.min_by(
+            F.struct(*[F.col(c) for c in df.columns]), F.col(id_col)
+        ).alias("_row")
     )
+    return packed.select("_row.*")
 
 
 def normalized_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
