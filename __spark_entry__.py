@@ -3221,7 +3221,8 @@ WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice)
 
 def _latest_events(spark, sf_dir):
     """CDC compaction: latest event per user (merge.py:
-    latest_snapshot — row_number over ts desc). Event timestamps are
+    latest_snapshot — max_by over (ts, row-hash), map-side combining
+    so a hot key never concentrates in one task). Event timestamps are
     unique per user in the testdata, so the pick is deterministic."""
     from yaetos_spark.operators.merge import latest_snapshot
 
@@ -5150,6 +5151,10 @@ _VERIFY_NEXT = [
     # per reference (measured sf0.1 7.87->6.71s, 10x 19.02->17.40s,
     # identical rows) — the r8 verdict describes the old plan.
     "incremental_dedup_survivors",
+    # r9: latest_snapshot rewritten from a row_number window to a
+    # map-side-combining max_by aggregate (hot-key safety; same
+    # deterministic winner) — the r8 verdict describes the old plan.
+    "latest_events",
 ]
 
 # New queries pushed BEHIND the verdict-bearing order for ONE specific

@@ -17,17 +17,27 @@ def latest_snapshot(df: DataFrame, keys: list[str], order_col: str) -> DataFrame
     """One row per key — the one with the greatest ``order_col``. Ties
     on order_col break by xxhash64 of the full row, which is a pure
     function of the row's values: the same winner on every run and
-    every partitioning (a bare desc(order_col) row_number would pick
+    every partitioning (a bare max-of-order_col pick would keep
     whichever tied row the shuffle delivered first, breaking batch-
-    replay idempotence downstream). The classic CDC-compaction step."""
-    w = Window.partitionBy(*keys).orderBy(
-        F.desc(order_col), F.desc(F.xxhash64(*[F.col(c) for c in df.columns]))
+    replay idempotence downstream). The classic CDC-compaction step.
+
+    ``max_by(struct(*cols), (order_col, tiebreak))`` instead of the
+    textbook ``row_number() over (partition by keys order by ...)``:
+    the aggregate combines MAP-SIDE, so each partition contributes at
+    most one row per key to the single shuffle, where the window ships
+    every version of a key to one task — and a hot key (an entity
+    updated 10^8 times in a CDC stream) makes that task the job.
+    Struct comparison is lexicographic, so max over
+    (order_col, xxhash64) picks exactly the row the desc/desc window
+    ordering picked; column order and types are preserved."""
+    ord_key = F.struct(
+        F.col(order_col).alias("_o"),
+        F.xxhash64(*[F.col(c) for c in df.columns]).alias("_tb"),
     )
-    return (
-        df.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+    packed = df.groupBy(*[F.col(k) for k in keys]).agg(
+        F.max_by(F.struct(*[F.col(c) for c in df.columns]), ord_key).alias("_row")
     )
+    return packed.select("_row.*")
 
 
 def upsert(existing: DataFrame, updates: DataFrame, keys: list[str]) -> DataFrame:
