@@ -9,7 +9,8 @@ yaetos/libs/analysis_toolkit/compare_pandas_dfs.py:6-97) — rebuilt on
 DataFrame ops so they distribute.
 
 Scale notes: check_pk is two aggregations over one shuffle each;
-identify_non_unique_pks is one shuffle (window by key). The exact
+identify_non_unique_pks is a map-side-combining groupBy-count joined
+back to the rows (a window by key would single-task a hot PK). The exact
 compare uses ``exceptAll`` both ways (hash-based set difference — no
 driver-side hashing of the whole dataset like the reference's
 sha256-over-pandas). The fuzzy compare is a single full-outer join on
@@ -18,7 +19,7 @@ the PK, all per-column deltas evaluated JVM-side.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -32,9 +33,21 @@ def check_pk(df: DataFrame, pks: list[str]) -> bool:
 
 def identify_non_unique_pks(df: DataFrame, pks: list[str]) -> DataFrame:
     """Rows whose PK occurs more than once (reference:
-    yaetos/spark_utils.py:16-21)."""
-    w = Window.partitionBy(*[F.col(c) for c in pks])
-    return df.withColumn("_pk_count", F.count(F.lit(1)).over(w)).filter(F.col("_pk_count") >= 2)
+    yaetos/spark_utils.py:16-21).
+
+    groupBy-count + equi-join back, not a count-over-window: the
+    window ships every row of a PK group to ONE task, and a
+    pathologically duplicated key (a null-ish default value repeated
+    10^9 times) is exactly what this diagnostic exists to find — the
+    groupBy combines map-side and AQE can skew-split the join probe,
+    so the hot key distributes. Output rows and column order are
+    identical to the window formulation."""
+    counts = (
+        df.groupBy(*[F.col(c) for c in pks])
+        .agg(F.count(F.lit(1)).alias("_pk_count"))
+        .filter(F.col("_pk_count") >= 2)
+    )
+    return df.join(counts, pks, "inner").select(*df.columns, "_pk_count")
 
 
 def datasets_equal(df1: DataFrame, df2: DataFrame) -> bool:
