@@ -230,6 +230,20 @@ def test_winnow_overlap_pairs(spark):
     assert all(3 not in p for p in pairs)
 
 
+def test_winnow_overlap_hot_fingerprint_guard(spark):
+    # a fingerprint present in > max_doc_freq docs contributes NO pairs
+    # (boilerplate guard); rare fingerprints still pair up
+    fps = spark.createDataFrame(
+        [(d, 111) for d in range(1, 6)] + [(1, 222), (2, 222)],
+        "doc_id bigint, fingerprint bigint",
+    )
+    pairs = {
+        (r.id_a, r.id_b): r.n_shared
+        for r in TX.winnow_overlap_pairs(fps, min_shared=1, max_doc_freq=4).collect()
+    }
+    assert pairs == {(1, 2): 1}  # 111 (5 docs > 4) dropped; 222 kept
+
+
 def test_winnow_short_doc_single_window(spark):
     # fewer than `window` k-grams -> exactly one fingerprint (min of all)
     df = spark.createDataFrame([(1, "abcdefghi")], "doc_id bigint, text string")

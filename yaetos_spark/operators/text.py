@@ -9,7 +9,7 @@ documents: every operator is a narrow projection — zero shuffles.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from yaetos_spark.functions.hashing import normalize_text, stable_fingerprint
@@ -226,19 +226,32 @@ def winnow_overlap_pairs(
     documents (boilerplate phrases) are dropped BEFORE the self-join —
     this bounds the per-key fan-out to max_doc_freq^2 and removes the
     join skew that common substrings would otherwise cause at corpus
-    scale. One window count + one equi-join shuffle on fingerprint +
-    one pair aggregation.
+    scale. The document frequency itself comes from a PARTIAL-
+    AGGREGATING groupBy (map-side combine: one row per fingerprint per
+    partition reaches the shuffle), not ``count(*) over
+    Window.partitionBy("fingerprint")`` — the window form buffers
+    EVERY row of a fingerprint in one unsplittable task, and the
+    hottest fingerprint (boilerplate shared by 10^8 docs at corpus
+    scale) is exactly what the guard exists to drop, so the window
+    formulation fails precisely on the operator's target input (same
+    hazard class as the min_by exact-dedup fix). The hot set is small
+    (bounded by fp_rows / max_doc_freq) and anti-joined back, the
+    jaccard hot-shingle pattern (dedup.py max_df guard).
+
+    ``fps`` is persisted for the job's lifetime (the window plan
+    persisted the post-filter ``rare`` rows — same storage class:
+    (id, long) fingerprint rows, never document text): it is consumed
+    by the count branch AND by both self-join sides, and without the
+    persist each consumer would re-fingerprint the corpus.
     """
-    w = Window.partitionBy("fingerprint")
-    rare = (
-        fps.withColumn("_dfreq", F.count("*").over(w))
-        .where(F.col("_dfreq") <= max_doc_freq)
-        .drop("_dfreq")
+    fps = fps.persist()
+    hot = (
+        fps.groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("_dfreq"))
+        .where(F.col("_dfreq") > max_doc_freq)
+        .select("fingerprint")
     )
-    # job-lifetime persist (minhash/jaccard pattern): when AQE picks a
-    # broadcast join for the self-join, the two sides stop sharing the
-    # window's exchange and the corpus would be fingerprinted twice.
-    rare = rare.persist()
+    rare = fps.join(hot, "fingerprint", "left_anti")
     # merge hint: fingerprint rows are ~tokens/window per doc — data-
     # proportional — but their estimate is anchored to the Generate's
     # child, so the planner would broadcast them at any corpus size
