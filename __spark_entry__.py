@@ -5155,6 +5155,15 @@ _VERIFY_NEXT = [
     # map-side-combining max_by aggregate (hot-key safety; same
     # deterministic winner) — the r8 verdict describes the old plan.
     "latest_events",
+    # r9: winnow_overlap_pairs' doc-frequency guard was rewritten
+    # (window count -> partial-aggregating groupBy + hot-set anti-join,
+    # wall-parity A/B in COVERAGE.md) but is NOT forced here: the r9
+    # window exactly fits the full 46-query r6-verified cohort plus the
+    # two verdict-less new queries and the two entries above, so a
+    # forced slot would push an r6 verdict to age 3.  Its last pass is
+    # r7, so it enters the r10 window by ordinary staleness rotation —
+    # one round later, with the sf0.01+sf0.1 oracle re-checks recorded
+    # in COVERAGE.md standing in until then.
 ]
 
 # New queries pushed BEHIND the verdict-bearing order for ONE specific
