@@ -401,17 +401,34 @@ def dedup_corpus_lines(
     Returns ``(id_col, text_clean, n_kept, n_removed)``.
 
     Scale shape: posexplode lines (narrow) → distinct (line, doc) →
-    count per line → the HOT-line frame is only the lines above the
-    threshold (tiny vs the corpus) and broadcasts into an anti-join;
-    reassembly is one groupBy(doc) with sort_array over (pos, line)
-    structs, so no window and no single-partition stage.  The count
-    uses two-phase distinct aggregation (map-side partials) — the one
-    full-corpus shuffle is on the line hash, as it must be.
+    count per line → HOT-line set (only the lines above the threshold)
+    → ONE left join marking each line hot/kept → ONE groupBy(doc)
+    producing the reassembled text (sort_array over (pos, line)
+    structs — ``collect_list`` skips the null structs the hot lines
+    map to) and both counters as conditional counts.  No window, no
+    single-partition stage, and the corpus is exploded exactly once at
+    runtime (``lines`` is persisted and shared by the count branch and
+    the marker join; the old anti-join + semi-join + base-join shape
+    evaluated it three times).  Every doc has >= 1 line row (split("")
+    yields [""]), so no outer join against ``docs`` is needed to keep
+    fully-boilerplate or empty docs in the output.
+
+    The hot set is NOT force-broadcast: it is threshold-filtered but
+    data-dependent — at corpus scale "every line occurring in >=
+    min_docs docs" can exceed driver memory, and a hard ``F.broadcast``
+    would collect it regardless.  It is persisted instead so AQE picks
+    broadcast from its MATERIALIZED size when it is genuinely small and
+    a shuffle join when it is not (the minhash/jaccard hot-set
+    pattern); hot line keys are high-frequency on the lines side, and
+    AQE skew-split handles them in the shuffle regime.
     """
     lines = docs.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), delimiter)).alias("_pos", "_line"),
     ).withColumn("_key", F.trim(F.col("_line")))
+    # job-lifetime persist: (id, pos, line) rows — the exploded corpus
+    # is computed once and read back by both consumers below
+    lines = lines.persist()
 
     hot = (
         lines.where(F.col("_key") != "")
@@ -420,46 +437,30 @@ def dedup_corpus_lines(
         .groupBy("_key")
         .agg(F.count(F.lit(1)).alias("_docs"))
         .where(F.col("_docs") >= min_docs)
-        .select("_key")
+        .select("_key", F.lit(True).alias("_hot"))
+        .persist()
     )
 
-    kept = lines.join(F.broadcast(hot), "_key", "left_anti")
-    removed = lines.join(F.broadcast(hot), "_key", "left_semi")
-
-    reassembled = (
-        kept.groupBy(id_col)
-        .agg(
-            F.concat_ws(
-                delimiter,
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct(F.col("_pos"), F.col("_line")))
-                    ),
-                    lambda s: s["_line"],
+    marked = lines.join(hot, "_key", "left").withColumn(
+        "_is_hot", F.coalesce(F.col("_hot"), F.lit(False))
+    )
+    return marked.groupBy(id_col).agg(
+        F.concat_ws(
+            delimiter,
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            ~F.col("_is_hot"),
+                            F.struct(F.col("_pos"), F.col("_line")),
+                        )
+                    )
                 ),
-            ).alias("text_clean"),
-            F.count(F.lit(1)).alias("n_kept"),
-        )
-    )
-    n_removed = removed.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_removed"))
-    # docs whose every line was removed keep an empty-text row
-    base = docs.select(id_col)
-    # merge hints: both frames are ONE ROW PER DOC — `reassembled`
-    # carries the full cleaned corpus text — but their size estimates
-    # are anchored to the exploded lines' Generate child, so Catalyst
-    # would broadcast the reassembled corpus at ANY scale (the
-    # broadcast_over_generate census class). The hot-line broadcast
-    # above stays: that frame is tiny by construction and broadcast
-    # EXPLICITLY.
-    return (
-        base.join(reassembled.hint("merge"), id_col, "left")
-        .join(n_removed.hint("merge"), id_col, "left")
-        .select(
-            id_col,
-            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
-            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
-            F.coalesce("n_removed", F.lit(0)).cast("long").alias("n_removed"),
-        )
+                lambda s: s["_line"],
+            ),
+        ).alias("text_clean"),
+        F.count(F.when(~F.col("_is_hot"), F.lit(1))).cast("long").alias("n_kept"),
+        F.count(F.when(F.col("_is_hot"), F.lit(1))).cast("long").alias("n_removed"),
     )
 
 
