@@ -579,6 +579,24 @@ def test_resample_locf(spark):
     assert len(rows) == 5
 
 
+def test_resample_locf_grid_cap_raises(spark):
+    # a key whose span exceeds max_buckets_per_key must fail loudly
+    # naming the key, not build a multi-GB sequence array (raise,
+    # don't mislabel); keys under the cap are unaffected
+    import pytest
+    from pyspark.errors import SparkRuntimeException
+
+    from yaetos_spark.operators.timeseries import resample_locf
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 1.0), (1, "2024-01-03 00:00:00", 2.0)],
+        "user_id bigint, ts_s string, value double",
+    ).select("user_id", F.to_timestamp("ts_s").alias("ts"), "value")
+    with pytest.raises(SparkRuntimeException, match="resample_locf: key 1 spans"):
+        resample_locf(df, interval_sec=1, max_buckets_per_key=1000).count()
+    assert resample_locf(df, interval_sec=21600).count() == 9
+
+
 def test_blocked_fuzzy_pairs(spark):
     df = spark.createDataFrame(
         [(1, "smith"), (2, "smyth"), (3, "smith"), (4, "jones"), (5, "walsh")],

@@ -18,6 +18,7 @@ def resample_locf(
     key_col: str = "user_id",
     value_col: str = "value",
     interval_sec: int = 21600,
+    max_buckets_per_key: int = 2_000_000,
 ) -> DataFrame:
     """Resample each key's series onto a fixed ``interval_sec`` grid
     spanning its own [min, max] bucket range, carrying the last
@@ -32,6 +33,16 @@ def resample_locf(
     fill is last(ignorenulls) over a per-key ordered window — linear,
     no self-join. Dense grids per key are generated with
     sequence+explode, not a cross join against a calendar table.
+
+    ``max_buckets_per_key`` guards the grid generation: ``sequence``
+    materializes each key's dense grid as ONE in-memory array, so a
+    single key whose [min, max] span covers 10^8+ buckets (a decades-
+    stale sensor resampled at seconds) is an unsplittable multi-GB row
+    — an executor OOM with no stack pointing at the cause. Raise,
+    don't mislabel: the job fails naming the key and its bucket count
+    so the caller coarsens ``interval_sec`` or windows the input. The
+    default (2M buckets ≈ 16 MB per array) is far above any healthy
+    grid and far below the OOM cliff.
     """
     # floor, not cast: cast('long') truncates toward zero, putting
     # pre-1970 (negative-epoch) timestamps in the wrong bucket
@@ -49,13 +60,32 @@ def resample_locf(
             F.count(F.lit(1)).alias("_n_obs"),
         )
     )
+    n_buckets = (F.col("_hi") - F.col("_lo")) / F.lit(interval_sec) + F.lit(1)
     grids = (
         cells.groupBy(key_col)
         .agg(F.min("bucket_sec").alias("_lo"), F.max("bucket_sec").alias("_hi"))
         .select(
             F.col(key_col),
             F.explode(
-                F.sequence(F.col("_lo"), F.col("_hi"), F.lit(interval_sec))
+                F.when(
+                    n_buckets <= F.lit(max_buckets_per_key),
+                    F.sequence(F.col("_lo"), F.col("_hi"), F.lit(interval_sec)),
+                ).otherwise(
+                    F.raise_error(
+                        F.concat(
+                            F.lit("resample_locf: key "),
+                            F.col(key_col).cast("string"),
+                            F.lit(" spans "),
+                            n_buckets.cast("long").cast("string"),
+                            F.lit(
+                                f" buckets at interval_sec={interval_sec}, over "
+                                f"max_buckets_per_key={max_buckets_per_key} — the dense "
+                                f"grid would be one multi-GB in-memory array; coarsen "
+                                f"interval_sec, window the input, or raise the cap."
+                            ),
+                        )
+                    )
+                )
             ).alias("bucket_sec"),
         )
     )
