@@ -70,6 +70,25 @@ def test_interval_join_rejects_outer(spark):
         interval_join(points, intervals, "x", "lo", "hi", 10.0, how="left")
 
 
+def test_interval_join_sentinel_interval_raises(spark):
+    """A sentinel open-ended interval (the 9999-12-31 pattern) must
+    fail loudly instead of exploding to a multi-GB bucket array."""
+    import pytest
+    from pyspark.errors import SparkRuntimeException
+
+    points = spark.createDataFrame([(1, 5.0)], "pid int, x double")
+    intervals = spark.createDataFrame(
+        [(10, 0.0, 10.0), (99, 0.0, 1e9)], "iid int, lo double, hi double"
+    )
+    with pytest.raises(SparkRuntimeException, match="interval_join: an interval"):
+        interval_join(
+            points, intervals, "x", "lo", "hi", 1.0, max_buckets_per_interval=1000
+        ).count()
+    # under the cap, results unchanged
+    ok = interval_join(points, intervals.filter("iid = 10"), "x", "lo", "hi", 1.0)
+    assert {(r.pid, r.iid) for r in ok.collect()} == {(1, 10)}
+
+
 def test_stateful_sessionize_across_batches(spark, tmp_path):
     """Drive the stateful sessionizer through two real micro-batch
     runs sharing a checkpoint: the open session from run 1 is closed by

@@ -23,6 +23,7 @@ def interval_join(
     end_col: str,
     bucket_width: float | int,
     how: str = "inner",
+    max_buckets_per_interval: int = 2_000_000,
 ) -> DataFrame:
     """Join point rows to interval rows with
     ``start <= point <= end``.
@@ -31,7 +32,16 @@ def interval_join(
     width w covers ~w/bucket_width buckets — pick bucket_width near the
     median interval width); points land in exactly one bucket; the
     equi-join on the bucket is followed by the exact containment
-    filter. All JVM-side."""
+    filter. All JVM-side.
+
+    ``max_buckets_per_interval`` guards the explode: ONE outlier
+    interval — the classic case is an open-ended sentinel end date
+    (9999-12-31) bucketized at minutes — covers 10^7+ buckets, which
+    is both a multi-GB single-row ``sequence`` array (executor OOM)
+    and that many join-probe rows, silently. Raise naming the
+    interval's bucket count so the caller widens ``bucket_width`` or
+    caps the sentinel ends; the default (2M) is far above any
+    median-width-tuned explode and below the OOM cliff."""
     if how != "inner":
         # the containment filter runs AFTER the join, so outer-join
         # unmatched rows (NULL start/end) would be silently dropped and
@@ -39,12 +49,31 @@ def interval_join(
         # refuse rather than return wrong outer semantics
         raise ValueError("interval_join supports how='inner' only")
     p = points.withColumn("_bk", F.floor(F.col(point_col) / F.lit(bucket_width)).cast("long"))
+    lo_bk = F.floor(F.col(start_col) / F.lit(bucket_width)).cast("long")
+    hi_bk = F.floor(F.col(end_col) / F.lit(bucket_width)).cast("long")
+    n_bk = hi_bk - lo_bk + F.lit(1)
     iv = intervals.withColumn(
         "_bk",
         F.explode(
-            F.sequence(
-                F.floor(F.col(start_col) / F.lit(bucket_width)).cast("long"),
-                F.floor(F.col(end_col) / F.lit(bucket_width)).cast("long"),
+            F.when(
+                n_bk <= F.lit(max_buckets_per_interval),
+                F.sequence(lo_bk, hi_bk),
+            ).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit("interval_join: an interval ["),
+                        F.col(start_col).cast("string"),
+                        F.lit(", "),
+                        F.col(end_col).cast("string"),
+                        F.lit("] covers "),
+                        n_bk.cast("string"),
+                        F.lit(
+                            f" buckets at bucket_width={bucket_width}, over "
+                            f"max_buckets_per_interval={max_buckets_per_interval} — "
+                            f"widen bucket_width or cap sentinel interval ends."
+                        ),
+                    )
+                )
             )
         ),
     )
