@@ -5166,6 +5166,30 @@ _VERIFY_NEXT = [
     # in COVERAGE.md standing in until then.
 ]
 
+# Round-keyed _VERIFY_NEXT: force a changed-code query into the window
+# of ONE specific FUTURE round — for when the upcoming round's window
+# is already exactly full (forcing now would push a stale cohort member
+# past the age bound) but the following round has a spare slot.  Keyed
+# like _DEFER_ONCE: the entry is active only when the upcoming round
+# matches, and inert before/after, so it cannot displace anything in
+# the wrong round and expires by itself once its round passes (the
+# query's old verdict then ages it into the window naturally anyway).
+_VERIFY_AT: dict[str, int] = {
+    # r9: deterministic_sample rewritten as a two-phase sub-bucketed
+    # top-n (hot-stratum safety; identical selection proven by test +
+    # A/B) — the r8 verdict describes the old plan.  The r9 window is
+    # exactly full with the 46-query r6 cohort; r10 carries the
+    # 49-query r7 cohort, leaving one spare slot this takes.
+    "stratified_sample": 10,
+}
+
+
+def _active_verify_next() -> set[str]:
+    """_VERIFY_NEXT plus any _VERIFY_AT entry keyed to the upcoming
+    round — the single set the rotation and the window manifest use."""
+    nr = _next_round()
+    return set(_VERIFY_NEXT) | {n for n, rnd in _VERIFY_AT.items() if rnd == nr}
+
 # New queries pushed BEHIND the verdict-bearing order for ONE specific
 # round because that round's window must fit a full stalest cohort:
 # maps query name -> the round number in which the deferral applies.
@@ -5274,12 +5298,13 @@ def _rotate_stalest_first(
     artifacts."""
     last_pass = _last_pass_rounds()
     deferred = _active_deferrals()
+    forced = _active_verify_next()
     pos = {n: i for i, n in enumerate(base)}
     ordered = sorted(
         base,
         key=lambda n: (
             10**6 if n in deferred and n not in last_pass
-            else (-1 if n in _VERIFY_NEXT else last_pass.get(n, -1)),
+            else (-1 if n in forced else last_pass.get(n, -1)),
             pos[n],
         ),
     )

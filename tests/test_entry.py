@@ -49,13 +49,16 @@ def test_window_covers_stalest_queries():
                 last[name] = max(last.get(name, 0), rnd)
     names = list(entrymod.queries())
     window, behind = set(names[:50]), names[50:]
-    for forced in entrymod._VERIFY_NEXT:
-        assert forced in window, f"_VERIFY_NEXT entry {forced} outside window"
-    # deferral table hygiene: every entry names a real query and a
-    # concrete round (a typo'd name would silently defer nothing)
+    for forced in entrymod._active_verify_next():
+        assert forced in window, f"forced verify entry {forced} outside window"
+    # deferral/forcing table hygiene: every entry names a real query
+    # and a concrete round (a typo'd name would silently do nothing)
     for dname, drnd in entrymod._DEFER_ONCE.items():
         assert dname in names, f"_DEFER_ONCE names unknown query {dname}"
         assert isinstance(drnd, int) and drnd > 0, f"_DEFER_ONCE[{dname}] not a round"
+    for vname, vrnd in entrymod._VERIFY_AT.items():
+        assert vname in names, f"_VERIFY_AT names unknown query {vname}"
+        assert isinstance(vrnd, int) and vrnd > 0, f"_VERIFY_AT[{vname}] not a round"
     # no query behind the window may be staler than any window entry —
     # except a _DEFER_ONCE entry whose round key names the UPCOMING
     # round and which has no verdict: the rotation deliberately holds
@@ -63,7 +66,7 @@ def test_window_covers_stalest_queries():
     # full stalest cohort. The round key makes the exemption expire by
     # itself — an expired entry (or one WITH a verdict) is NOT exempt,
     # so a deferral can never silently outlive its one round.
-    staleness = lambda n: -1 if n in entrymod._VERIFY_NEXT else last.get(n, -1)
+    staleness = lambda n: -1 if n in entrymod._active_verify_next() else last.get(n, -1)
     worst_in_window = max(staleness(n) for n in window)
     active_defer = entrymod._active_deferrals()
     for n in behind:
@@ -72,6 +75,18 @@ def test_window_covers_stalest_queries():
         assert staleness(n) >= worst_in_window, (
             f"{n} (last pass r{last.get(n)}) is staler than a window entry"
         )
+
+
+def test_verify_at_is_round_keyed(monkeypatch):
+    """A _VERIFY_AT entry forces its query only when the upcoming round
+    matches its key — inert in every other round, so it can never
+    displace a stale-cohort member from the wrong round's window."""
+    for probe in (9, 10, 11):
+        monkeypatch.setattr(entrymod, "_next_round", lambda r=probe: r)
+        active = entrymod._active_verify_next()
+        assert set(entrymod._VERIFY_NEXT) <= active
+        for name, rnd in entrymod._VERIFY_AT.items():
+            assert (name in active) == (rnd == probe), (probe, name, rnd)
 
 
 def test_each_query_runs(spark, sf_dir):

@@ -149,6 +149,30 @@ def test_deterministic_sample_reproducible(spark):
     assert len({g for g, _ in s1}) == 2
 
 
+def test_deterministic_sample_two_phase_equals_single_window(spark):
+    """The sub-bucketed two-phase top-n must select the SAME rows with
+    the SAME ranks as the textbook single-window formulation, at any
+    sub_buckets setting (including 1, which degenerates to it)."""
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(
+        [(i, "g" + str(i % 3)) for i in range(200)], "doc_id bigint, grp string"
+    )
+    w = Window.partitionBy("grp").orderBy(F.md5(F.col("doc_id").cast("string")))
+    naive = {
+        (r.grp, r.doc_id, r.sample_rank)
+        for r in df.withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= 5)
+        .collect()
+    }
+    for b in (1, 4, 64):
+        got = {
+            (r.grp, r.doc_id, r.sample_rank)
+            for r in CU.deterministic_sample(df, ["grp"], 5, sub_buckets=b).collect()
+        }
+        assert got == naive, f"sub_buckets={b}"
+
+
 def test_repetition_profile(spark):
     df = spark.createDataFrame(
         [(1, "spam spam spam eggs"), (2, "one"), (3, "a b a b")],

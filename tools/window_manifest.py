@@ -39,6 +39,9 @@ def build_manifest() -> dict:
     # round-keyed deferrals: only a _DEFER_ONCE entry naming THIS round
     # is live; expired entries are audit-trail rows with no effect
     active_defer = entry._active_deferrals()
+    # _VERIFY_NEXT plus any round-keyed _VERIFY_AT entry active for the
+    # upcoming round (same helper the rotation itself uses)
+    forced = entry._active_verify_next()
     rows = []
     for i, n in enumerate(names):
         lp = last_pass.get(n)
@@ -49,7 +52,7 @@ def build_manifest() -> dict:
                 "in_window": i < WINDOW,
                 "last_pass_round": lp,
                 "verdict_age_rounds": (next_round - lp) if lp else None,
-                "verify_next": n in entry._VERIFY_NEXT,
+                "verify_next": n in forced,
                 "deferred_once": n in active_defer,
             }
         )
@@ -75,7 +78,8 @@ def build_manifest() -> dict:
         )
         if outside and len(rows) > WINDOW
         else None,
-        "verify_next": list(entry._VERIFY_NEXT),
+        "verify_next": sorted(forced),
+        "verify_at_table": dict(getattr(entry, "_VERIFY_AT", {})),
         "deferred_once": sorted(active_defer),
         "defer_once_table": dict(getattr(entry, "_DEFER_ONCE", {})),
         "queries": rows,

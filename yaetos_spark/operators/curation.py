@@ -99,6 +99,7 @@ def deterministic_sample(
     strata_cols: list[str],
     n_per_stratum: int,
     id_col: str = "doc_id",
+    sub_buckets: int = 64,
 ) -> DataFrame:
     """Exact stratified sample: the same ``n_per_stratum`` rows per
     stratum on every run and every engine — rank rows inside each
@@ -106,13 +107,32 @@ def deterministic_sample(
 
     Hash-ordering (not rand()) is what makes training-data sampling
     reproducible: re-running the pipeline, or running it on a different
-    cluster, selects the identical subset. One shuffle on the strata
-    columns; each stratum sorts independently.
+    cluster, selects the identical subset.
+
+    Skew-proof two-phase top-n: a single
+    ``row_number() over (partition by strata)`` would sort each
+    stratum's ENTIRE population in one unsplittable window task — and
+    real strata are power-law (the "en" stratum of a web corpus is
+    10^9+ rows), so the hot stratum IS the job. Instead, rows first
+    rank within (stratum, hash-derived sub-bucket) — groups are
+    stratum/``sub_buckets`` sized — and only each sub-bucket's top n
+    (<= sub_buckets * n rows per stratum, metadata-scale) reach the
+    per-stratum ranking. The global top-n by hash equals the top-n of
+    the union of per-bucket top-ns, so the selected rows AND their
+    ranks are identical to the single-window formulation.
     """
-    w = Window.partitionBy(*strata_cols).orderBy(F.md5(F.col(id_col).cast("string")))
+    h = F.md5(F.col(id_col).cast("string"))
+    sub = F.conv(F.substring(h, 1, 4), 16, 10).cast("int") % sub_buckets
+    w1 = Window.partitionBy(*strata_cols, "_sub").orderBy("_h")
+    w2 = Window.partitionBy(*strata_cols).orderBy("_h")
     return (
-        df.withColumn("sample_rank", F.row_number().over(w))
+        df.withColumn("_h", h)
+        .withColumn("_sub", sub)
+        .withColumn("_r1", F.row_number().over(w1))
+        .where(F.col("_r1") <= n_per_stratum)
+        .withColumn("sample_rank", F.row_number().over(w2))
         .where(F.col("sample_rank") <= n_per_stratum)
+        .drop("_h", "_sub", "_r1")
     )
 
 
