@@ -73,6 +73,11 @@ SMOKE_QUERIES = [
     "simhash_docs",
     "dedup_exact_norm",
     "ann_cosine_topk",
+    # r9: the two late-round text-path rewrites — winnow's groupBy
+    # doc-frequency guard and the one-pass corpus line dedup — tracked
+    # here so their growth ratios refresh automatically per round
+    "winnow_overlap_pairs",
+    "corpus_line_dedup",
     # shuffle-heavy relational / sessionization staples
     "pricing_summary",
     "topk_revenue",
