@@ -121,6 +121,20 @@ def test_simhash_pairs_rejects_lossy_banding(spark):
     ]
 
 
+def test_lsh_candidates_rejects_orphan_hashes(spark):
+    """num_hashes not divisible by bands leaves the remainder hashes in
+    no band, silently lowering candidate recall below the (bands, r)
+    S-curve the caller computed — the operator must raise (the
+    simhash_pairs posture)."""
+    import pytest
+
+    sigs = D.minhash_signatures(_docs(spark), num_hashes=8)
+    with pytest.raises(ValueError, match="divisible"):
+        D.lsh_candidates(sigs, num_hashes=8, bands=3)
+    # the exact-division configurations still work
+    assert D.lsh_candidates(sigs, num_hashes=8, bands=4).columns == ["id1", "id2"]
+
+
 # -- curation ---------------------------------------------------------
 
 

@@ -295,7 +295,17 @@ def lsh_candidates(
     Bands of r = num_hashes/bands rows; band key = md5 of the
     concatenated band slice. Docs sharing any band bucket become a
     candidate pair (id1 < id2, distinct).
-    """
+
+    Raises when ``num_hashes % bands != 0``: the remainder hashes
+    would belong to no band, silently changing the candidate recall
+    the caller computed from the (bands, rows-per-band) S-curve —
+    the simhash_pairs posture (raise, don't mislabel)."""
+    if bands < 1 or num_hashes % bands != 0:
+        raise ValueError(
+            f"lsh_candidates: num_hashes={num_hashes} is not divisible by "
+            f"bands={bands}; the last {num_hashes % bands if bands >= 1 else num_hashes} "
+            f"hashes would be excluded from every band key, silently lowering recall."
+        )
     r = num_hashes // bands
     band_cols = []
     for b in range(bands):
