@@ -97,6 +97,16 @@ def build_replica(spark, base: str, out_dir: str, repl: int) -> None:
             df = df.withColumn(c, F.col(c) + F.col("_k") * F.lit(KEY_OFF))
         if extra is not None:
             df = extra(df)
+        # LAYOUT MATTERS: the crossJoin preserves the BASE table's
+        # partitioning, so a single-file base table (documents at
+        # sf0.1) became ONE parquet row group holding every replicated
+        # row — an unsplittable scan that serialized every document-
+        # reading query onto one core and measured the file layout,
+        # not the plan (winnow at 100x read 614s of which ~2/3 was the
+        # one-task scan). A real 100 TB table is thousands of files;
+        # hash-repartition on the shifted key for a deterministic,
+        # parallel layout.
+        df = df.repartition(32, F.col(shift_cols[0]))
         df.drop("_k").write.mode("overwrite").parquet(f"{out_dir}/{name}.parquet")
 
     def doc_extra(df):
@@ -143,7 +153,7 @@ def build_replica(spark, base: str, out_dir: str, repl: int) -> None:
                 f"{out_dir}/{name}.parquet"
             )
     with open(os.path.join(out_dir, "_REPLICA.json"), "w") as f:
-        json.dump({"base": base, "repl": repl}, f)
+        json.dump({"base": base, "repl": repl, "layout": 2}, f)
 
 
 def main(argv: list[str]) -> int:
@@ -171,7 +181,12 @@ def main(argv: list[str]) -> int:
     if os.path.exists(marker):
         with open(marker) as f:
             m = json.load(f)
-        reused = m.get("base") == base and m.get("repl") == repl
+        reused = (
+            m.get("base") == base
+            and m.get("repl") == repl
+            and m.get("layout") == 2  # pre-layout-2 replicas have the
+            # single-row-group scan bottleneck; rebuild them
+        )
     if not reused:
         build_replica(spark, base, replica, repl)
     build_sec = round(time.time() - t0, 1)
