@@ -163,6 +163,41 @@ def test_deterministic_sample_reproducible(spark):
     assert len({g for g, _ in s1}) == 2
 
 
+def test_pack_sequences_two_phase_equals_single_window(spark):
+    """The distributed prefix sum must produce bit-identical bins to
+    the single-window formulation at any sub_buckets (including 1,
+    where every shard degenerates to one bucket)."""
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(
+        [(i, "s" + str(i % 3), "w " * (1 + i % 17)) for i in range(300)],
+        "doc_id bigint, source string, text string",
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    toks = df.select(
+        "source", "doc_id", F.size(CU._tokens("text")).alias("n_tokens")
+    )
+    naive = {
+        (r.source, r.bin_id): (r.n_docs, r.total_tokens)
+        for r in toks.withColumn(
+            "bin_id", F.floor(F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / 40)
+        )
+        .groupBy("source", "bin_id")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("total_tokens"))
+        .collect()
+    }
+    for b in (1, 4, 32):
+        got = {
+            (r.source, r.bin_id): (r.n_docs, r.total_tokens)
+            for r in CU.pack_sequences(df, 40, sub_buckets=b).collect()
+        }
+        assert got == naive, f"sub_buckets={b}"
+
+
 def test_deterministic_sample_two_phase_equals_single_window(spark):
     """The sub-bucketed two-phase top-n must select the SAME rows with
     the SAME ranks as the textbook single-window formulation, at any

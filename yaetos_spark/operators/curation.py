@@ -276,6 +276,7 @@ def pack_sequences(
     order_col: str = "doc_id",
     partition_col: str = "source",
     text_col: str = "text",
+    sub_buckets: int = 32,
 ) -> DataFrame:
     """Assign documents to fixed token-budget context windows ("bins")
     in a deterministic order: a document belongs to the bin its first
@@ -287,23 +288,105 @@ def pack_sequences(
     Returns one row per (partition_col, bin_id) with n_docs and
     total_tokens.
 
-    Scale: the running sum is windowed PER partition_col (shard), not
-    globally — a global cumsum would serialize onto one task. Shards
-    pack independently and in parallel; one shuffle on partition_col.
+    Scale: the exclusive running sum is a DISTRIBUTED two-phase prefix
+    sum (the global_rank pattern from operators/windows.py), not one
+    window per shard — a coarse ``partition_col`` (three sources over a
+    100 TB corpus) would otherwise serialize terabytes of token rows
+    through ONE unsplittable window task. Rows range-bucket on
+    ``order_col`` within each shard (percentile boundaries; metadata-
+    scale collect), per-(shard, bucket) token totals come back as one
+    tiny row each, and each bucket's exclusive offset is added to its
+    LOCAL running sum — every sort stays bucket-local. The bin ids are
+    exact and boundary-invariant: integer token offsets correct for
+    whatever the approximate percentiles put in each bucket, so the
+    output is bit-identical to the single-window formulation (property
+    test asserts it). Non-range-bucketable ``order_col`` types (string/
+    binary/boolean) fall back to the per-shard window — with the
+    documented hot-shard caveat.
     """
-    w = (
-        Window.partitionBy(partition_col)
-        .orderBy(order_col)
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
     toks = df.select(
         F.col(partition_col),
         F.col(order_col),
         F.size(_tokens(text_col)).alias("n_tokens"),
     )
-    binned = toks.withColumn(
+    numeric = ("tinyint", "smallint", "int", "bigint", "float", "double", "decimal")
+    dtype = dict(df.dtypes).get(order_col, "")
+    if not dtype.startswith(numeric):
+        w = (
+            Window.partitionBy(partition_col)
+            .orderBy(order_col)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        binned = toks.withColumn(
+            "bin_id",
+            F.floor(F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / budget_tokens),
+        )
+        return binned.groupBy(partition_col, "bin_id").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+
+    # the tokenized frame is consumed three times (boundaries, bucket
+    # totals, the bucketed window) — persist so the corpus tokenizes once
+    toks = toks.persist()
+    spark = df.sparkSession
+    qs = [i / sub_buckets for i in range(1, sub_buckets)]
+    brows = (
+        toks.groupBy(partition_col)
+        .agg(F.percentile_approx(order_col, qs, 2_000).alias("b"))
+        .collect()
+    )  # one row per shard — metadata-scale
+    bound_rows = []
+    for r in brows:
+        uniq = []
+        for b in r["b"] or []:
+            if not uniq or b > uniq[-1]:
+                uniq.append(b)
+        # a shard with one distinct order value yields no usable
+        # boundaries; a -inf sentinel keeps the row's array non-empty
+        # (schema inference) and maps the whole shard to one bucket
+        bound_rows.append((r[partition_col], [float(x) for x in uniq] or [float("-inf")]))
+    if not bound_rows:  # empty input: nothing to pack
+        return toks.groupBy(partition_col, F.lit(0).cast("long").alias("bin_id")).agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+    # schema inferred from the collected shard values, so any shard
+    # key type round-trips; boundaries are doubles (exact for any
+    # practical id range — < 2^53)
+    bounds = spark.createDataFrame(bound_rows, [partition_col, "_barr"])
+    bucketed = (
+        toks.join(F.broadcast(bounds), partition_col)
+        .withColumn(
+            "_bkt",
+            F.size(F.filter("_barr", lambda b: F.col(order_col).cast("double") > b)),
+        )
+        .drop("_barr")
+    )
+    sums = {
+        (r[partition_col], r["_bkt"]): r["_t"]
+        for r in bucketed.groupBy(partition_col, "_bkt")
+        .agg(F.sum("n_tokens").alias("_t"))
+        .collect()
+    }  # one row per (shard, bucket) — metadata-scale
+    offset_rows = []
+    for shard in {k[0] for k in sums}:
+        acc = 0
+        for bkt in sorted(k[1] for k in sums if k[0] == shard):
+            offset_rows.append((shard, bkt, acc))
+            acc += sums[(shard, bkt)]
+    offsets = spark.createDataFrame(offset_rows, [partition_col, "_bkt", "_off"])
+    w = (
+        Window.partitionBy(partition_col, "_bkt")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    binned = bucketed.join(F.broadcast(offsets), [partition_col, "_bkt"]).withColumn(
         "bin_id",
-        F.floor(F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / budget_tokens),
+        F.floor(
+            (F.col("_off") + F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+            / budget_tokens
+        ),
     )
     return binned.groupBy(partition_col, "bin_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
