@@ -5137,34 +5137,35 @@ GROUP BY from_type, to_type
 
 # Queries whose IMPLEMENTATION changed since their last driver verdict:
 # a fresh verdict describes the old code, so they re-enter the window
-# now regardless of verdict age.  Clear entries once re-verified.
-_VERIFY_NEXT = [
+# now regardless of verdict age.  Each entry maps the query to the
+# round whose grading should re-verify it; the entry is SELF-EXPIRING —
+# it forces only while the query's latest PASSING verdict predates that
+# round, so a green re-verdict deactivates it automatically (no manual
+# clearing to forget) and a FAILED re-verdict keeps it forced until it
+# lands green.
+_VERIFY_NEXT: dict[str, int] = {
     # (r8's three entries — ngram_jaccard_pairs, near_dup_survivors,
-    # minhash_lsh_pairs — cleared: all re-verified green by the driver
-    # in CORRECTNESS_r08 on the changed code.)
-    #
-    # r9 changed-code entries are appended below as this round's work
-    # lands; clear each once the driver re-verifies it.
+    # minhash_lsh_pairs — all re-verified green in CORRECTNESS_r08 on
+    # the changed code; under the round-keyed scheme they would have
+    # expired by themselves.)
     #
     # r9: the two survivor frames are now localCheckpoint'ed so the
     # within-batch dedup pipeline runs once per batch instead of once
     # per reference (measured sf0.1 7.87->6.71s, 10x 19.02->17.40s,
     # identical rows) — the r8 verdict describes the old plan.
-    "incremental_dedup_survivors",
+    "incremental_dedup_survivors": 9,
     # r9: latest_snapshot rewritten from a row_number window to a
     # map-side-combining max_by aggregate (hot-key safety; same
     # deterministic winner) — the r8 verdict describes the old plan.
-    "latest_events",
-    # r9: winnow_overlap_pairs' doc-frequency guard was rewritten
-    # (window count -> partial-aggregating groupBy + hot-set anti-join,
-    # wall-parity A/B in COVERAGE.md) but is NOT forced here: the r9
-    # window exactly fits the full 46-query r6-verified cohort plus the
-    # two verdict-less new queries and the two entries above, so a
-    # forced slot would push an r6 verdict to age 3.  Its last pass is
-    # r7, so it enters the r10 window by ordinary staleness rotation —
-    # one round later, with the sf0.01+sf0.1 oracle re-checks recorded
-    # in COVERAGE.md standing in until then.
-]
+    "latest_events": 9,
+    # r9 changed-plan queries NOT forced (window capacity — the r9
+    # window exactly fits the 46-query r6 cohort + 2 verdict-less new
+    # queries + the 2 entries above): winnow_overlap_pairs and
+    # corpus_line_dedup regrade at their natural r10 slot (r7 cohort),
+    # pack_sequences at r11 (r8 cohort); stratified_sample takes r10's
+    # one spare slot via _VERIFY_AT below.  Both-SF oracle re-checks in
+    # COVERAGE.md stand in until then.
+}
 
 # Round-keyed _VERIFY_NEXT: force a changed-code query into the window
 # of ONE specific FUTURE round — for when the upcoming round's window
@@ -5185,10 +5186,15 @@ _VERIFY_AT: dict[str, int] = {
 
 
 def _active_verify_next() -> set[str]:
-    """_VERIFY_NEXT plus any _VERIFY_AT entry keyed to the upcoming
-    round — the single set the rotation and the window manifest use."""
+    """The forced-verify set the rotation and the window manifest use:
+    _VERIFY_NEXT entries whose change-round has no passing verdict yet
+    (self-expiring — see the table's docstring), plus any _VERIFY_AT
+    entry keyed to exactly the upcoming round."""
     nr = _next_round()
-    return set(_VERIFY_NEXT) | {n for n, rnd in _VERIFY_AT.items() if rnd == nr}
+    last = _last_pass_rounds()
+    active = {n for n, rnd in _VERIFY_NEXT.items() if last.get(n, -1) < rnd}
+    active |= {n for n, rnd in _VERIFY_AT.items() if rnd == nr}
+    return active
 
 # New queries pushed BEHIND the verdict-bearing order for ONE specific
 # round because that round's window must fit a full stalest cohort:

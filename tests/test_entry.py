@@ -59,6 +59,9 @@ def test_window_covers_stalest_queries():
     for vname, vrnd in entrymod._VERIFY_AT.items():
         assert vname in names, f"_VERIFY_AT names unknown query {vname}"
         assert isinstance(vrnd, int) and vrnd > 0, f"_VERIFY_AT[{vname}] not a round"
+    for vname, vrnd in entrymod._VERIFY_NEXT.items():
+        assert vname in names, f"_VERIFY_NEXT names unknown query {vname}"
+        assert isinstance(vrnd, int) and vrnd > 0, f"_VERIFY_NEXT[{vname}] not a round"
     # no query behind the window may be staler than any window entry —
     # except a _DEFER_ONCE entry whose round key names the UPCOMING
     # round and which has no verdict: the rotation deliberately holds
@@ -81,12 +84,26 @@ def test_verify_at_is_round_keyed(monkeypatch):
     """A _VERIFY_AT entry forces its query only when the upcoming round
     matches its key — inert in every other round, so it can never
     displace a stale-cohort member from the wrong round's window."""
+    last = entrymod._last_pass_rounds()
     for probe in (9, 10, 11):
         monkeypatch.setattr(entrymod, "_next_round", lambda r=probe: r)
         active = entrymod._active_verify_next()
-        assert set(entrymod._VERIFY_NEXT) <= active
+        for name, rnd in entrymod._VERIFY_NEXT.items():
+            assert (name in active) == (last.get(name, -1) < rnd), (name, rnd)
         for name, rnd in entrymod._VERIFY_AT.items():
             assert (name in active) == (rnd == probe), (probe, name, rnd)
+
+
+def test_verify_next_self_expires(monkeypatch):
+    """A _VERIFY_NEXT entry deactivates the moment a PASSING verdict
+    from (or after) its change-round exists, and keeps forcing while
+    the latest verdict predates it — no manual clearing step."""
+    monkeypatch.setattr(entrymod, "_VERIFY_NEXT", {"latest_events": 9})
+    monkeypatch.setattr(entrymod, "_VERIFY_AT", {})
+    monkeypatch.setattr(entrymod, "_last_pass_rounds", lambda: {"latest_events": 8})
+    assert "latest_events" in entrymod._active_verify_next()
+    monkeypatch.setattr(entrymod, "_last_pass_rounds", lambda: {"latest_events": 9})
+    assert "latest_events" not in entrymod._active_verify_next()
 
 
 def test_each_query_runs(spark, sf_dir):

@@ -80,6 +80,7 @@ def build_manifest() -> dict:
         else None,
         "verify_next": sorted(forced),
         "verify_at_table": dict(getattr(entry, "_VERIFY_AT", {})),
+        "verify_next_table": dict(getattr(entry, "_VERIFY_NEXT", {})),
         "deferred_once": sorted(active_defer),
         "defer_once_table": dict(getattr(entry, "_DEFER_ONCE", {})),
         "queries": rows,
