@@ -2383,17 +2383,29 @@ def _incremental_dedup_survivors(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     b1 = docs.where(F.col("doc_id") % 2 == 0)
     b2 = docs.where(F.col("doc_id") % 2 == 1)
-    w1 = drop_near_duplicates(b1, n=_NGRAM_N, threshold=_JACCARD_THRESHOLD)
-    w2 = drop_near_duplicates(b2, n=_NGRAM_N, threshold=_JACCARD_THRESHOLD)
     # each survivor frame is consumed twice (signature derivation +
     # the output union / cross-batch filter), and each is the output
     # of a full jaccard+CC+anti-join pipeline — checkpoint so that
     # pipeline runs ONCE per batch, not once per reference. Survivor
     # rows are one row per doc (batch-sized), never the tokenized
     # corpus. Measured (r9, interleaved medians): sf0.1 7.87→6.71s,
-    # 10x replica 19.02→17.40s, identical output.
-    w1 = w1.localCheckpoint(eager=True)
-    w2 = w2.localCheckpoint(eager=True)
+    # 10x replica 19.02→17.40s, identical output. The two batch
+    # pipelines are INDEPENDENT jobs, so they are submitted
+    # concurrently (SparkContext job submission is thread-safe; the
+    # scheduler interleaves their stages over the idle cores each
+    # leaves behind) — interleaved A/B at sf0.1: warm 7.2-7.3 s
+    # sequential vs 5.4-5.5 s parallel, cold 22.3 vs 6.7 s, identical
+    # output digests.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _dedup_ckpt(b):
+        return drop_near_duplicates(
+            b, n=_NGRAM_N, threshold=_JACCARD_THRESHOLD
+        ).localCheckpoint(eager=True)
+
+    with ThreadPoolExecutor(2) as ex:
+        f1, f2 = ex.submit(_dedup_ckpt, b1), ex.submit(_dedup_ckpt, b2)
+        w1, w2 = f1.result(), f2.result()
     s1 = minhash_signatures(w1, n=_NGRAM_N, num_hashes=_MINHASH_K)
     s2 = minhash_signatures(w2, n=_NGRAM_N, num_hashes=_MINHASH_K)
     surv2 = filter_against_signatures(
