@@ -678,6 +678,22 @@ def test_blocked_fuzzy_pairs(spark):
     pairs = {(r.id_a, r.id_b): r.dist for r in D.blocked_fuzzy_pairs(df, "name", "id").collect()}
     # same block (len 5, 's'): smith/smyth dist 1, smith/smith dist 0; walsh differs by >1
     assert pairs == {(1, 2): 1, (1, 3): 0, (2, 3): 1}
+    # hot-block cap: the 3-row 's' block is dropped at max_block=2,
+    # blocks at-or-under the cap are untouched
+    capped = {
+        (r.id_a, r.id_b)
+        for r in D.blocked_fuzzy_pairs(df, "name", "id", max_block=2).collect()
+    }
+    assert capped == set()
+    wider = spark.createDataFrame(
+        [(1, "smith"), (2, "smyth"), (4, "jones"), (5, "janes")],
+        "id bigint, name string",
+    )
+    capped2 = {
+        (r.id_a, r.id_b)
+        for r in D.blocked_fuzzy_pairs(wider, "name", "id", max_block=2).collect()
+    }
+    assert capped2 == {(1, 2), (4, 5)}
 
 
 # -- stats ------------------------------------------------------------

@@ -78,6 +78,10 @@ SMOKE_QUERIES = [
     # here so their growth ratios refresh automatically per round
     "winnow_overlap_pairs",
     "corpus_line_dedup",
+    # r9: the #1 SCALE_AUDIT query (two parallel-submitted batch dedup
+    # pipelines + cross-batch signature filter) — its growth ratio was
+    # previously hand-measured per round; now automatic
+    "incremental_dedup_survivors",
     # shuffle-heavy relational / sessionization staples
     "pricing_summary",
     "topk_revenue",

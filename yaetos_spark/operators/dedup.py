@@ -536,6 +536,7 @@ def blocked_fuzzy_pairs(
     id_col: str,
     block: "F.Column | None" = None,
     max_dist: int = 1,
+    max_block: int | None = None,
 ) -> DataFrame:
     """Entity-resolution candidate pairs: strings within the same
     block whose Levenshtein distance is <= ``max_dist``.
@@ -548,7 +549,17 @@ def blocked_fuzzy_pairs(
     the same fan-out-bounding idea as LSH banding. Default block:
     string length + first character. levenshtein() runs JVM-side per
     candidate pair; integer distances make the operator exactly
-    oracle-checkable."""
+    oracle-checkable.
+
+    ``max_block`` is the hot-block guard (the record-linkage "block
+    size cap"): the default key is coarse enough that a real names
+    corpus puts millions of rows in one block ("length 5, starts J"),
+    and sum(block_size^2) is then quadratic in the hottest block. Rows
+    in blocks larger than the cap are DROPPED before the self-join
+    (block counts via a map-side-combining groupBy, the jaccard
+    max_df pattern) — at that size the block key carries no blocking
+    signal and the caller should block on a finer key instead. Off by
+    default: capping removes pairs, so it must be an explicit choice."""
     if block is None:
         block = F.concat(
             F.length(F.col(col)).cast("string"), F.lit("|"), F.substring(F.col(col), 1, 1)
@@ -556,6 +567,14 @@ def blocked_fuzzy_pairs(
     side = df.select(
         F.col(id_col).alias("_id"), F.col(col).alias("_name"), block.alias("_block")
     )
+    if max_block:
+        hot = (
+            side.groupBy("_block")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") > max_block)
+            .select("_block")
+        )
+        side = side.join(hot, "_block", "left_anti")
     a, b = side.alias("a"), side.alias("b")
     return (
         a.join(
