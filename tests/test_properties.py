@@ -1563,3 +1563,26 @@ def test_redundancy_scores_matches_python_model(spark, case, min_df):
         n_common = sum(1 for sh in s if dfc[sh] > min_df)
         want[i] = (n_sh, n_common, round(n_common / n_sh, 6))
     assert got == want
+
+
+@given(texts=st.lists(st.text(max_size=40), min_size=1, max_size=8))
+@settings(**SETTINGS)
+def test_normalize_text_fused_regex_equals_two_pass(spark, texts):
+    """normalize_text's single run-matching regex must equal the
+    textbook strip-nonalnum-then-collapse-whitespace composition on
+    arbitrary strings (the r9 fusion is a pure perf change)."""
+    from yaetos_spark.functions.hashing import normalize_text
+
+    def two_pass(c):
+        c = F.lower(c)
+        c = F.regexp_replace(c, r"[^a-z0-9\s]", " ")
+        c = F.regexp_replace(c, r"\s+", " ")
+        return F.trim(c)
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id long, s string")
+    bad = (
+        df.select(two_pass(F.col("s")).alias("a"), normalize_text(F.col("s")).alias("b"))
+        .where("a <> b OR (a IS NULL) <> (b IS NULL)")
+        .count()
+    )
+    assert bad == 0
