@@ -86,7 +86,11 @@ def bpe_ish_token_count(col: str) -> Column:
 
 def punct_ratio(col: str) -> Column:
     c = F.col(col)
-    non_alnum = F.length(F.regexp_replace(c, r"[A-Za-z0-9\s]", ""))
+    # run-matching class (the normalize_text fusion lesson): deleting
+    # maximal RUNS of kept characters removes the identical characters
+    # as the per-char form but with far fewer match events — the
+    # single-char pattern made regexp_replace allocate per character
+    non_alnum = F.length(F.regexp_replace(c, r"[A-Za-z0-9\s]+", ""))
     return F.when(F.length(c) == 0, F.lit(0.0)).otherwise(non_alnum / F.length(c))
 
 
