@@ -1060,3 +1060,81 @@ def test_redundancy_scores_counts_and_fraction(spark):
     assert out[2] == (1, 1, 1.0)
     assert out[3] == (1, 1, 1.0)
     assert out[4] == (1, 0, 0.0)
+
+
+def test_pack_sequences_null_shard_and_null_tokens(spark):
+    """NULL shard keys must route through the window fallback (the
+    bucketed path's inner equi-join would drop them), and a bucket
+    whose token counts are all NULL must not TypeError the driver-side
+    prefix sum — both must match the single-window formulation."""
+    from pyspark.sql import Window
+
+    rows = [(i, "s" + str(i % 2), "w " * (1 + i % 7)) for i in range(60)]
+    rows += [(100 + i, None, "x " * 3) for i in range(5)]  # NULL shard
+    rows += [(200, "s0", None), (201, "s1", None)]  # NULL text -> NULL n_tokens
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    toks = df.select("source", "doc_id", F.size(CU._tokens("text")).alias("n_tokens"))
+    naive = {
+        (r.source, r.bin_id): (r.n_docs, r.total_tokens)
+        for r in toks.withColumn(
+            "bin_id", F.floor(F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / 10)
+        )
+        .groupBy("source", "bin_id")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("total_tokens"))
+        .collect()
+    }
+    for b in (1, 8):
+        got = {
+            (r.source, r.bin_id): (r.n_docs, r.total_tokens)
+            for r in CU.pack_sequences(df, 10, sub_buckets=b).collect()
+        }
+        assert got == naive, f"sub_buckets={b}"
+    # all-NULL-shard input: bucketed path has nothing, fallback carries all
+    only_null = spark.createDataFrame(
+        [(1, None, "a b c"), (2, None, "d e")], "doc_id bigint, source string, text string"
+    )
+    out = CU.pack_sequences(only_null, 4).collect()
+    assert {(r.source, r.bin_id, r.n_docs, r.total_tokens) for r in out} == {
+        (None, 0, 2, 5)
+    }
+
+
+def test_deterministic_sample_helper_collision(spark):
+    """Input columns named _h/_sub/_r1 must survive (helpers renamed to
+    __ds_*); a genuine __ds_* collision raises instead of corrupting."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [(i, "g", "keep" + str(i)) for i in range(10)],
+        "doc_id bigint, grp string, _h string",
+    )
+    out = CU.deterministic_sample(df, ["grp"], 3)
+    assert "_h" in out.columns
+    assert all(r._h == "keep" + str(r.doc_id) for r in out.collect())
+    bad = df.withColumnRenamed("_h", "__ds_h")
+    with pytest.raises(ValueError, match="__ds_h"):
+        CU.deterministic_sample(bad, ["grp"], 3)
+
+
+def test_resample_locf_all_null_ts_key_drops(spark):
+    """A key whose every timestamp is NULL has no grid — it must drop
+    silently (the NULL-gated guard), not fire raise_error via
+    three-valued when(); other keys are unaffected."""
+    from yaetos_spark.operators.timeseries import resample_locf
+
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", 1.0),
+            (1, "2024-01-01 12:30:00", 2.0),
+            (2, None, 9.0),
+        ],
+        "user_id bigint, ts string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = resample_locf(df, interval_sec=21600).collect()
+    assert {r.user_id for r in out} == {1}
+    assert len(out) == 3  # buckets 00:00, 06:00, 12:00

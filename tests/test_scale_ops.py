@@ -733,3 +733,36 @@ def test_bloom_arrow_path_handles_negative_words(spark):
     big = spark.range(0, 500).select(F.col("id").alias("k"))
     kept = SK._bloom_prefilter_arrow(big, "k", bitmap, m_bits, k, 77)
     assert kept.count() == 500
+
+
+def test_interval_join_null_bounds_drop_not_raise(spark):
+    """NULL start/end intervals must DROP under inner-join semantics
+    (sequence(NULL,..) -> explode emits nothing) — three-valued when()
+    must not route them into the explode-guard raise branch."""
+    points = spark.createDataFrame([(1, 5.0), (2, 15.0)], "pid int, x double")
+    intervals = spark.createDataFrame(
+        [(10, 0.0, 10.0), (97, None, 10.0), (98, 12.0, None), (99, None, None)],
+        "iid int, lo double, hi double",
+    )
+    out = {
+        (r.pid, r.iid)
+        for r in interval_join(
+            points, intervals, "x", "lo", "hi", 1.0, max_buckets_per_interval=1000
+        ).collect()
+    }
+    assert out == {(1, 10)}
+
+
+def test_dedup_corpus_lines_null_text_doc_kept(spark):
+    """A NULL-text doc must still yield an output row (text coalesces
+    to '' pre-split); it previously vanished because split(NULL) is
+    NULL and posexplode emits no rows."""
+    from yaetos_spark.operators.curation import dedup_corpus_lines
+
+    docs = spark.createDataFrame(
+        [(1, "keep\nhot"), (2, "hot"), (3, None)], "doc_id bigint, text string"
+    )
+    out = {r.doc_id: r for r in dedup_corpus_lines(docs, min_docs=2).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[3].text_clean == "" and out[3].n_kept == 1 and out[3].n_removed == 0
+    assert out[1].text_clean == "keep" and out[1].n_removed == 1

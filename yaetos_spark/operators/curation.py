@@ -121,18 +121,28 @@ def deterministic_sample(
     the union of per-bucket top-ns, so the selected rows AND their
     ranks are identical to the single-window formulation.
     """
+    # collision-guarded helper names: withColumn silently OVERWRITES an
+    # existing column, so a bare "_h"/"_sub"/"_r1" input column would be
+    # destroyed (and then dropped) — refuse loudly instead
+    helpers = ("__ds_h", "__ds_sub", "__ds_r1")
+    clash = [c for c in helpers if c in df.columns]
+    if clash:
+        raise ValueError(
+            f"deterministic_sample: input columns {clash} collide with "
+            "internal helper names — rename them before sampling"
+        )
     h = F.md5(F.col(id_col).cast("string"))
     sub = F.conv(F.substring(h, 1, 4), 16, 10).cast("int") % sub_buckets
-    w1 = Window.partitionBy(*strata_cols, "_sub").orderBy("_h")
-    w2 = Window.partitionBy(*strata_cols).orderBy("_h")
+    w1 = Window.partitionBy(*strata_cols, "__ds_sub").orderBy("__ds_h")
+    w2 = Window.partitionBy(*strata_cols).orderBy("__ds_h")
     return (
-        df.withColumn("_h", h)
-        .withColumn("_sub", sub)
-        .withColumn("_r1", F.row_number().over(w1))
-        .where(F.col("_r1") <= n_per_stratum)
+        df.withColumn("__ds_h", h)
+        .withColumn("__ds_sub", sub)
+        .withColumn("__ds_r1", F.row_number().over(w1))
+        .where(F.col("__ds_r1") <= n_per_stratum)
         .withColumn("sample_rank", F.row_number().over(w2))
         .where(F.col("sample_rank") <= n_per_stratum)
-        .drop("_h", "_sub", "_r1")
+        .drop("__ds_h", "__ds_sub", "__ds_r1")
     )
 
 
@@ -330,9 +340,24 @@ def pack_sequences(
     # totals, the bucketed window) — persist so the corpus tokenizes once
     toks = toks.persist()
     spark = df.sparkSession
+    # NULL-shard rows go through the window fallback: the bucketed path's
+    # inner equi-join on partition_col would silently drop them, where
+    # the window formulation keeps NULL as its own partition (and a
+    # NULL shard key can't appear in an inferred-schema boundary frame)
+    null_shard = toks.where(F.col(partition_col).isNull())
+    main = toks.where(F.col(partition_col).isNotNull())
+    w_null = (
+        Window.partitionBy(partition_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    binned_null = null_shard.withColumn(
+        "bin_id",
+        F.floor(F.coalesce(F.sum("n_tokens").over(w_null), F.lit(0)) / budget_tokens),
+    ).select(partition_col, "bin_id", "n_tokens")
     qs = [i / sub_buckets for i in range(1, sub_buckets)]
     brows = (
-        toks.groupBy(partition_col)
+        main.groupBy(partition_col)
         .agg(F.percentile_approx(order_col, qs, 2_000).alias("b"))
         .collect()
     )  # one row per shard — metadata-scale
@@ -346,8 +371,8 @@ def pack_sequences(
         # boundaries; a -inf sentinel keeps the row's array non-empty
         # (schema inference) and maps the whole shard to one bucket
         bound_rows.append((r[partition_col], [float(x) for x in uniq] or [float("-inf")]))
-    if not bound_rows:  # empty input: nothing to pack
-        return toks.groupBy(partition_col, F.lit(0).cast("long").alias("bin_id")).agg(
+    if not bound_rows:  # no non-NULL shards: only the fallback output
+        return binned_null.groupBy(partition_col, "bin_id").agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tokens").alias("total_tokens"),
         )
@@ -356,7 +381,7 @@ def pack_sequences(
     # practical id range — < 2^53)
     bounds = spark.createDataFrame(bound_rows, [partition_col, "_barr"])
     bucketed = (
-        toks.join(F.broadcast(bounds), partition_col)
+        main.join(F.broadcast(bounds), partition_col)
         .withColumn(
             "_bkt",
             F.size(F.filter("_barr", lambda b: F.col(order_col).cast("double") > b)),
@@ -374,23 +399,30 @@ def pack_sequences(
         acc = 0
         for bkt in sorted(k[1] for k in sums if k[0] == shard):
             offset_rows.append((shard, bkt, acc))
-            acc += sums[(shard, bkt)]
+            # a (shard, bucket) whose n_tokens are ALL NULL sums to None
+            # — contributes 0 tokens, exactly like the window path where
+            # F.sum skips NULLs
+            acc += sums[(shard, bkt)] or 0
     offsets = spark.createDataFrame(offset_rows, [partition_col, "_bkt", "_off"])
     w = (
         Window.partitionBy(partition_col, "_bkt")
         .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    binned = bucketed.join(F.broadcast(offsets), [partition_col, "_bkt"]).withColumn(
+    binned_main = bucketed.join(F.broadcast(offsets), [partition_col, "_bkt"]).withColumn(
         "bin_id",
         F.floor(
             (F.col("_off") + F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
             / budget_tokens
         ),
-    )
-    return binned.groupBy(partition_col, "bin_id").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_tokens").alias("total_tokens"),
+    ).select(partition_col, "bin_id", "n_tokens")
+    return (
+        binned_main.unionByName(binned_null)
+        .groupBy(partition_col, "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
     )
 
 
@@ -512,9 +544,11 @@ def dedup_corpus_lines(
     single-partition stage, and the corpus is exploded exactly once at
     runtime (``lines`` is persisted and shared by the count branch and
     the marker join; the old anti-join + semi-join + base-join shape
-    evaluated it three times).  Every doc has >= 1 line row (split("")
-    yields [""]), so no outer join against ``docs`` is needed to keep
-    fully-boilerplate or empty docs in the output.
+    evaluated it three times).  Every doc has >= 1 line row — NULL text
+    is coalesced to "" BEFORE the split (split(NULL) yields NULL and
+    posexplode would emit nothing, silently dropping the doc), and
+    split("") yields [""] — so no outer join against ``docs`` is needed
+    to keep fully-boilerplate, empty, or NULL-text docs in the output.
 
     The hot set is NOT force-broadcast: it is threshold-filtered but
     data-dependent — at corpus scale "every line occurring in >=
@@ -527,7 +561,9 @@ def dedup_corpus_lines(
     """
     lines = docs.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), delimiter)).alias("_pos", "_line"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), delimiter)
+        ).alias("_pos", "_line"),
     ).withColumn("_key", F.trim(F.col("_line")))
     # job-lifetime persist: (id, pos, line) rows — the exploded corpus
     # is computed once and read back by both consumers below

@@ -52,19 +52,23 @@ def interval_join(
     lo_bk = F.floor(F.col(start_col) / F.lit(bucket_width)).cast("long")
     hi_bk = F.floor(F.col(end_col) / F.lit(bucket_width)).cast("long")
     n_bk = hi_bk - lo_bk + F.lit(1)
+    # the guard is gated on n_bk being NON-NULL: a NULL start/end makes
+    # n_bk NULL, and under inner-join semantics that interval must simply
+    # drop (sequence(NULL, ..) -> NULL -> explode emits nothing) — a bare
+    # `when(n_bk <= cap)` would route NULL bounds into the raise branch
     iv = intervals.withColumn(
         "_bk",
         F.explode(
             F.when(
-                n_bk <= F.lit(max_buckets_per_interval),
+                n_bk.isNull() | (n_bk <= F.lit(max_buckets_per_interval)),
                 F.sequence(lo_bk, hi_bk),
             ).otherwise(
                 F.raise_error(
                     F.concat(
                         F.lit("interval_join: an interval ["),
-                        F.col(start_col).cast("string"),
+                        F.coalesce(F.col(start_col).cast("string"), F.lit("NULL")),
                         F.lit(", "),
-                        F.col(end_col).cast("string"),
+                        F.coalesce(F.col(end_col).cast("string"), F.lit("NULL")),
                         F.lit("] covers "),
                         n_bk.cast("string"),
                         F.lit(

@@ -66,15 +66,19 @@ def resample_locf(
         .agg(F.min("bucket_sec").alias("_lo"), F.max("bucket_sec").alias("_hi"))
         .select(
             F.col(key_col),
+            # NULL-gated guard: a key whose every ts is NULL has NULL
+            # _lo/_hi, so n_buckets is NULL — that key has no grid and
+            # must drop (sequence(NULL,..) -> NULL -> explode emits
+            # nothing), not fire the raise branch via three-valued when
             F.explode(
                 F.when(
-                    n_buckets <= F.lit(max_buckets_per_key),
+                    n_buckets.isNull() | (n_buckets <= F.lit(max_buckets_per_key)),
                     F.sequence(F.col("_lo"), F.col("_hi"), F.lit(interval_sec)),
                 ).otherwise(
                     F.raise_error(
                         F.concat(
                             F.lit("resample_locf: key "),
-                            F.col(key_col).cast("string"),
+                            F.coalesce(F.col(key_col).cast("string"), F.lit("NULL")),
                             F.lit(" spans "),
                             n_buckets.cast("long").cast("string"),
                             F.lit(
