@@ -5193,7 +5193,22 @@ _VERIFY_AT: dict[str, int] = {
     # A/B) — the r8 verdict describes the old plan.  The r9 window is
     # exactly full with the 46-query r6 cohort; r10 carries the
     # 49-query r7 cohort, leaving one spare slot this takes.
+    # (r10 note: deterministic_sample's helper columns were renamed to
+    # collision-guarded __ds_* names in r10, so the r10 verdict this pin
+    # forces describes the CURRENT code.)
     "stratified_sample": 10,
+    # r11 pins (VERDICT r9 item 1): the four queries below hold r8
+    # verdicts on plans that changed in r9 — and pack_sequences /
+    # resample_locf changed AGAIN in r10 (NULL-shard routing; NULL-gated
+    # explode guard).  All four sit in the 48-query r8 cohort that
+    # regrades naturally at r11 (2 spare slots), so these pins consume
+    # no extra capacity — they are insurance against any verdict
+    # landing between now and then silently aging them out of the r11
+    # window.
+    "pack_sequences": 11,
+    "resample_locf": 11,
+    "dedup_exact_norm": 11,
+    "scd2_user_types": 11,
 }
 
 

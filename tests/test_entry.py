@@ -241,3 +241,80 @@ def test_scale_audit_subset_runs(spark):
     assert set(res) == {"filter_project", "text_stats"}
     for r in res.values():
         assert r["err"] is None and r["rows"] > 0 and r["sec"] >= 0
+
+
+def test_window_capacity_check():
+    """tools/window_manifest.check_capacity catches an over-committed
+    round when the pin is WRITTEN (VERDICT r9 item 6): the real tree
+    passes, a synthetic overflow raises."""
+    import importlib.util
+
+    import pytest
+
+    spec = importlib.util.spec_from_file_location(
+        "window_manifest", "/root/repo/tools/window_manifest.py"
+    )
+    wm = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(wm)
+
+    class FakeEntry:
+        _VERIFY_AT = {}
+        _VERIFY_NEXT = {}
+
+    def mkrows(n_window_ok, n_outside_due):
+        rows = []
+        for i in range(n_window_ok):
+            rows.append(
+                {"name": f"w{i}", "in_window": True, "last_pass_round": 7,
+                 "verdict_age_rounds": 3, "deferred_once": False}
+            )
+        for i in range(n_outside_due):
+            rows.append(
+                {"name": f"o{i}", "in_window": False, "last_pass_round": 8,
+                 "verdict_age_rounds": 2, "deferred_once": False}
+            )
+        return rows
+
+    # healthy: 50 in-window at age 3, 48 outside aging to 3 next round
+    cap = wm.check_capacity(mkrows(50, 48), set(), FakeEntry, 10)
+    assert cap["next_round_demand"] == 48
+
+    # a must-grade query outside the window raises at build time
+    rows = mkrows(50, 1)
+    rows[-1]["verdict_age_rounds"] = 3
+    rows[-1]["last_pass_round"] = 7
+    with pytest.raises(ValueError, match="must be graded this round"):
+        wm.check_capacity(rows, set(), FakeEntry, 10)
+
+    # pins pushing next round past 50 raise when the pin is written
+    class PinnedEntry:
+        _VERIFY_AT = {f"p{i}": 11 for i in range(3)}
+        _VERIFY_NEXT = {}
+
+    with pytest.raises(ValueError, match="over-committed"):
+        wm.check_capacity(mkrows(50, 48), set(), PinnedEntry, 10)
+
+    # the same pins are FREE when they name queries already in the due
+    # cohort (the r11 pins in the live table)
+    rows = mkrows(50, 45)
+    for i in range(3):
+        rows.append(
+            {"name": f"p{i}", "in_window": False, "last_pass_round": 8,
+             "verdict_age_rounds": 2, "deferred_once": False}
+        )
+    cap = wm.check_capacity(rows, set(), PinnedEntry, 10)
+    assert cap["next_round_pinned_extra"] == 0
+
+
+def test_build_manifest_live_tree_capacity_ok():
+    """The committed pin tables must satisfy the capacity invariants on
+    the real tree (a bad pin fails this test before it ships)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "window_manifest", "/root/repo/tools/window_manifest.py"
+    )
+    wm = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(wm)
+    m = wm.build_manifest()
+    assert m["capacity"]["next_round_demand"] <= m["window_size"]

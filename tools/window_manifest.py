@@ -68,9 +68,11 @@ def build_manifest() -> dict:
         if not r["in_window"]
         and not (r["deferred_once"] and r["verdict_age_rounds"] is None)
     ]
+    capacity = check_capacity(rows, forced, entry, next_round)
     return {
         "for_round": next_round,
         "window_size": WINDOW,
+        "capacity": capacity,
         "total_queries": len(names),
         "max_verdict_age_rounds": max(ages) if ages else None,
         "max_age_outside_window": max(
@@ -84,6 +86,78 @@ def build_manifest() -> dict:
         "deferred_once": sorted(active_defer),
         "defer_once_table": dict(getattr(entry, "_DEFER_ONCE", {})),
         "queries": rows,
+    }
+
+
+def check_capacity(rows: list, forced: set, entry, next_round: int) -> dict:
+    """Rotation-capacity invariants, enforced when the manifest is
+    built — i.e. when a pin is WRITTEN, not when a later round's
+    grading silently drops a stale query (VERDICT r9 item 6).
+
+    1. Everything that MUST be graded this round is in-window: forced
+       entries, queries at verdict age >= 3 (a miss puts them past the
+       judge's age bound), and verdict-less queries not actively
+       deferred.
+    2. NEXT round's mandatory set fits: the cohort aging to 3 at
+       round+1 (outside-window queries whose last pass is round-2),
+       plus verdict-less outside-window queries (deferred this round,
+       auto-entering next), plus pins keyed to round+1, plus
+       still-active _VERIFY_NEXT entries not graded this round, must
+       not exceed the window. A pin beyond capacity raises HERE.
+    """
+    win = {r["name"] for r in rows if r["in_window"]}
+    must_now = set(forced)
+    for r in rows:
+        age = r["verdict_age_rounds"]
+        if age is not None and age >= 3:
+            must_now.add(r["name"])
+        elif age is None and not r["deferred_once"]:
+            must_now.add(r["name"])
+    overflow_now = sorted(must_now - win)
+    if overflow_now:
+        raise ValueError(
+            f"window capacity violated for round {next_round}: "
+            f"{overflow_now} must be graded this round but sit outside "
+            f"the {WINDOW}-slot window — drop or re-key a pin"
+        )
+    nxt = next_round + 1
+    last_pass = {r["name"]: r["last_pass_round"] for r in rows}
+    due_next = {
+        r["name"]
+        for r in rows
+        if not r["in_window"]
+        and (
+            r["last_pass_round"] is None
+            or nxt - r["last_pass_round"] >= 3
+        )
+    }
+    pinned_next = {
+        n
+        for n, rnd in dict(getattr(entry, "_VERIFY_AT", {})).items()
+        if rnd == nxt
+    }
+    # an unexpired _VERIFY_NEXT entry outside this round's window still
+    # claims a next-round slot (in-window ones get their verdict now)
+    pinned_next |= {
+        n
+        for n, rnd in dict(getattr(entry, "_VERIFY_NEXT", {})).items()
+        if (last_pass.get(n) or -1) < rnd and n not in win
+    }
+    demand = due_next | pinned_next
+    if len(demand) > WINDOW:
+        raise ValueError(
+            f"round {nxt} is over-committed: {len(demand)} queries "
+            f"(cohort aging to 3: {len(due_next)}, pins: "
+            f"{len(pinned_next - due_next)} extra) exceed the "
+            f"{WINDOW}-slot window — a cohort member would silently "
+            f"reach verdict age 3+; re-key a pin to a later round"
+        )
+    return {
+        "must_grade_this_round": len(must_now),
+        "next_round_due": len(due_next),
+        "next_round_pinned_extra": len(demand - due_next),
+        "next_round_demand": len(demand),
+        "window": WINDOW,
     }
 
 
