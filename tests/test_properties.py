@@ -1586,3 +1586,31 @@ def test_normalize_text_fused_regex_equals_two_pass(spark, texts):
         .count()
     )
     assert bad == 0
+
+
+def test_connected_components_star_auto_switch(spark):
+    """The default auto mode (skew_robust=None) must produce the exact
+    union-find map whether the degree switch fires (tiny threshold —
+    robust phases from round 1), never fires (huge threshold — window
+    phases throughout), or fires MID-RUN (a chain whose late-round
+    contraction concentrates everything on the root)."""
+    from yaetos_spark.operators.graph import connected_components_star
+
+    hub = spark.createDataFrame(
+        [(0, i) for i in range(1, 120)], "id1 long, id2 long"
+    )
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "id1 long, id2 long"
+    )
+    for g, expect in [
+        (hub, {i: 0 for i in range(120)}),
+        (chain, {i: 0 for i in range(64)}),
+    ]:
+        for thresh in (3, 10**9):
+            got = {
+                r.node: r.comp
+                for r in connected_components_star(
+                    g, skew_switch_degree=thresh
+                ).collect()
+            }
+            assert got == expect, thresh

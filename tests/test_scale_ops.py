@@ -766,3 +766,69 @@ def test_dedup_corpus_lines_null_text_doc_kept(spark):
     assert set(out) == {1, 2, 3}
     assert out[3].text_clean == "" and out[3].n_kept == 1 and out[3].n_removed == 0
     assert out[1].text_clean == "keep" and out[1].n_removed == 1
+
+
+def test_vacuum_signature_index(spark, tmp_path):
+    """The index VACUUM: N appended batches + one double-appended
+    re-run leave duplicate ids and a small-file pile; vacuum dedups by
+    id, rewrites to few files via a crash-safe rename swap, and the
+    NEXT incremental batch behaves exactly as before the vacuum."""
+    import os
+
+    import pytest
+
+    from yaetos_spark.operators.dedup import (
+        build_signature_index,
+        dedup_against_index,
+        vacuum_signature_index,
+    )
+
+    idx = str(tmp_path / "sig_index")
+    corpus = spark.createDataFrame(
+        [(i, f"seed document number {i} with words {i % 7}") for i in range(30)],
+        "doc_id bigint, text string",
+    )
+    build_signature_index(corpus, idx)
+    for k in range(3):
+        batch = spark.createDataFrame(
+            [(1000 + 30 * k + i, f"batch {k} doc {i} fresh content {i}") for i in range(10)],
+            "doc_id bigint, text string",
+        )
+        dedup_against_index(batch, idx)
+    # a re-run of the last batch double-appends nothing NEW to the
+    # survivors (all near-dup vs the index now) — force real dup rows
+    # by appending the seed signatures again, the crash-retry shape
+    build_signature_index(corpus, idx, mode="append")
+
+    def count_files(p):
+        return sum(
+            1
+            for root, _d, fs in os.walk(p)
+            for f in fs
+            if not f.startswith(("_", "."))
+        )
+
+    before = spark.read.parquet(idx)
+    rows_before, files_before = before.count(), count_files(idx)
+    ids_before = {r.id for r in before.select("id").distinct().collect()}
+    assert rows_before > len(ids_before)  # real duplicates present
+
+    stats = vacuum_signature_index(spark, idx)
+    assert stats["rows_before"] == rows_before
+    assert stats["rows_after"] == len(ids_before)
+    assert stats["files_after"] < files_before
+    assert not os.path.exists(idx + "__vacuum") and not os.path.exists(idx + "__old")
+    after = spark.read.parquet(idx)
+    assert {r.id for r in after.select("id").collect()} == ids_before
+
+    # the index still serves incremental dedup: a near-dup of a seed
+    # doc is dropped, a fresh doc survives
+    probe = spark.createDataFrame(
+        [(9001, "seed document number 3 with words 3"), (9002, "totally novel text here")],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id for r in dedup_against_index(probe, idx, update_index=False).collect()}
+    assert out == {9002}
+
+    with pytest.raises(ValueError, match="local-filesystem"):
+        vacuum_signature_index(spark, "s3://bucket/index")

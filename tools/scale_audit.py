@@ -49,10 +49,23 @@ def _env_signal() -> dict:
             "spin_sec": round(spin, 3)}
 
 
-def run_audit(spark, sf_dir: str, names=None) -> dict:
+def run_audit(spark, sf_dir: str, names=None, warmup: bool = True) -> dict:
     qs = entrymod.queries()
     names = list(names) if names else list(qs)
     results = {}
+    # Untimed warm-up: the stalest-first ordering made whichever query
+    # ran FIRST absorb the fresh session's JIT/codegen/first-parquet
+    # cost (r9: it inflated incremental_dedup_survivors to 19.2 s vs
+    # its 5.6-6.9 s warm cost), so the artifact's "worst" column ranked
+    # positions, not plans.  Run the first query once, untimed, then
+    # time everything — position 1 is now as warm as position 100.
+    if warmup and names:
+        try:
+            qs[names[0]](spark, sf_dir).count()
+        except Exception:
+            pass  # the timed run below reports the error
+        spark.catalog.clearCache()
+        gc.collect()
     for name in names:
         t0 = time.time()
         try:
@@ -96,6 +109,7 @@ def main(argv: list[str]) -> int:
     doc = {
         "env_before": env_before,
         "env_after": _env_signal(),
+        "warmup_query": (names or list(entrymod.queries()))[0],
         "sf_dir": sf_dir,
         "n_queries": len(results),
         "n_errors": len(errs),

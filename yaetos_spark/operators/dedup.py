@@ -775,3 +775,78 @@ def dedup_against_index(
         )
         surv_sigs.write.mode("append" if have_index else "overwrite").parquet(index_dir)
     return survivors
+
+
+def vacuum_signature_index(
+    spark,
+    index_dir: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """VACUUM the persisted minhash-signature index: drop duplicate
+    ids and rewrite the directory into right-sized files.
+
+    Why it exists: :func:`dedup_against_index` APPENDS each batch's
+    survivor signatures, so across N batches the index accumulates N
+    small-file writes (scan cost grows with file count — task-per-file
+    scheduling, footer reads) and a re-run of an already-ingested batch
+    double-appends identical rows. Signatures are deterministic given
+    (text, n, num_hashes), so duplicate ids are byte-identical rows and
+    ``dropDuplicates(["id"])`` is lossless; the rewrite targets
+    ``target_file_bytes`` per file from the input's ACTUAL bytes
+    (filesystem metadata — no data pass), the compact_job heuristic.
+
+    Swap discipline: the compacted index is written BESIDE the live one
+    (``<dir>__vacuum``), then swapped in with two renames — the live
+    index is readable until the final rename, and a crash mid-vacuum
+    leaves either the old or the new directory intact, never a
+    half-written index. Local-filesystem paths only (the incremental
+    index in this repo is local/HDFS-style; object-store indexes should
+    use the run-stamped ``{{latest}}`` convention instead, where
+    retention_job handles cleanup).
+
+    Returns ``{rows_before, rows_after, files_before, files_after}``.
+    """
+    import os
+    import shutil
+
+    if "://" in index_dir:
+        raise ValueError(
+            "vacuum_signature_index supports local-filesystem index paths "
+            "only; for object stores write run-stamped snapshots and point "
+            "{{latest}} at the newest (see jobs/generic/retention_job.py)"
+        )
+
+    def _stats(path: str) -> tuple[int, int]:
+        n_files, n_bytes = 0, 0
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                if not f.startswith(("_", ".")):
+                    n_files += 1
+                    n_bytes += os.path.getsize(os.path.join(root, f))
+        return n_files, n_bytes
+
+    files_before, bytes_before = _stats(index_dir)
+    sigs = spark.read.parquet(index_dir)
+    rows_before = sigs.count()
+    deduped = sigs.dropDuplicates(["id"])
+    n_files = max(1, -(-bytes_before // max(1, target_file_bytes)))
+    tmp = index_dir.rstrip("/") + "__vacuum"
+    old = index_dir.rstrip("/") + "__old"
+    deduped.repartition(n_files).write.mode("overwrite").parquet(tmp)
+    rows_after = spark.read.parquet(tmp).count()
+    if rows_after > rows_before:
+        raise RuntimeError(
+            f"vacuum_signature_index wrote MORE rows than it read "
+            f"({rows_after} > {rows_before}) — aborting before the swap"
+        )
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(index_dir, old)
+    os.rename(tmp, index_dir)
+    shutil.rmtree(old)
+    files_after, _ = _stats(index_dir)
+    return {
+        "rows_before": rows_before,
+        "rows_after": rows_after,
+        "files_before": files_before,
+        "files_after": files_after,
+    }

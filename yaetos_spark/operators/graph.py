@@ -117,7 +117,8 @@ def connected_components_star(
     src: str = "id1",
     dst: str = "id2",
     max_iter: int = 50,
-    skew_robust: bool = False,
+    skew_robust: bool | None = None,
+    skew_switch_degree: int = 5_000_000,
 ) -> DataFrame:
     """Connected components by alternating large-star / small-star
     contraction (Kiveris et al., "Connected Components in MapReduce and
@@ -179,10 +180,21 @@ def connected_components_star(
     star graphs (every node in one group): parity at 2M and 20M
     members (±25%, host noise) — the robustness costs nothing there
     and only the bounded-degree fast path pays the extra exchanges.
-    Use it for power-law graphs (web links, social followers) where
-    single components of 10^8+ nodes are expected; leave the default
-    for near-dup clusters, event chains, and other bounded-skew
-    topologies.
+
+    The DEFAULT (``skew_robust=None``) AUTO-SELECTS per round: the
+    convergence probe is widened to a per-node degree aggregate (one
+    partial-aggregating groupBy over the exploded endpoints — global
+    count and endpoint sum fall out of the same pass, so it is still
+    one job per round), and the moment any node's symmetric degree
+    exceeds ``skew_switch_degree`` every SUBSEQUENT round runs the
+    robust phases. Per-round, not a one-shot input probe, because the
+    dangerous concentration is EMERGENT: a bounded-degree chain whose
+    final component has 10^9 members develops its hub in the late
+    contraction rounds, invisible in the input's degree distribution.
+    The switch is one-way (concentration only grows under contraction).
+    Pass ``skew_robust=True``/``False`` to force either plan — False
+    restores the cheaper scalar probe too, for callers that KNOW their
+    component sizes are bounded (near-dup clusters, short event chains).
     """
     raw = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     # domain = every node appearing in edges, INCLUDING ones whose only
@@ -203,22 +215,47 @@ def connected_components_star(
         .localCheckpoint(eager=True)
     )
 
+    auto = skew_robust is None
+    robust = bool(skew_robust)
+
     # decimal(38,0) keeps the endpoint sum exact for any 64-bit id
     # space (m x 2^64 stays far below 10^38 for any feasible m)
     def _probe(frame: DataFrame):
-        row = frame.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(
-                F.col("lo").cast("decimal(38,0)")
-                + F.col("hi").cast("decimal(38,0)")
-            ).alias("s"),
-        ).collect()[0]
-        return row.n, row.s
+        """(edge count, exact endpoint sum, max symmetric degree) —
+        the third element is None in fixed mode, where the cheaper
+        scalar aggregate suffices.  In auto mode the SAME single pass
+        yields all three: per-node multiplicities c over the exploded
+        endpoints give edges = sum(c)/2, endpoint sum = sum(node*c),
+        and the skew signal max(c)."""
+        if not auto:
+            row = frame.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    F.col("lo").cast("decimal(38,0)")
+                    + F.col("hi").cast("decimal(38,0)")
+                ).alias("s"),
+            ).collect()[0]
+            return row.n, row.s, None
+        row = (
+            frame.select(F.explode(F.array("lo", "hi")).alias("_nd"))
+            .groupBy("_nd")
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .agg(
+                F.sum("_c").alias("n2"),
+                F.sum(F.col("_nd").cast("decimal(38,0)") * F.col("_c")).alias("s"),
+                F.max("_c").alias("mx"),
+            )
+            .collect()[0]
+        )
+        return (row.n2 or 0) // 2, row.s, (row.mx or 0)
 
     from pyspark.sql import Window
 
     cur = e
-    prev = _probe(cur)
+    n0, s0, mx0 = _probe(cur)
+    prev = (n0, s0)
+    if auto and mx0 is not None and mx0 > skew_switch_degree:
+        robust = True
     for _ in range(max_iter):
         # Each phase is a grouped-minimum attached back to the group's
         # rows — expressed as a WINDOW aggregate, not the textbook
@@ -237,7 +274,7 @@ def connected_components_star(
         sym = cur.select(F.col("lo").alias("u"), F.col("hi").alias("v")).unionByName(
             cur.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
         )
-        if skew_robust:
+        if robust:
             # partial-aggregating min + skew-splittable equi-join back
             mins_u = sym.groupBy("u").agg(F.min("v").alias("_mn"))
             ls = (
@@ -266,7 +303,7 @@ def connected_components_star(
         #    minimum, row_number still fires once per group, and the
         #    final distinct removes duplicate outputs — dropping the
         #    intermediate distinct saves a full (lo, hi) shuffle.
-        if skew_robust:
+        if robust:
             # the group-min frame doubles as the root self-attach rows
             mins_h = ls.groupBy("hi").agg(F.min("lo").alias("m"))
             ss_nbrs = ls.join(mins_h, "hi").select(
@@ -294,12 +331,14 @@ def connected_components_star(
             .distinct()
             .localCheckpoint(eager=True)
         )
-        cur_probe = _probe(new)
+        n1, s1, mx1 = _probe(new)
         cur = new
-        if cur_probe == prev:
+        if auto and mx1 is not None and mx1 > skew_switch_degree:
+            robust = True  # one-way: concentration only grows
+        if (n1, s1) == prev:
             converged = True
             break
-        prev = cur_probe
+        prev = (n1, s1)
     else:
         converged = False
     if not converged:

@@ -153,6 +153,7 @@ def winnow_fingerprints(
     id_col: str = "doc_id",
     k: int = 8,
     window: int = 4,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
     SIGMOD'03 — the MOSS algorithm): hash every k-char gram of the
@@ -167,12 +168,28 @@ def winnow_fingerprints(
     explode — ZERO shuffles, so it runs embarrassingly parallel over
     any corpus size. The normalized text and the k-gram hash array are
     ``_let``-bound so each is computed once per document regardless of
-    how Catalyst collapses the projections. Hashes are md5-based
-    (engine-portable, see functions/hashing.py) rather than a literal
-    Rabin-Karp rolling recurrence: the JVM evaluates md5(substr) per
-    position, and the fingerprint semantics (k-gram hash + window-min
-    selection) are identical.
+    how Catalyst collapses the projections.
+
+    ``hash_fn`` picks the k-gram hash:
+
+    - ``"md5"`` (default): engine-portable — DuckDB replicates it
+      bit-for-bit, which is what the oracle contract query needs. The
+      price is one full md5 per character position; at the 100x
+      replica the fingerprint scan is hash-bound (~90 s).
+    - ``"xxhash64"``: Spark's built-in 64-bit xxHash — stays inside
+      whole-stage codegen with no hex/conv round-trip, the production
+      choice for a 100 TB corpus. Same winnowing guarantees (any
+      shared substring of length >= k + window - 1 still collides on
+      a shared fingerprint); only the fingerprint VALUES differ, so
+      don't mix the two hash spaces in one index.
     """
+    if hash_fn == "md5":
+        def _hash(s: Column) -> Column:
+            return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+    elif hash_fn == "xxhash64":
+        _hash = F.xxhash64
+    else:
+        raise ValueError(f"hash_fn must be 'md5' or 'xxhash64', got {hash_fn!r}")
 
     def kgrams_of(nrm: Column) -> Column:
         # explicit +1 step: sequence() defaults to step -1 when
@@ -181,9 +198,7 @@ def winnow_fingerprints(
         n_kgrams = F.greatest(F.length(nrm) - k + 1, F.lit(1))
         return F.transform(
             F.sequence(F.lit(1), n_kgrams, F.lit(1)),
-            lambda i: F.conv(
-                F.substring(F.md5(nrm.substr(i, F.lit(k))), 1, 8), 16, 10
-            ).cast("long"),
+            lambda i: _hash(nrm.substr(i, F.lit(k))),
         )
 
     def windows_of(raw: Column) -> Column:
