@@ -177,11 +177,17 @@ def winnow_fingerprints(
       price is one full md5 per character position; at the 100x
       replica the fingerprint scan is hash-bound (~90 s).
     - ``"xxhash64"``: Spark's built-in 64-bit xxHash — stays inside
-      whole-stage codegen with no hex/conv round-trip, the production
-      choice for a 100 TB corpus. Same winnowing guarantees (any
-      shared substring of length >= k + window - 1 still collides on
-      a shared fingerprint); only the fingerprint VALUES differ, so
-      don't mix the two hash spaces in one index.
+      whole-stage codegen with no hex/conv round-trip and uses the
+      full 64-bit space (md5's conv(substr,1,8) keeps 32 bits). Same
+      winnowing guarantees (any shared substring of length >=
+      k + window - 1 still collides on a shared fingerprint); only
+      the fingerprint VALUES differ, so don't mix the two hash spaces
+      in one index. Measured honestly (100x replica, interleaved):
+      the fingerprint scan is bound by the per-position substring/
+      transform machinery, NOT the hash — xxhash64 is only ~5-13%
+      faster (fps-only 63/56 s -> 55/54 s). Pick it for the hash
+      space and codegen-native type; the md5 default's real cost is
+      cross-engine oracle parity, not throughput.
     """
     if hash_fn == "md5":
         def _hash(s: Column) -> Column:
