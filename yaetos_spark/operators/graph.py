@@ -181,13 +181,15 @@ def connected_components_star(
     members (±25%, host noise) — the robustness costs nothing there
     and only the bounded-degree fast path pays the extra exchanges.
 
-    The DEFAULT (``skew_robust=None``) AUTO-SELECTS per round: the
-    convergence probe is widened to a per-node degree aggregate (one
-    partial-aggregating groupBy over the exploded endpoints — global
-    count and endpoint sum fall out of the same pass, so it is still
-    one job per round), and the moment any node's symmetric degree
-    exceeds ``skew_switch_degree`` every SUBSEQUENT round runs the
-    robust phases. Per-round, not a one-shot input probe, because the
+    The DEFAULT (``skew_robust=None``) AUTO-SELECTS per round: when —
+    and only when — a generation's edge count reaches
+    ``skew_switch_degree`` (a degree-D group needs >= D edges, so
+    smaller generations provably cannot hide a hub and pay NOTHING),
+    a bucketed degree detector runs beside the convergence probe
+    (4096 hash buckets over the exploded endpoints; map-side combine
+    caps its shuffle at 4096 rows per partition), and the first round
+    whose max-bucket-over-mean signal exceeds ``skew_switch_degree``
+    flips every SUBSEQUENT round to the robust phases. Per-round, not a one-shot input probe, because the
     dangerous concentration is EMERGENT: a bounded-degree chain whose
     final component has 10^9 members develops its hub in the late
     contraction rounds, invisible in the input's degree distribution.
@@ -221,33 +223,43 @@ def connected_components_star(
     # decimal(38,0) keeps the endpoint sum exact for any 64-bit id
     # space (m x 2^64 stays far below 10^38 for any feasible m)
     def _probe(frame: DataFrame):
-        """(edge count, exact endpoint sum, max symmetric degree) —
-        the third element is None in fixed mode, where the cheaper
-        scalar aggregate suffices.  In auto mode the SAME single pass
-        yields all three: per-node multiplicities c over the exploded
-        endpoints give edges = sum(c)/2, endpoint sum = sum(node*c),
-        and the skew signal max(c)."""
-        if not auto:
-            row = frame.agg(
-                F.count(F.lit(1)).alias("n"),
-                F.sum(
-                    F.col("lo").cast("decimal(38,0)")
-                    + F.col("hi").cast("decimal(38,0)")
-                ).alias("s"),
-            ).collect()[0]
+        """(edge count, exact endpoint sum, degree signal).  The
+        count/sum convergence probe is the cheap scalar aggregate in
+        EVERY mode.  The degree signal (third element, None when not
+        computed) runs only in auto mode AND only when the edge count
+        could possibly hide a hub: a group of degree D needs at least
+        D edges, so while n < skew_switch_degree NO group can cross
+        the threshold and the detector is skipped — sub-threshold
+        graphs (every local test, near-dup clusters, sf0.1 chains) pay
+        exactly zero for the auto default (an always-on per-node
+        groupBy probe measured 15-20%% on the sf0.1 chain contract
+        query).  When it does run, endpoints explode into 4096 hash
+        buckets (map-side combine caps the shuffle at 4096 rows per
+        partition) and the signal is max(bucket) - avg(bucket):
+        background degree mass spreads uniformly by hash, so a hub of
+        degree D lifts its own bucket ~D above the mean, and hash
+        collisions only OVER-estimate — the detector can fire early
+        (paying the robust phases' modest premium) but never miss a
+        hub.  At n >= skew_switch_degree its cost is one extra
+        aggregation over a frame the phases are about to shuffle
+        several times — noise at that scale."""
+        row = frame.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.col("lo").cast("decimal(38,0)")
+                + F.col("hi").cast("decimal(38,0)")
+            ).alias("s"),
+        ).collect()[0]
+        if not auto or robust or (row.n or 0) < skew_switch_degree:
             return row.n, row.s, None
-        row = (
+        deg = (
             frame.select(F.explode(F.array("lo", "hi")).alias("_nd"))
-            .groupBy("_nd")
+            .groupBy(F.pmod(F.xxhash64("_nd"), F.lit(4096)).alias("_bk"))
             .agg(F.count(F.lit(1)).alias("_c"))
-            .agg(
-                F.sum("_c").alias("n2"),
-                F.sum(F.col("_nd").cast("decimal(38,0)") * F.col("_c")).alias("s"),
-                F.max("_c").alias("mx"),
-            )
+            .agg(F.max("_c").alias("mxb"), F.avg("_c").alias("avgb"))
             .collect()[0]
         )
-        return (row.n2 or 0) // 2, row.s, (row.mx or 0)
+        return row.n, row.s, (deg.mxb or 0) - (deg.avgb or 0.0)
 
     from pyspark.sql import Window
 
