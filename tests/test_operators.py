@@ -1170,3 +1170,102 @@ def test_winnow_xxhash64_variant(spark):
     assert (1, 4) in pairs and (1, 2) in pairs and all(3 not in p for p in pairs)
     with pytest.raises(ValueError, match="hash_fn"):
         TX.winnow_fingerprints(_docs(spark), hash_fn="sha1")
+
+
+def test_helper_column_guards_raise(spark):
+    """Every operator that withColumn's constant scratch names onto a
+    USER frame must refuse an input already carrying that name (silent
+    overwrite + drop = data corruption — the deterministic_sample
+    ADVICE class, swept across the library in r10)."""
+    import pytest
+
+    from yaetos_spark.operators.layout import zorder_key
+    from yaetos_spark.operators.quality import compare_fuzzy
+    from yaetos_spark.operators.rangejoin import band_join, interval_join
+    from yaetos_spark.operators.skew import (
+        replicated_skew_join,
+        salted_agg,
+        salted_count,
+    )
+
+    two = spark.createDataFrame([(1, 2.0, "x")], "k bigint, v double, _salt string")
+    plain = spark.createDataFrame([(1, 2.0)], "k bigint, v double")
+    cases = [
+        (lambda: salted_count(two, ["k"]), "_salt"),
+        (lambda: salted_agg(two, ["k"], {"v": "t"}), "_salt"),
+        (lambda: replicated_skew_join(plain, two, "k"), "_salt"),
+        (
+            lambda: interval_join(
+                spark.createDataFrame([(1.0, 0)], "x double, _bk int"),
+                spark.createDataFrame([(0.0, 2.0)], "lo double, hi double"),
+                "x", "lo", "hi", 1.0,
+            ),
+            "_bk",
+        ),
+        (
+            lambda: band_join(
+                plain,
+                spark.createDataFrame([(1.0, 7)], "rv double, _bk0 int"),
+                "v", "rv", 1.0,
+            ),
+            "_bk0",
+        ),
+        (
+            lambda: zorder_key(
+                spark.createDataFrame([(1, 2, 3)], "a int, b int, _zorder int"),
+                ["a", "b"],
+            ),
+            "_zorder",
+        ),
+        (
+            # a non-pk "_in_1" is SAFE (the select aliases it to
+            # _in_1_1/_in_1_2); the corrupting case is a PK named like
+            # the presence flag — withColumn would overwrite the key
+            lambda: compare_fuzzy(
+                spark.createDataFrame([(1, True)], "k bigint, _in_1 boolean"),
+                spark.createDataFrame([(1, True)], "k bigint, _in_1 boolean"),
+                ["k", "_in_1"],
+            ),
+            "_in_1",
+        ),
+        (
+            lambda: CU.rebalance_groups(
+                spark.createDataFrame([(1, "g", 0)], "doc_id bigint, grp string, _rk int"),
+                "grp",
+            ),
+            "_rk",
+        ),
+        (
+            lambda: W.sessionize(
+                spark.createDataFrame(
+                    [(1, "2024-01-01 00:00:00", 0)],
+                    "user_id bigint, ts string, _new_session int",
+                ),
+                "user_id", "ts",
+            ),
+            "_new_session",
+        ),
+        (
+            lambda: W.asof_join(
+                spark.createDataFrame([(1, 1.0, "a")], "k bigint, t double, _side string"),
+                spark.createDataFrame([(1, 1.0)], "k bigint, t double"),
+                "k", "t", "t",
+            ),
+            "_side",
+        ),
+        (
+            lambda: W.global_rank(
+                spark.createDataFrame([(1.0, 0)], "v double, _bucket int"), "v"
+            ),
+            "_bucket",
+        ),
+        (
+            lambda: W.distributed_ntile(
+                spark.createDataFrame([(1.0, 0)], "v double, _grank int"), "v", 2
+            ),
+            "_grank",
+        ),
+    ]
+    for fn, name in cases:
+        with pytest.raises(ValueError, match=name):
+            fn()

@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from yaetos_spark.operators._guards import reserve_helper_cols
+
 from yaetos_spark.functions.hof import let as _let
 
 
@@ -513,6 +515,7 @@ def rebalance_groups(
         counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
         # 1-row collect: min group size (bounded by #groups, metadata-scale)
         quota = counts.agg(F.min("_n")).collect()[0][0]
+    reserve_helper_cols("rebalance_groups", ("_rk",), df)
     w = Window.partitionBy(group_col).orderBy(F.md5(F.col(id_col).cast("string")))
     return (
         df.withColumn("_rk", F.row_number().over(w))

@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from yaetos_spark.operators._guards import reserve_helper_cols
+
 
 def zorder_key(
     df: DataFrame, cols: list[str], bits_per_col: int = 16
@@ -45,6 +47,7 @@ def zorder_key(
         )
     if len(cols) < 2:
         raise ValueError("zorder needs >= 2 columns; use sort_by for one")
+    reserve_helper_cols("zorder_key", ("_zorder",), df)
     stats = df.agg(
         *[F.min(c).cast("double").alias(f"_lo_{i}") for i, c in enumerate(cols)],
         *[F.max(c).cast("double").alias(f"_hi_{i}") for i, c in enumerate(cols)],

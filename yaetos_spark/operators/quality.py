@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from yaetos_spark.operators._guards import reserve_helper_cols
+
 
 def check_pk(df: DataFrame, pks: list[str]) -> bool:
     """True iff ``pks`` uniquely identify rows (reference:
@@ -74,8 +76,11 @@ def compare_fuzzy(
     """
     shared = [c for c in df1.columns if c in df2.columns and c not in pk]
     numeric_types = ("int", "bigint", "double", "float", "decimal", "smallint", "tinyint", "long")
-    d1 = df1.select(*pk, *[F.col(c).alias(c + "_1") for c in shared]).withColumn("_in_1", F.lit(True))
-    d2 = df2.select(*pk, *[F.col(c).alias(c + "_2") for c in shared]).withColumn("_in_2", F.lit(True))
+    d1 = df1.select(*pk, *[F.col(c).alias(c + "_1") for c in shared])
+    d2 = df2.select(*pk, *[F.col(c).alias(c + "_2") for c in shared])
+    reserve_helper_cols("compare_fuzzy", ("_in_1", "_in_2"), d1, d2)
+    d1 = d1.withColumn("_in_1", F.lit(True))
+    d2 = d2.withColumn("_in_2", F.lit(True))
     joined = d1.join(d2, on=pk, how="full_outer")
     joined = joined.withColumn("_in_1", F.coalesce("_in_1", F.lit(False)))
     joined = joined.withColumn("_in_2", F.coalesce("_in_2", F.lit(False)))

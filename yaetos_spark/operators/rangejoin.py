@@ -14,6 +14,8 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from yaetos_spark.operators._guards import reserve_helper_cols
+
 
 def interval_join(
     points: DataFrame,
@@ -48,6 +50,7 @@ def interval_join(
         # bucket-exploded intervals would duplicate outer-side rows —
         # refuse rather than return wrong outer semantics
         raise ValueError("interval_join supports how='inner' only")
+    reserve_helper_cols("interval_join", ("_bk",), points, intervals)
     p = points.withColumn("_bk", F.floor(F.col(point_col) / F.lit(bucket_width)).cast("long"))
     lo_bk = F.floor(F.col(start_col) / F.lit(bucket_width)).cast("long")
     hi_bk = F.floor(F.col(end_col) / F.lit(bucket_width)).cast("long")
@@ -100,6 +103,7 @@ def band_join(
     neighbor buckets — the probe fan-out is ceil(tolerance/bucket_width)
     buckets each way, so any bucket_width stays correct (narrower
     buckets trade a wider fan-out for tighter candidate sets)."""
+    reserve_helper_cols("band_join", ("_bk", "_bk0"), left, right)
     w = bucket_width or tolerance
     reach = int(math.ceil(tolerance / w))
     l_b = left.withColumn("_bk", F.floor(F.col(left_col) / F.lit(w)).cast("long"))

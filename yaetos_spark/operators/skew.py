@@ -12,11 +12,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from yaetos_spark.operators._guards import reserve_helper_cols
+
 
 def salted_count(df: DataFrame, keys: list[str], salt_buckets: int = 32, count_col: str = "n") -> DataFrame:
     """Two-phase count: pre-aggregate on (key, salt) so the hot key's
     rows combine map-side across ``salt_buckets`` reducers, then merge.
     Result identical to ``groupBy(keys).count()``."""
+    reserve_helper_cols("salted_count", ("_salt", "_partial"), df)
     salted = df.withColumn("_salt", (F.rand(seed=42) * salt_buckets).cast("int"))
     partial = salted.groupBy(*keys, "_salt").agg(F.count(F.lit(1)).alias("_partial"))
     return partial.groupBy(*keys).agg(F.sum("_partial").cast("long").alias(count_col))
@@ -26,6 +29,7 @@ def salted_agg(df: DataFrame, keys: list[str], sums: dict[str, str], salt_bucket
     """Two-phase sum-aggregation: ``sums`` maps input column -> output
     alias. Only algebraic aggregates (sum/count/min/max) can be salted
     this way; averages are derived from sum+count afterwards."""
+    reserve_helper_cols("salted_agg", ("_salt",), df)
     salted = df.withColumn("_salt", (F.rand(seed=42) * salt_buckets).cast("int"))
     partial = salted.groupBy(*keys, "_salt").agg(
         *[F.sum(src).alias(f"_p_{alias}") for src, alias in sums.items()]
@@ -49,6 +53,7 @@ def replicated_skew_join(
     Prefer ``F.broadcast(small)`` when small fits a broadcast; prefer
     AQE skew handling when skew is unknown. This is the explicit tool
     for the middle case."""
+    reserve_helper_cols("replicated_skew_join", ("_salt",), big, small)
     big_s = big.withColumn("_salt", (F.rand(seed=42) * salt_buckets).cast("int"))
     small_r = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))

@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from yaetos_spark.operators._guards import reserve_helper_cols
+
 
 def session_bounds(
     df: DataFrame,
@@ -42,6 +44,7 @@ def sessionize(
 
     lag + cumulative-sum-of-boundaries — the canonical batch
     sessionization; one shuffle on the key."""
+    reserve_helper_cols("sessionize", ("_new_session",), df)
     w = Window.partitionBy(key).orderBy(ts_col)
     gap = F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(F.lag(ts_col).over(w))
     df = df.withColumn("_new_session", F.when(gap.isNull() | (gap > gap_seconds), 1).otherwise(0))
@@ -86,6 +89,7 @@ def asof_join(
     ordered by time — ONE shuffle on (key, time), no range cross-join,
     no per-group pandas. This survives arbitrarily large sides.
     """
+    reserve_helper_cols("asof_join", ("_t", "_side", "_rfill", "_asof_ts"), left, right)
     right_cols = right_cols or [c for c in right.columns if c not in (key, right_ts)]
     l_tag = left.withColumn("_t", F.col(left_ts)).withColumn("_side", F.lit(1))
     r_tag = right.select(
@@ -155,6 +159,7 @@ def _global_rank_with_total(
     """Shared core: ranked frame + the exact total row count, which the
     offset pass computes anyway — callers that need N (distributed_ntile)
     must not pay a second full pass for it."""
+    reserve_helper_cols("global_rank", ("_bucket",), df)
     spark = df.sparkSession
     dtype = dict(df.dtypes).get(order_col, "")
     if dtype in ("string", "binary", "boolean"):
@@ -217,6 +222,7 @@ def distributed_ntile(
     built-in ntile (tie permutations can only swap rows within equal
     values, which straddle band boundaries symmetrically).
     """
+    reserve_helper_cols("distributed_ntile", ("_grank", "_small", "_big", "_thr"), df)
     ranked, total = _global_rank_with_total(df, order_col, "_grank", num_partitions)
     # total is already exact on the driver (sum of the per-bucket counts
     # the offset pass collected) — no second pass over the data, and all
