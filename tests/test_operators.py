@@ -1269,3 +1269,30 @@ def test_helper_column_guards_raise(spark):
     for fn, name in cases:
         with pytest.raises(ValueError, match=name):
             fn()
+
+
+def test_rebalance_groups_empty_input(spark):
+    """Empty input must return empty, not TypeError on int(None)
+    (min over zero groups collects NULL)."""
+    df = spark.createDataFrame([], "doc_id bigint, grp string")
+    assert CU.rebalance_groups(df, "grp").count() == 0
+
+
+def test_null_and_empty_text_doc_contracts(spark):
+    """doc_oov_counts omits token-less docs (documented: an (id,0,0)
+    row would read as all-in-vocab); shingle-derived outputs keep EVERY
+    doc — NULL text must behave exactly like empty text (one whole-text
+    ''-shingle), not silently vanish via three-valued size(NULL)."""
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, None), (3, "   ")],
+        "doc_id bigint, text string",
+    )
+    assert {r.doc_id for r in TX.doc_oov_counts(docs, top_k=2).collect()} == {1}
+    red = {r.doc_id: r for r in TX.redundancy_scores(docs, n=2, min_df=1).collect()}
+    assert set(red) == {1, 2, 3}
+    # NULL and whitespace docs share the '' shingle (2 docs > min_df=1)
+    assert red[2].n_shingles == 1 and red[3].n_shingles == 1
+    assert red[2].common_frac == red[3].common_frac == 1.0
+    # and they pair as exact-similarity duplicates, like two empty files
+    pairs = {(r.id1, r.id2): r.jaccard for r in D.jaccard_pairs(docs, n=2, threshold=0.5).collect()}
+    assert pairs.get((2, 3)) == 1.0

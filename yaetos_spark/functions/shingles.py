@@ -21,8 +21,15 @@ def ngrams_from_tokens(tok_col: str, n: int) -> Column:
     """Distinct word n-grams from an array<string> token column.
 
     Docs shorter than n tokens yield one shingle of the whole text so
-    they still participate in similarity."""
-    t = tok_col
+    they still participate in similarity.  A NULL token array (NULL
+    text upstream — split(NULL) is NULL) coalesces to the empty-text
+    tokenization [''] FIRST: without it, three-valued ``size(NULL) < n``
+    skips the short-doc CASE branch and the ELSE arm yields NULL, so a
+    NULL-text doc would silently VANISH from every shingle-derived
+    frame (signatures, redundancy rows) while an empty-text doc gets
+    its whole-text shingle — the documented contract now holds for
+    both."""
+    t = f"coalesce({tok_col}, array(''))"
     expr = (
         f"CASE WHEN size({t}) < {n} THEN array(concat_ws(' ', {t})) "
         f"ELSE array_distinct(transform(sequence(1, size({t}) - {n} + 1), "
@@ -42,8 +49,9 @@ def word_ngram_rows(
 
 def word_ngrams(col: str, n: int) -> Column:
     """Distinct word n-gram shingles of a raw text column (convenience;
-    for hot paths prefer :func:`word_ngram_rows`)."""
-    t = f"split(trim({col}), '\\\\s+')"
+    for hot paths prefer :func:`word_ngram_rows`). NULL text behaves
+    like empty text (see ngrams_from_tokens)."""
+    t = f"split(trim(coalesce({col}, '')), '\\\\s+')"
     expr = (
         f"CASE WHEN size({t}) < {n} THEN array(concat_ws(' ', {t})) "
         f"ELSE array_distinct(transform(sequence(1, size({t}) - {n} + 1), "
@@ -53,10 +61,12 @@ def word_ngrams(col: str, n: int) -> Column:
 
 
 def char_ngrams(col: str, n: int) -> Column:
-    """Distinct character n-gram shingles as array<string>."""
+    """Distinct character n-gram shingles as array<string>. NULL text
+    behaves like empty text (one ''-shingle, not a vanished row)."""
+    c = f"coalesce({col}, '')"
     expr = (
-        f"CASE WHEN length({col}) < {n} THEN array({col}) "
-        f"ELSE array_distinct(transform(sequence(1, length({col}) - {n} + 1), "
-        f"i -> substring({col}, i, {n}))) END"
+        f"CASE WHEN length({c}) < {n} THEN array({c}) "
+        f"ELSE array_distinct(transform(sequence(1, length({c}) - {n} + 1), "
+        f"i -> substring({c}, i, {n}))) END"
     )
     return F.expr(expr)

@@ -515,6 +515,8 @@ def rebalance_groups(
         counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
         # 1-row collect: min group size (bounded by #groups, metadata-scale)
         quota = counts.agg(F.min("_n")).collect()[0][0]
+        if quota is None:  # empty input: no groups, nothing to cap
+            return df
     reserve_helper_cols("rebalance_groups", ("_rk",), df)
     w = Window.partitionBy(group_col).orderBy(F.md5(F.col(id_col).cast("string")))
     return (

@@ -331,6 +331,12 @@ def doc_oov_counts(
     Counts are exact integers — no float ratio — so the result is
     engine-portable bit-for-bit.
 
+    Token-less documents (NULL or whitespace-only text) contribute no
+    token rows and are ABSENT from the output — by contract, not by
+    accident: an (id, 0, 0) row would read as "all tokens in-vocab"
+    downstream, which is the opposite of what a NULL doc should score;
+    left-join this output against the doc table to surface them.
+
     Scale: vocabulary = one explode + hash-agg + global top-k
     (TakeOrdered, no full sort); the top-k rows (KBs) broadcast into
     the per-document hit count, so the corpus is scanned once and the
@@ -448,7 +454,10 @@ def redundancy_scores(
 
     Returns (doc_id, n_shingles, n_common, common_frac). All counts are
     integers; the single division is IEEE-exact, so the output is
-    engine-reproducible. Cost: one shingle fan-out, one df-count
+    engine-reproducible. EVERY input doc gets a row: docs shorter than
+    ``n`` tokens (incl. NULL/empty text) carry their single whole-text
+    shingle (ngrams_from_tokens contract), so n_shingles >= 1 always
+    and common_frac is never 0/0. Cost: one shingle fan-out, one df-count
     aggregation, one semi-ish join back — linear in corpus size, the
     same shape at 5k docs and 5B."""
     from yaetos_spark.functions.shingles import word_ngram_rows
