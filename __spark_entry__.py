@@ -5209,6 +5209,19 @@ _VERIFY_AT: dict[str, int] = {
     "resample_locf": 11,
     "dedup_exact_norm": 11,
     "scd2_user_types": 11,
+    # r10 shingle NULL-consistency change (ngrams_from_tokens coalesces
+    # NULL token arrays, bcab02b) touched every shingle-derived plan.
+    # The affected r8-cohort queries regrade naturally at r11 and the
+    # r9-cohort ones at r12 — these pins make that explicit and guard
+    # against anything re-grading them earlier on the pre-change plan.
+    # All are inside their naturally-graded cohorts: zero extra
+    # capacity (check_capacity verifies at manifest build).
+    "ngram_jaccard_pairs": 11,
+    "minhash_lsh_pairs": 11,
+    "near_dup_survivors": 11,
+    "dedup_clusters": 11,
+    "incremental_dedup_survivors": 12,
+    "doc_redundancy_scores": 12,
 }
 
 
