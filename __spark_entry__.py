@@ -5216,10 +5216,12 @@ _VERIFY_AT: dict[str, int] = {
     # against anything re-grading them earlier on the pre-change plan.
     # All are inside their naturally-graded cohorts: zero extra
     # capacity (check_capacity verifies at manifest build).
+    # (dedup_clusters, also shingle-affected, is in the r7 cohort and
+    # sits in the r10 window RIGHT NOW — its r10 verdict grades the
+    # post-change plan, no pin needed.)
     "ngram_jaccard_pairs": 11,
     "minhash_lsh_pairs": 11,
     "near_dup_survivors": 11,
-    "dedup_clusters": 11,
     "incremental_dedup_survivors": 12,
     "doc_redundancy_scores": 12,
 }
