@@ -213,3 +213,35 @@ def test_cmd_arg_literal_coercion(monkeypatch, tmp_path):
     assert captured["period"] == "2024.10"
     assert captured["suffix"] == "1_2"
     assert captured["mode_note"] == "prod-rollout"
+
+
+def test_cli_vacuum_index_job(spark, tmp_path):
+    """The vacuum_dedup_index registry pattern end-to-end: build an
+    index, run the job through the CLI, check the index is compacted
+    and the stats row lands in the job output."""
+    from yaetos_spark.operators.dedup import build_signature_index
+
+    idx = tmp_path / "sig_index"
+    docs = spark.createDataFrame(
+        [(i, f"doc number {i} some words {i % 5}") for i in range(40)],
+        "doc_id bigint, text string",
+    )
+    build_signature_index(docs, str(idx))
+    build_signature_index(docs, str(idx), mode="append")  # crash-retry dup rows
+    reg_path = tmp_path / "reg.yml"
+    reg_path.write_text(yaml.safe_dump({
+        "common_params": {"all_mode_params": {"base_path": str(tmp_path / "out"), "mode": "dev"}},
+        "jobs": {
+            "vacuum_dedup_index": {
+                "py_job": "jobs.generic.vacuum_index_job",
+                "inputs": {},
+                "output": {"path": "{{base_path}}/vacuum/{{now}}", "type": "parquet"},
+                "index_dir": str(idx),
+            }
+        },
+    }))
+    assert cli.main(["--job_name=vacuum_dedup_index", f"--registry={reg_path}"]) == 0
+    stats_dirs = list((tmp_path / "out" / "vacuum").iterdir())
+    row = spark.read.parquet(str(stats_dirs[0])).collect()[0]
+    assert row.rows_before == 80 and row.rows_after == 40
+    assert spark.read.parquet(str(idx)).count() == 40

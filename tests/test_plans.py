@@ -408,3 +408,17 @@ def test_expand_latest_hadoop_fs_branch_via_file_scheme(spark, tmp_path):
 
     with pytest.raises(FileNotFoundError):
         PH.expand_latest(f"file://{tmp_path}/missing/{{{{latest}}}}", spark)
+
+
+def test_expand_path_rejects_unresolved_tokens():
+    """A {{token}} surviving expansion (typo'd param, mis-nested
+    base_path) must raise, not become a literal '{{token}}/' directory
+    that downstream {{latest}} readers silently miss."""
+    import pytest
+
+    from yaetos_spark.plans.paths import expand_path
+
+    with pytest.raises(ValueError, match="base_path"):
+        expand_path("{{base_path}}/out/{{now}}", {"other": "x"})
+    # defined params still expand fine
+    assert expand_path("{{base_path}}/out", {"base_path": "/tmp/x"}).endswith("/tmp/x/out")

@@ -135,10 +135,24 @@ def expand_now(path: str, now: dt.datetime | None = None) -> str:
 
 
 def expand_path(path: str, params: dict | None = None, now: dt.datetime | None = None, spark=None) -> str:
-    """Full expansion: {{key}} params, then {{now}}, then {{latest}}."""
+    """Full expansion: {{key}} params, then {{now}}, then {{latest}}.
+
+    Any ``{{token}}`` still present AFTER expansion is a registry bug
+    (typo'd param name, base_path defined outside all_mode_params, …)
+    and raises — otherwise the writer would happily create a literal
+    ``{{base_path}}/...`` directory and every downstream
+    ``{{latest}}`` reader would silently miss it."""
     params = params or {}
     for k, v in params.items():
         path = path.replace("{{" + k + "}}", str(v))
     path = expand_now(path, now)
     path = expand_latest(path, spark)
+    import re
+
+    leftover = re.findall(r"\{\{[^{}]*\}\}", path)
+    if leftover:
+        raise ValueError(
+            f"unresolved path template token(s) {leftover} in '{path}' — "
+            f"the param is not defined in the job/registry param stack"
+        )
     return to_spark_path(path)
