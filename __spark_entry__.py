@@ -5246,16 +5246,10 @@ def _active_verify_next() -> set[str]:
 # window) — no manual edit needed, and the window-manifest age alarm
 # is only suppressed for the one round the deferral names.
 _DEFER_ONCE: dict[str, int] = {
-    # (r7's incremental_dedup_survivors entry deleted after its r8
-    # verdict landed — an expired entry is inert, but the table should
-    # only carry rows whose query still lacks a verdict.)
-    #
-    # r8: the r8 window was exactly full (44 stalest-r5 + 3 verdict-less
-    # + 3 _VERIFY_NEXT = 50), so these two new queries waited one round;
-    # expired at r9 (kept until their first verdict lands): both enter
-    # the r9 window as verdict-less queries.
-    "tfcosine_doc_pairs": 8,
-    "doc_redundancy_scores": 8,
+    # (r7's incremental_dedup_survivors entry and r8's tfcosine_doc_pairs
+    # / doc_redundancy_scores entries deleted after their first verdicts
+    # landed (r8, r9, r9) — an expired entry is inert, but the table
+    # only carries rows whose query still lacks a verdict.)
 }
 
 
