@@ -28,7 +28,16 @@ def ngrams_from_tokens(tok_col: str, n: int) -> Column:
     NULL-text doc would silently VANISH from every shingle-derived
     frame (signatures, redundancy rows) while an empty-text doc gets
     its whole-text shingle — the documented contract now holds for
-    both."""
+    both.
+
+    Scale note: every content-less doc (NULL or whitespace text) now
+    shares the SAME '' shingle, so on a web corpus with millions of
+    boilerplate-stripped empties that shingle is a guaranteed hot key
+    in any shingle equi-join. This is exactly the class the ``max_df``
+    hot-shingle guard exists for (jaccard_pairs/minhash_lsh_pairs drop
+    it before the self-join); exact-dedup the empties first (they are
+    all exact duplicates of each other) or set max_df when near-dup
+    scanning a corpus that keeps them."""
     t = f"coalesce({tok_col}, array(''))"
     expr = (
         f"CASE WHEN size({t}) < {n} THEN array(concat_ws(' ', {t})) "
