@@ -19,8 +19,11 @@ def test_queries_have_oracles():
     missing = set(oracles) - set(qs)
     assert not missing, f"oracle without query: {missing}"
     # every query except explicitly non-SQL-expressible ones has an oracle
+    # (winnow_rolling_pairs: the fingerprint hash is a numpy matmul in
+    # a mapInPandas stage — DuckDB cannot replicate it; the md5 twin
+    # winnow_overlap_pairs carries the value-exact oracle)
     no_oracle = set(qs) - set(oracles)
-    assert no_oracle <= {"lsh_ann_pairs", "approx_distinct_parts"}
+    assert no_oracle <= {"lsh_ann_pairs", "approx_distinct_parts", "winnow_rolling_pairs"}
 
 
 def test_window_covers_stalest_queries():

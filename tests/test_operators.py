@@ -1296,3 +1296,33 @@ def test_null_and_empty_text_doc_contracts(spark):
     # and they pair as exact-similarity duplicates, like two empty files
     pairs = {(r.id1, r.id2): r.jaccard for r in D.jaccard_pairs(docs, n=2, threshold=0.5).collect()}
     assert pairs.get((2, 3)) == 1.0
+
+
+def test_winnow_rolling_variant(spark):
+    """The Arrow rolling-hash winnowing keeps every guarantee of the
+    SQL formulation — identical docs share all fingerprints, a long
+    shared substring shares at least one, unrelated docs share none —
+    in its own hash space, and feeds winnow_overlap_pairs unchanged."""
+    fps = TX.winnow_fingerprints_rolling(_docs(spark), k=8, window=4)
+    by_doc = {
+        r.doc_id: set(r.fps)
+        for r in fps.groupBy("doc_id")
+        .agg(F.collect_set("fingerprint").alias("fps"))
+        .collect()
+    }
+    assert by_doc[1] == by_doc[4]
+    assert by_doc[1] & by_doc[2]
+    assert not (by_doc[1] & by_doc[3])
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in TX.winnow_overlap_pairs(fps, min_shared=1).collect()
+    }
+    assert (1, 4) in pairs and (1, 2) in pairs and all(3 not in p for p in pairs)
+    # short/NULL docs: below k raw chars or k normalized chars -> no rows
+    edge = spark.createDataFrame(
+        [(1, None), (2, "abc"), (3, "!!!!!!!!!!!!"), (4, "abcdefghi")],
+        "doc_id bigint, text string",
+    )
+    assert {r.doc_id for r in TX.winnow_fingerprints_rolling(edge).collect()} == {4}
+    # fewer than `window` k-grams -> exactly one fingerprint (min of all)
+    assert TX.winnow_fingerprints_rolling(edge).count() == 1

@@ -482,3 +482,83 @@ def redundancy_scores(
             "common_frac", F.round(F.col("n_common") / F.col("n_shingles"), 6)
         )
     )
+
+
+def winnow_fingerprints_rolling(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing fingerprints via a TRUE rolling polynomial hash in an
+    Arrow-vectorized ``mapInPandas`` stage — the different-SHAPE
+    production path the r10 hash A/B pointed at: swapping md5 for
+    xxhash64 inside the SQL formulation bought only ~5-13% because the
+    per-position ``substring`` + ``transform`` machinery dominates;
+    this variant removes that machinery entirely. Per document, the
+    normalized bytes become one numpy array, the k-gram hashes are one
+    stride-tricked (n-k+1, k) @ weights matmul in uint64 (wraparound
+    IS the mod-2^64 polynomial hash), window minima are a second
+    stride trick + min(axis=1), and distinct fingerprints come from
+    ``np.unique`` — O(n·k) vectorized integer ops, no per-position
+    string allocation.
+
+    Same selection algorithm, same guarantees as
+    :func:`winnow_fingerprints` (any shared substring of length >=
+    k + window - 1 yields a shared fingerprint; short docs contribute
+    min-of-all; docs whose normalized text is shorter than ``k`` emit
+    nothing) — but a THIRD hash space: never mix its output with the
+    md5 or xxhash64 indexes. Normalization mirrors
+    ``functions/hashing.normalize_text`` (lower, non-alphanumeric runs
+    -> one space, trim) in Python; after the [^a-z0-9]+ regex the text
+    is pure ASCII, so byte positions equal character positions. (Exotic
+    Unicode whose Python lower() differs from the JVM's can diverge
+    from the SQL variants — irrelevant within this hash space, which is
+    self-consistent.)
+
+    Scale: embarrassingly parallel Arrow batches, zero shuffles — the
+    same shape as the SQL variant, minus its expression cost. An
+    intentional arrow_python site (plan-census whitelisted class).
+    """
+    import re
+
+    import numpy as np
+    import pandas as pd
+
+    id_type = dict(df.dtypes)[id_col]
+    out_schema = f"{id_col} {id_type}, fingerprint long"
+    pat = re.compile(r"[^a-z0-9]+")
+    # weights B^(k-1-j) mod 2^64, computed in Python ints (numpy's
+    # scalar uint64 multiply wraps correctly but emits a spurious
+    # RuntimeWarning); the worker-side matmul wraps silently
+    B = 1099511628211  # FNV-1a prime: odd -> unit mod 2^64
+    weights = np.empty(k, dtype=np.uint64)
+    acc = 1
+    for j in range(k - 1, -1, -1):
+        weights[j] = np.uint64(acc)
+        acc = (acc * B) % (1 << 64)
+
+    def gen(batches):
+        for pdf in batches:
+            ids: list = []
+            fps: list = []
+            for did, txt in zip(pdf[id_col].values, pdf[text_col].values):
+                if txt is None or len(txt) < k:
+                    continue
+                nrm = pat.sub(" ", txt.lower()).strip()
+                if len(nrm) < k:
+                    continue
+                b = np.frombuffer(nrm.encode("ascii"), dtype=np.uint8)
+                grams = np.lib.stride_tricks.sliding_window_view(b, k)
+                h = grams.astype(np.uint64) @ weights
+                if len(h) >= window:
+                    mins = np.lib.stride_tricks.sliding_window_view(h, window).min(axis=1)
+                else:
+                    mins = h.min(keepdims=True)
+                u = np.unique(mins).view(np.int64)
+                ids.extend([did] * len(u))
+                fps.extend(u.tolist())
+            yield pd.DataFrame({id_col: ids, "fingerprint": fps})
+
+    return df.where(F.length(F.col(text_col)) >= k).mapInPandas(gen, out_schema)
