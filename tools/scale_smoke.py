@@ -73,6 +73,9 @@ SMOKE_QUERIES = [
     "simhash_docs",
     "dedup_exact_norm",
     "ann_cosine_topk",
+    # r10: the Arrow rolling-hash winnowing production path — the
+    # mapInPandas stage must grow linearly like the SQL variant does
+    "winnow_rolling_pairs",
     # r9: the two late-round text-path rewrites — winnow's groupBy
     # doc-frequency guard and the one-pass corpus line dedup — tracked
     # here so their growth ratios refresh automatically per round
