@@ -5240,6 +5240,10 @@ _VERIFY_AT: dict[str, int] = {
     "ngram_jaccard_pairs": 11,
     "minhash_lsh_pairs": 11,
     "near_dup_survivors": 11,
+    # r10: simhash() NULL-text coalesce (same class) — both simhash
+    # queries hold r8 verdicts and sit in the r8 cohort
+    "simhash_docs": 11,
+    "simhash_near_pairs": 11,
     "incremental_dedup_survivors": 12,
     "doc_redundancy_scores": 12,
 }

@@ -1326,3 +1326,16 @@ def test_winnow_rolling_variant(spark):
     assert {r.doc_id for r in TX.winnow_fingerprints_rolling(edge).collect()} == {4}
     # fewer than `window` k-grams -> exactly one fingerprint (min of all)
     assert TX.winnow_fingerprints_rolling(edge).count() == 1
+
+
+def test_simhash_null_text_like_empty(spark):
+    """A NULL-text doc must get the same signature as an empty-text doc
+    (both content-less), not silently vanish from the signature frame
+    via explode(split(NULL)) — the shingle-helper NULL class."""
+    docs = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "real words here")],
+        "doc_id bigint, text string",
+    )
+    sim = {r.id: r.simhash for r in D.simhash(docs).collect()}
+    assert set(sim) == {1, 2, 3}
+    assert sim[1] == sim[2] != sim[3]

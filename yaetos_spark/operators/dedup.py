@@ -452,10 +452,20 @@ def simhash(
     ±1 votes are summed as ``bits`` aggregate expressions in ONE
     groupBy — no bit-explosion of rows. Near-dup = small hamming
     distance; pair generation at scale uses byte-banding (pigeonhole).
+
+    NULL text coalesces to '' before the split: split(NULL) is NULL
+    and explode(NULL) emits nothing, so a NULL-text doc would silently
+    VANISH from the signature frame while an empty-text doc gets the
+    ''-token signature — same class (and same fix) as the shingle
+    helpers; two content-less docs hash identically, as they should.
     """
     toks = df.select(
         F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))).alias("tok"),
+        F.explode(
+            F.array_distinct(
+                F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
+            )
+        ).alias("tok"),
     )
     h = F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
     toks = toks.select("id", h.alias("h"))
