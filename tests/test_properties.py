@@ -1352,8 +1352,9 @@ def _profile_case(draw):
 @settings(**SETTINGS)
 def test_profile_table_matches_python_model(spark, rows):
     """profile_table vs a direct python computation of every stat on
-    random int/string columns with nulls. NDV at rsd=0.05 stays in
-    HLL++ sparse mode (exact) at these cardinalities."""
+    random int/string columns with nulls. NDV is HLL++-approximate
+    (register collisions can undercount even 2 values — see the
+    assertion note); everything else is exact."""
     from yaetos_spark.operators.quality import profile_table
 
     df = spark.createDataFrame(rows, "i int, s string")
@@ -1364,7 +1365,14 @@ def test_profile_table_matches_python_model(spark, rows):
         p = prof[col]
         assert p["n_rows"] == n and p["n_nonnull"] == len(vals)
         assert abs(p["null_frac"] - (1 - len(vals) / n)) < 1e-12
-        assert p["approx_ndv"] == len(set(vals))
+        # approx_ndv is HLL++ and contractually APPROXIMATE even at
+        # tiny cardinalities: hypothesis found ('zccaa', 'byacyx'),
+        # whose xxhash64 values share their top 12 bits, so at
+        # rsd=0.05 both land in one register and the estimate reads 1
+        # for 2 distinct values. Allow one register collision's worth
+        # of undercount; exactness here was always an overclaim.
+        exact_ndv = len(set(vals))
+        assert abs(p["approx_ndv"] - exact_ndv) <= max(1, round(0.1 * exact_ndv))
         if vals:
             # Spark casts to string post-agg; int order is numeric,
             # string order is binary (= python codepoint order here).
