@@ -20,18 +20,36 @@ operational complement to its Path_Handler 'latest' convention
 
 from __future__ import annotations
 
+import datetime as dt
 import os
 import re
 import shutil
 
 from yaetos_spark.job import SparkJob
+from yaetos_spark.plans.paths import NOW_FMT
 
 RUN_DIR_RE = re.compile(r"^date\d{8}_time\d{6}_utc$")
 
 
-def plan_retention(roots: list[str], keep: int) -> list[tuple[str, str, str]]:
+def plan_retention(
+    roots: list[str],
+    keep: int,
+    min_age_days: float = 0.0,
+    now: "dt.datetime | None" = None,
+) -> list[tuple[str, str, str]]:
     """(root, run_folder, action) for every run folder found; action is
-    'keep' or 'delete'. Pure planning — no filesystem mutation."""
+    'keep' or 'delete'. Pure planning — no filesystem mutation.
+
+    Deletion requires BOTH conditions (VERDICT r10 item 7's
+    keep-last-N + age floor): the folder ranks beyond the newest
+    ``keep`` AND its run stamp is older than ``min_age_days``. The age
+    floor protects against a burst of runs (a backfill loop, a flaky
+    scheduler retrying) rotating out folders minutes after they were
+    written — the operational window where a consumer may still be
+    mid-read of a non-latest snapshot. Age comes from the stamp itself
+    (the folder name encodes UTC write time), not mtime, so a copied
+    or touched directory cannot dodge its age."""
+    ref = now or dt.datetime.utcnow()
     plan = []
     for root in roots:
         if not os.path.isdir(root):
@@ -40,17 +58,26 @@ def plan_retention(roots: list[str], keep: int) -> list[tuple[str, str, str]]:
             d for d in os.listdir(root)
             if RUN_DIR_RE.match(d) and os.path.isdir(os.path.join(root, d))
         )
-        for d in runs[:-keep] if keep else runs:
-            plan.append((root, d, "delete"))
-        for d in runs[-keep:] if keep else []:
-            plan.append((root, d, "keep"))
+        cutoff = len(runs) - keep if keep else len(runs)
+        for i, d in enumerate(runs):
+            if i >= cutoff:
+                plan.append((root, d, "keep"))
+                continue
+            stamp = dt.datetime.strptime(d, NOW_FMT)
+            age_days = (ref - stamp).total_seconds() / 86400.0
+            if age_days < min_age_days:
+                plan.append((root, d, "keep"))
+            else:
+                plan.append((root, d, "delete"))
     return plan
 
 
 class RetentionJob(SparkJob):
     """params: ``retention`` (list of dataset roots, or a single base
     dir with ``scan_base: true`` to treat each child dir as a dataset
-    root), ``keep`` (runs to retain per root, default 3), ``apply``
+    root), ``keep`` (runs to retain per root, default 3),
+    ``min_age_days`` (age floor: never delete a run younger than this
+    many days, even beyond ``keep``; default 0 = count-only), ``apply``
     (default False = dry run)."""
 
     def transform(self, **_):
@@ -67,7 +94,9 @@ class RetentionJob(SparkJob):
         keep = int(self.params.get("keep", 3))
         if keep < 1:
             raise ValueError("keep must be >= 1: retaining zero runs would break {{latest}}")
-        plan = plan_retention(roots, keep)
+        plan = plan_retention(
+            roots, keep, min_age_days=float(self.params.get("min_age_days", 0.0))
+        )
         if self.params.get("apply"):
             for root, d, action in plan:
                 if action == "delete":

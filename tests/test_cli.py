@@ -215,6 +215,66 @@ def test_cmd_arg_literal_coercion(monkeypatch, tmp_path):
     assert captured["mode_note"] == "prod-rollout"
 
 
+def test_cli_winnow_overlap_job(spark, tmp_path):
+    """The winnow_overlap_documents registry pattern end-to-end: the
+    default rolling (Arrow production) impl runs through the CLI, and
+    the md5 engine-portable impl finds the same planted near-dup pair
+    via the job class — the documented per-pipeline hash-space choice
+    (VERDICT r10 item 5)."""
+    import pandas as pd
+
+    from jobs.examples.winnow_overlap_job import WinnowOverlapJob
+
+    shared = "the quick brown fox jumps over the lazy dog again and again " * 4
+    rows = [(1, shared + "alpha tail one"), (2, shared + "beta tail two")] + [
+        (10 + i, " ".join(f"w{i}x{j}" for j in range(30))) for i in range(8)
+    ]
+    src = tmp_path / "docs.parquet"
+    pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(src)
+
+    reg_path = tmp_path / "reg.yml"
+    reg_path.write_text(yaml.safe_dump({
+        "common_params": {"all_mode_params": {"base_path": str(tmp_path / "out"), "mode": "dev"}},
+        "jobs": {
+            "winnow_overlap_documents": {
+                "py_job": "jobs.examples.winnow_overlap_job",
+                "inputs": {"documents": {"path": str(src), "type": "parquet"}},
+                "output": {"path": "{{base_path}}/winnow/{{now}}", "type": "parquet"},
+                "hash_impl": "rolling",
+                "min_shared": 4,
+            }
+        },
+    }))
+    assert cli.main(["--job_name=winnow_overlap_documents", f"--registry={reg_path}"]) == 0
+    out_dirs = list((tmp_path / "out" / "winnow").iterdir())
+    got = spark.read.parquet(str(out_dirs[0]))
+    assert set(got.columns) == {"id_a", "id_b", "n_shared", "_created_at"}
+    pairs = {(r.id_a, r.id_b) for r in got.collect()}
+    # the planted near-dup pair is found; the distinct filler docs may
+    # coincidentally share the odd fingerprint but never reach
+    # min_shared with the planted docs
+    assert (1, 2) in pairs
+    assert {p for p in pairs if 1 in p or 2 in p} == {(1, 2)}
+
+    # md5 impl: different hash space, same winnowing guarantee — the
+    # planted pair must appear there too
+    docs = spark.read.parquet(str(src))
+    job = WinnowOverlapJob(params={"hash_impl": "md5", "min_shared": 4})
+    md5_pairs = {(r.id_a, r.id_b) for r in job.transform(docs).collect()}
+    assert (1, 2) in md5_pairs
+
+    # keep=fingerprints returns the index-shaped rows
+    fp_job = WinnowOverlapJob(params={"keep": "fingerprints"})
+    fps = fp_job.transform(docs)
+    assert set(fps.columns) == {"doc_id", "fingerprint"}
+    assert fps.count() > 0
+
+    import pytest
+
+    with pytest.raises(ValueError, match="hash_impl"):
+        WinnowOverlapJob(params={"hash_impl": "sha1"}).transform(docs)
+
+
 def test_cli_vacuum_index_job(spark, tmp_path):
     """The vacuum_dedup_index registry pattern end-to-end: build an
     index, run the job through the CLI, check the index is compacted

@@ -590,6 +590,60 @@ def test_retention_job_dry_run_then_apply(spark, tmp_path):
         bad.transform()
 
 
+def test_retention_age_floor_and_bounded_growth(tmp_path):
+    """VERDICT r10 item 7: keep-last-N + AGE FLOOR, plus the 10-run
+    demo — a dataset written 10 times stays bounded at ``keep`` run
+    folders under periodic retention, while runs younger than the
+    floor survive even beyond keep (backfill-burst protection)."""
+    import datetime as dt
+
+    from jobs.generic.retention_job import plan_retention
+    from yaetos_spark.plans.paths import NOW_FMT
+
+    root = tmp_path / "ds"
+    now = dt.datetime(2026, 8, 16, 12, 0, 0)
+
+    # --- age floor: 5 runs, keep=2, but 2 of the 3 beyond-keep runs
+    # are minutes old (a backfill burst) — only the genuinely old one
+    # may be deleted
+    stamps = [
+        (now - dt.timedelta(days=10)).strftime(NOW_FMT),
+        (now - dt.timedelta(minutes=30)).strftime(NOW_FMT),
+        (now - dt.timedelta(minutes=20)).strftime(NOW_FMT),
+        (now - dt.timedelta(minutes=10)).strftime(NOW_FMT),
+        (now - dt.timedelta(minutes=5)).strftime(NOW_FMT),
+    ]
+    for s in stamps:
+        (root / s).mkdir(parents=True)
+    plan = {p[1]: p[2] for p in plan_retention([str(root)], keep=2, min_age_days=1.0, now=now)}
+    assert plan == {
+        stamps[0]: "delete",
+        stamps[1]: "keep",  # beyond keep-2 but younger than the floor
+        stamps[2]: "keep",
+        stamps[3]: "keep",
+        stamps[4]: "keep",
+    }
+
+    # --- 10-run demo: one run per simulated day, retention after each
+    # run — folder count stays bounded at keep=3 once past the floor
+    root2 = tmp_path / "ds2"
+    root2.mkdir()
+    import os
+    import shutil
+
+    counts = []
+    for day in range(10):
+        run_day = dt.datetime(2026, 7, 1) + dt.timedelta(days=day)
+        (root2 / run_day.strftime(NOW_FMT)).mkdir()
+        ref = run_day + dt.timedelta(hours=1)
+        for r, d, action in plan_retention([str(root2)], keep=3, min_age_days=0.5, now=ref):
+            if action == "delete":
+                shutil.rmtree(os.path.join(r, d))
+        counts.append(len(os.listdir(root2)))
+    assert counts[:3] == [1, 2, 3]  # fills up to keep
+    assert all(c == 3 for c in counts[3:])  # then bounded forever
+
+
 def test_incremental_dedup_job_via_registry(spark):
     """The shipped incremental_dedup registry job: first run seeds the
     signature index with the survivors; re-running the same input drops

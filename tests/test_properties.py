@@ -740,6 +740,34 @@ def test_connected_components_star_long_chain(spark):
     assert got == {i: 0 for i in range(64)}
 
 
+def test_connected_components_star_ckpt_cadence_identical(spark):
+    """The _ckpt_every diagnostic knob (r11 checkpoint-cadence A/B)
+    must not change results: persist-instead-of-checkpoint rounds are
+    a lineage/materialization strategy, not a semantic one. Also
+    pins the _round_log shape the profiling tool reads."""
+    from yaetos_spark.operators.graph import connected_components_star
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(63) if i != 31] + [(100, 100)],
+        "id1 long, id2 long",
+    )
+    base = {(r.node, r.comp) for r in connected_components_star(edges).collect()}
+    log: list = []
+    alt = {
+        (r.node, r.comp)
+        for r in connected_components_star(
+            edges, _ckpt_every=2, _round_log=log
+        ).collect()
+    }
+    assert alt == base
+    assert len(log) >= 2
+    assert {e["mode"] for e in log} == {"persist", "checkpoint"}
+    assert all(
+        {"round", "n_edges", "sec_materialize", "sec_probe", "robust"} <= set(e)
+        for e in log
+    )
+
+
 @given(_edge_case())
 @settings(max_examples=5, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow])
 def test_triangle_count_matches_bruteforce(spark, case):

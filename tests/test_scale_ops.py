@@ -11,6 +11,15 @@ def test_salted_count_matches_plain(spark):
     assert salted == plain
 
 
+def test_salted_count_accepts_partial_column(spark):
+    """_partial is only an agg OUTPUT alias, never withColumn'd onto
+    the user frame — an input legitimately carrying _partial must not
+    be rejected (ADVICE r10: the guard over-reserved)."""
+    df = spark.createDataFrame([("a", 9)] * 7 + [("b", 1)], "k string, _partial int")
+    out = {r.k: r.n for r in salted_count(df, ["k"]).collect()}
+    assert out == {"a": 7, "b": 1}
+
+
 def test_salted_agg_matches_plain(spark):
     df = spark.createDataFrame([("a", 1.0), ("a", 2.0), ("b", 5.0)], "k string, v double")
     out = {r.k: r.total for r in salted_agg(df, ["k"], {"v": "total"}).collect()}
@@ -832,3 +841,143 @@ def test_vacuum_signature_index(spark, tmp_path):
 
     with pytest.raises(ValueError, match="local-filesystem"):
         vacuum_signature_index(spark, "s3://bucket/index")
+
+    # lock file left behind by nothing — vacuum cleaned up after itself
+    assert not os.path.exists(idx + "__vacuum.lock")
+
+
+def test_vacuum_mid_sequence_preserves_survivors(spark, tmp_path):
+    """VERDICT r10 item 6 — the index-hygiene invariant made explicit:
+    a vacuum dropped into the middle of an incremental-dedup batch
+    sequence must never change RESULTS, only file layout. Two arms run
+    the identical seed + 4-batch sequence (with a crash-retry double
+    append after batch 1 so the vacuum has real duplicate rows to
+    remove); arm B vacuums between batches 1 and 2. Every batch's
+    survivor rows and the final index id-set must be digest-identical
+    across arms."""
+    import hashlib
+
+    from yaetos_spark.operators.dedup import (
+        build_signature_index,
+        dedup_against_index,
+        vacuum_signature_index,
+    )
+
+    def batch_docs(k):
+        rows = []
+        for i in range(12):
+            did = 1000 + 100 * k + i
+            if i % 3 == 0:
+                # near-dup of a seed doc — must be dropped vs the index
+                rows.append((did, f"seed document number {i} with stable words {i % 7}"))
+            elif i % 3 == 1 and k >= 2:
+                # near-dup of an earlier BATCH survivor — exercises the
+                # appended (post-double-append / post-vacuum) index rows
+                rows.append((did, f"batch 0 fresh doc {i} unique payload {i * 13}"))
+            else:
+                rows.append((did, f"batch {k} fresh doc {i} unique payload {i * 13 + k}"))
+        return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    def digest(df):
+        rows = sorted(repr(r) for r in df.collect())
+        return hashlib.md5("\n".join(rows).encode()).hexdigest()
+
+    seed = spark.createDataFrame(
+        [(i, f"seed document number {i} with stable words {i % 7}") for i in range(40)],
+        "doc_id bigint, text string",
+    )
+
+    survivor_digests: dict[str, list[str]] = {}
+    index_ids: dict[str, set] = {}
+    for arm in ("control", "vacuumed"):
+        idx = str(tmp_path / f"idx_{arm}")
+        build_signature_index(seed, idx)
+        digests = []
+        for k in range(4):
+            if k == 2:
+                # crash-retry shape: the seed append lands twice
+                build_signature_index(seed, idx, mode="append")
+                if arm == "vacuumed":
+                    stats = vacuum_signature_index(spark, idx)
+                    assert stats["rows_after"] < stats["rows_before"]
+            digests.append(digest(dedup_against_index(batch_docs(k), idx)))
+        survivor_digests[arm] = digests
+        index_ids[arm] = {r.id for r in spark.read.parquet(idx).select("id").collect()}
+
+    assert survivor_digests["control"] == survivor_digests["vacuumed"]
+    assert index_ids["control"] == index_ids["vacuumed"]
+
+
+def test_vacuum_lock_blocks_concurrent_append(spark, tmp_path):
+    """ADVICE r10: an append landing between vacuum's read and its
+    rename swap is silently lost. The advisory lock sentinel turns the
+    cron-overlap case into a loud error on BOTH sides: a dedup batch
+    refuses to append while the lock exists, and a second vacuum
+    refuses to start over an existing lock."""
+    import os
+
+    import pytest
+
+    from yaetos_spark.operators.dedup import (
+        build_signature_index,
+        dedup_against_index,
+        vacuum_signature_index,
+    )
+
+    idx = str(tmp_path / "sig_index")
+    corpus = spark.createDataFrame(
+        [(i, f"lock test doc {i} content {i % 5}") for i in range(10)],
+        "doc_id bigint, text string",
+    )
+    build_signature_index(corpus, idx)
+
+    lock = idx + "__vacuum.lock"
+    open(lock, "w").close()
+    batch = spark.createDataFrame(
+        [(500, "fresh text for the locked append")], "doc_id bigint, text string"
+    )
+    with pytest.raises(RuntimeError, match="being vacuumed"):
+        dedup_against_index(batch, idx)
+    with pytest.raises(RuntimeError, match="stale lock"):
+        vacuum_signature_index(spark, idx)
+    os.unlink(lock)
+
+    # with the lock gone both proceed normally
+    surv = dedup_against_index(batch, idx)
+    assert surv.count() == 1
+    stats = vacuum_signature_index(spark, idx)
+    assert stats["rows_after"] == stats["rows_before"] == 11
+    assert not os.path.exists(lock)
+
+
+def test_vacuum_file_sizing_scales_by_dedup_ratio(spark, tmp_path):
+    """ADVICE r10: sizing from pre-dedup bytes emits ~half-target
+    files at 2x duplication. With ratio scaling, a fully-doubled index
+    whose DEDUPED bytes fit one target file rewrites to exactly 1
+    file even though raw bytes would have asked for 2."""
+    import os
+
+    from yaetos_spark.operators.dedup import (
+        build_signature_index,
+        vacuum_signature_index,
+    )
+
+    idx = str(tmp_path / "sig_index")
+    corpus = spark.createDataFrame(
+        [(i, f"sizing doc {i} words {i % 3}") for i in range(40)],
+        "doc_id bigint, text string",
+    )
+    build_signature_index(corpus, idx)
+    build_signature_index(corpus, idx, mode="append")  # 2x duplication
+
+    total_bytes = sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _d, fs in os.walk(idx)
+        for f in fs
+        if not f.startswith(("_", "."))
+    )
+    # target chosen so raw bytes need 2 files but deduped bytes fit 1
+    target = (total_bytes // 2) + (total_bytes // 8)
+    stats = vacuum_signature_index(spark, idx, target_file_bytes=target)
+    assert stats["rows_after"] * 2 == stats["rows_before"]
+    assert stats["files_after"] == 1

@@ -12,7 +12,12 @@ three modes on a graph built to trigger exactly that:
   on), as the control arm.
 
 Modes: window (skew_robust=False), robust (True), auto (None — the
-r10 default: per-round degree probe, one-way switch).
+r10 default: per-round degree probe, one-way switch), and auto_fired
+(None with skew_switch_degree=500k — ADVICE r10: HUB_DEG here is 2M,
+below the 5M production threshold, so plain 'auto' measures the probe
+overhead on the window plan; this arm forces the switch to actually
+fire so the committed tool reproduces the forced-switch numbers
+COVERAGE.md cites, without a manual override).
 
 Arms are INTERLEAVED across repeats so host contention lands on every
 mode equally; each line reports per-repeat times.  Output appends
@@ -79,11 +84,23 @@ def chain(spark):
     )
 
 
-def run(graph_df, mode):
+def run(graph_df, mode, switch_degree=5_000_000):
     t0 = time.time()
-    out = connected_components_star(graph_df, skew_robust=mode)
+    out = connected_components_star(
+        graph_df, skew_robust=mode, skew_switch_degree=switch_degree
+    )
     n = out.count()
     return round(time.time() - t0, 2), n
+
+
+ARMS = [
+    ("window", False, 5_000_000),
+    ("robust", True, 5_000_000),
+    ("auto", None, 5_000_000),
+    # forced-fire arm: threshold below HUB_DEG so the probe trips and
+    # the run pays probe + switched robust phases (see module docstring)
+    ("auto_fired", None, 500_000),
+]
 
 
 def main():
@@ -91,11 +108,11 @@ def main():
     results = {}
     for gname, builder in [("powerlaw", powerlaw), ("chain", chain)]:
         g = builder(spark).localCheckpoint(eager=True)
-        times = {m: [] for m in ("window", "robust", "auto")}
+        times = {m: [] for m, _mode, _sw in ARMS}
         counts = set()
         for rep in range(REPEATS):
-            for mname, mode in [("window", False), ("robust", True), ("auto", None)]:
-                sec, n = run(g, mode)
+            for mname, mode, switch_degree in ARMS:
+                sec, n = run(g, mode, switch_degree)
                 times[mname].append(sec)
                 counts.add(n)
                 print(f"{gname} {mname} rep{rep}: {sec}s n={n}", file=sys.stderr)

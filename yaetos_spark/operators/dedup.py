@@ -780,11 +780,39 @@ def dedup_against_index(
         survivors = within
 
     if update_index:
+        _raise_if_vacuum_locked(index_dir)
         surv_sigs = new_sigs.join(
             survivors.select(F.col(id_col).alias("id")), "id", "left_semi"
         )
         surv_sigs.write.mode("append" if have_index else "overwrite").parquet(index_dir)
     return survivors
+
+
+def _vacuum_lock_path(index_dir: str) -> str:
+    return index_dir.rstrip("/") + "__vacuum.lock"
+
+
+def _raise_if_vacuum_locked(index_dir: str) -> None:
+    """Refuse to append to an index whose vacuum lock sentinel exists —
+    a file appended between vacuum's Spark read and its rename swap
+    would be silently swept into ``__old`` and deleted (data loss).
+    The check is advisory (no OS-level lease; a writer that started
+    before the lock appeared still races — see the vacuum docstring's
+    exclusive-access contract), but it turns the common operational
+    mistake (cron overlap of dedup batches with a vacuum) into a loud
+    error instead of silent loss. Local paths only; object-store
+    indexes can't be vacuumed by this operator in the first place."""
+    import os
+
+    if "://" in index_dir:
+        return
+    lock = _vacuum_lock_path(index_dir)
+    if os.path.exists(lock):
+        raise RuntimeError(
+            f"signature index {index_dir} is being vacuumed (lock file "
+            f"{lock} exists) — retry after the vacuum finishes, or remove "
+            "a stale lock by hand if no vacuum is running"
+        )
 
 
 def vacuum_signature_index(
@@ -803,16 +831,33 @@ def vacuum_signature_index(
     (text, n, num_hashes), so duplicate ids are byte-identical rows and
     ``dropDuplicates(["id"])`` is lossless; the rewrite targets
     ``target_file_bytes`` per file from the input's ACTUAL bytes
-    (filesystem metadata — no data pass), the compact_job heuristic.
+    (filesystem metadata — no data pass), scaled by the dedup ratio
+    ``rows_after / rows_before`` so a heavily-duplicated index (the
+    double-appended re-run case this job exists for) still comes out
+    at target-sized files rather than half-sized ones.
 
-    Swap discipline: the compacted index is written BESIDE the live one
-    (``<dir>__vacuum``), then swapped in with two renames — the live
-    index is readable until the final rename, and a crash mid-vacuum
-    leaves either the old or the new directory intact, never a
-    half-written index. Local-filesystem paths only (the incremental
-    index in this repo is local/HDFS-style; object-store indexes should
-    use the run-stamped ``{{latest}}`` convention instead, where
-    retention_job handles cleanup).
+    EXCLUSIVE ACCESS REQUIRED: the vacuum takes an advisory lock
+    sentinel (``<dir>__vacuum.lock``) that ``dedup_against_index``
+    checks before appending, so a concurrent batch fails loudly
+    instead of having its append swept into ``__old`` and deleted by
+    the swap. The lock is advisory — a dedup batch that started
+    BEFORE the lock appeared can still land an append inside the
+    read→swap window and lose it — so schedule vacuums in a quiet
+    window (no dedup batches in flight), exactly like any offline
+    compaction.
+
+    Swap discipline: the compacted index is written BESIDE the live
+    one (``<dir>__vacuum``), then swapped in with two renames
+    (live → ``__old``, ``__vacuum`` → live). The live index is
+    readable until the FIRST rename; between the two renames the
+    index path briefly does not exist, so a reader racing the swap
+    (or a crash exactly between the renames) finds no live directory
+    — recovery is manual but trivial and lossless: rename ``__old``
+    (or ``__vacuum``) back. A crash anywhere else leaves the old
+    index fully intact. Local-filesystem paths only (the incremental
+    index in this repo is local/HDFS-style; object-store indexes
+    should use the run-stamped ``{{latest}}`` convention instead,
+    where retention_job handles cleanup).
 
     Returns ``{rows_before, rows_after, files_before, files_after}``.
     """
@@ -835,25 +880,59 @@ def vacuum_signature_index(
                     n_bytes += os.path.getsize(os.path.join(root, f))
         return n_files, n_bytes
 
-    files_before, bytes_before = _stats(index_dir)
-    sigs = spark.read.parquet(index_dir)
-    rows_before = sigs.count()
-    deduped = sigs.dropDuplicates(["id"])
-    n_files = max(1, -(-bytes_before // max(1, target_file_bytes)))
-    tmp = index_dir.rstrip("/") + "__vacuum"
-    old = index_dir.rstrip("/") + "__old"
-    deduped.repartition(n_files).write.mode("overwrite").parquet(tmp)
-    rows_after = spark.read.parquet(tmp).count()
-    if rows_after > rows_before:
+    lock = _vacuum_lock_path(index_dir)
+    try:
+        # O_EXCL: a second concurrent vacuum (or a stale lock from a
+        # crashed one) fails loudly here rather than racing the swap
+        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        os.close(fd)
+    except FileExistsError:
         raise RuntimeError(
-            f"vacuum_signature_index wrote MORE rows than it read "
-            f"({rows_after} > {rows_before}) — aborting before the swap"
+            f"vacuum lock {lock} already exists — another vacuum is "
+            "running, or a crashed one left a stale lock (remove it by "
+            "hand after checking no vacuum is in flight)"
         )
-    shutil.rmtree(old, ignore_errors=True)
-    os.rename(index_dir, old)
-    os.rename(tmp, index_dir)
-    shutil.rmtree(old)
-    files_after, _ = _stats(index_dir)
+    try:
+        files_before, bytes_before = _stats(index_dir)
+        sigs = spark.read.parquet(index_dir)
+        rows_before = sigs.count()
+        # persist: the dedup result feeds the sizing count AND the
+        # rewrite — without it the dropDuplicates shuffle runs twice
+        deduped = sigs.dropDuplicates(["id"]).persist()
+        rows_dedup = deduped.count()
+        # scale bytes by the dedup ratio: post-vacuum bytes ≈
+        # bytes_before * rows_after/rows_before (signature rows are
+        # fixed-width, so bytes track rows) — sizing from raw
+        # bytes_before would emit half-target files at 2x duplication
+        est_bytes = bytes_before * rows_dedup // max(1, rows_before)
+        n_files = max(1, -(-est_bytes // max(1, target_file_bytes)))
+        tmp = index_dir.rstrip("/") + "__vacuum"
+        old = index_dir.rstrip("/") + "__old"
+        deduped.repartition(n_files).write.mode("overwrite").parquet(tmp)
+        deduped.unpersist()
+        # re-read what actually landed on disk: catches a short write,
+        # not just a planning bug
+        rows_after = spark.read.parquet(tmp).count()
+        if rows_after != rows_dedup:
+            raise RuntimeError(
+                f"vacuum_signature_index wrote {rows_after} rows but the "
+                f"dedup planned {rows_dedup} — aborting before the swap"
+            )
+        if rows_after > rows_before:
+            raise RuntimeError(
+                f"vacuum_signature_index wrote MORE rows than it read "
+                f"({rows_after} > {rows_before}) — aborting before the swap"
+            )
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(index_dir, old)
+        os.rename(tmp, index_dir)
+        shutil.rmtree(old)
+        files_after, _ = _stats(index_dir)
+    finally:
+        try:
+            os.unlink(lock)
+        except OSError:
+            pass
     return {
         "rows_before": rows_before,
         "rows_after": rows_after,

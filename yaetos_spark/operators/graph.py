@@ -119,6 +119,8 @@ def connected_components_star(
     max_iter: int = 50,
     skew_robust: bool | None = None,
     skew_switch_degree: int = 5_000_000,
+    _round_log: list | None = None,
+    _ckpt_every: int = 1,
 ) -> DataFrame:
     """Connected components by alternating large-star / small-star
     contraction (Kiveris et al., "Connected Components in MapReduce and
@@ -197,7 +199,17 @@ def connected_components_star(
     Pass ``skew_robust=True``/``False`` to force either plan — False
     restores the cheaper scalar probe too, for callers that KNOW their
     component sizes are bounded (near-dup clusters, short event chains).
+
+    Diagnostics (underscore = not part of the operator contract):
+    ``_round_log`` collects one dict per round — edge count plus the
+    phase-materialize vs probe second split — for
+    ``tools/profile_cc_rounds.py``; ``_ckpt_every=k`` truncates
+    lineage with the eager localCheckpoint only every k-th round
+    (persist + count on the others), the r11 A/B knob measuring how
+    much of a round is checkpoint materialization vs shuffle work.
     """
+    import time as _time
+
     raw = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     # domain = every node appearing in edges, INCLUDING ones whose only
     # edges are self-loops (the contraction below drops self-loops, so
@@ -268,7 +280,8 @@ def connected_components_star(
     prev = (n0, s0)
     if auto and mx0 is not None and mx0 > skew_switch_degree:
         robust = True
-    for _ in range(max_iter):
+    prev_persisted = None
+    for _it in range(max_iter):
         # Each phase is a grouped-minimum attached back to the group's
         # rows — expressed as a WINDOW aggregate, not the textbook
         # groupBy + self-join: the window computes min-over-group and
@@ -337,13 +350,46 @@ def connected_components_star(
             ss_self = tagged.where(F.col("rn") == 1).select(
                 F.col("m").alias("lo"), F.col("hi")
             )
-        new = (
+        gen = (
             ss_nbrs.unionByName(ss_self)
             .where(F.col("lo") != F.col("hi"))
             .distinct()
-            .localCheckpoint(eager=True)
         )
-        n1, s1, mx1 = _probe(new)
+        t0 = _time.time()
+        if (_it + 1) % max(1, _ckpt_every) == 0:
+            # eager: phases execute and the generation lands in block
+            # storage inside this call; lineage truncates here
+            new = gen.localCheckpoint(eager=True)
+            mode = "checkpoint"
+            t_mat = _time.time()
+            n1, s1, mx1 = _probe(new)
+        else:
+            # off-cadence round (_ckpt_every > 1): persist instead —
+            # the probe's aggregate is the materializing action, the
+            # next round reads the cache, and lineage grows by at most
+            # _ckpt_every - 1 rounds before the next truncation
+            new = gen.persist()
+            mode = "persist"
+            t_mat = _time.time()
+            n1, s1, mx1 = _probe(new)
+        t_probe = _time.time()
+        if _round_log is not None:
+            _round_log.append({
+                "round": _it + 1,
+                "n_edges": n1,
+                "mode": mode,
+                "robust": robust,
+                "sec_materialize": round(t_mat - t0, 3),
+                "sec_probe": round(t_probe - t_mat, 3),
+            })
+        # the previous off-cadence generation is no longer referenced
+        # once the new one is materialized (checkpoint) or fully cached
+        # (the probe scanned every partition)
+        if prev_persisted is not None:
+            prev_persisted.unpersist()
+            prev_persisted = None
+        if mode == "persist":
+            prev_persisted = new
         cur = new
         if auto and mx1 is not None and mx1 > skew_switch_degree:
             robust = True  # one-way: concentration only grows

@@ -19,7 +19,11 @@ def salted_count(df: DataFrame, keys: list[str], salt_buckets: int = 32, count_c
     """Two-phase count: pre-aggregate on (key, salt) so the hot key's
     rows combine map-side across ``salt_buckets`` reducers, then merge.
     Result identical to ``groupBy(keys).count()``."""
-    reserve_helper_cols("salted_count", ("_salt", "_partial"), df)
+    # Only _salt is withColumn'd onto the user frame; _partial exists
+    # solely as an agg output alias in the derived partial frame, so an
+    # input that happens to carry a _partial column cannot be corrupted
+    # — don't reject it (ADVICE r10; matches salted_agg's guard).
+    reserve_helper_cols("salted_count", ("_salt",), df)
     salted = df.withColumn("_salt", (F.rand(seed=42) * salt_buckets).cast("int"))
     partial = salted.groupBy(*keys, "_salt").agg(F.count(F.lit(1)).alias("_partial"))
     return partial.groupBy(*keys).agg(F.sum("_partial").cast("long").alias(count_col))

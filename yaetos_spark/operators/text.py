@@ -27,6 +27,14 @@ LANG_MARKERS = {
 
 STOPWORDS = sorted({w for ws in LANG_MARKERS.values() for w in ws})
 
+# Base of the mod-2^64 polynomial k-gram hash used by
+# winnow_fingerprints_rolling (FNV-1a prime: odd -> a unit mod 2^64,
+# so consecutive powers never collapse to 0). Module-level so the
+# DuckDB value-level oracle (__spark_entry__._winnow_rolling_oracle)
+# derives its weight literals from the SAME constant — the two sides
+# cannot drift apart silently.
+WINNOW_ROLLING_BASE = 1099511628211
+
 
 def _doubled(col: str) -> Column:
     """Lower-cased, space-normalized text with every space doubled, so
@@ -532,7 +540,7 @@ def winnow_fingerprints_rolling(
     # weights B^(k-1-j) mod 2^64, computed in Python ints (numpy's
     # scalar uint64 multiply wraps correctly but emits a spurious
     # RuntimeWarning); the worker-side matmul wraps silently
-    B = 1099511628211  # FNV-1a prime: odd -> unit mod 2^64
+    B = WINNOW_ROLLING_BASE
     weights = np.empty(k, dtype=np.uint64)
     acc = 1
     for j in range(k - 1, -1, -1):
