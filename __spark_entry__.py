@@ -5258,6 +5258,14 @@ _VERIFY_NEXT: dict[str, int] = {
     # map-side-combining max_by aggregate (hot-key safety; same
     # deterministic winner) — the r8 verdict describes the old plan.
     "latest_events": 9,
+    # r11: connected_components_star's iteration loop was restructured
+    # for the checkpoint-cadence A/B (_ckpt_every/_round_log
+    # diagnostics; default path produces the identical plan, but the
+    # loop code the r10 verdict graded no longer exists verbatim).
+    # Forcing the r10-cohort query displaces one of r11's two
+    # opportunistic age-2 pre-pulls — r12 demand stays 49 <= 50
+    # (check_capacity verifies at manifest build).
+    "chain_components": 11,
     # r9 changed-plan queries NOT forced (window capacity — the r9
     # window exactly fits the 46-query r6 cohort + 2 verdict-less new
     # queries + the 2 entries above): winnow_overlap_pairs and
@@ -5316,6 +5324,10 @@ _VERIFY_AT: dict[str, int] = {
     "simhash_near_pairs": 11,
     "incremental_dedup_survivors": 12,
     "doc_redundancy_scores": 12,
+    # r11 loop restructure (see chain_components in _VERIFY_NEXT):
+    # the robust-phase twin sits in the r9 cohort that regrades
+    # naturally at r12 — zero extra capacity, pure insurance
+    "chain_components_robust": 12,
 }
 
 

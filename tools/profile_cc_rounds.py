@@ -63,9 +63,9 @@ def run(edges, ckpt_every, round_log=None):
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("node").cast("decimal(38,0)")).alias("sn"),
         F.sum(F.col("comp").cast("decimal(38,0)")).alias("sc"),
-        F.sum(F.xxhash64("node", "comp")).alias("h"),
+        F.sum(F.xxhash64("node", "comp").cast("decimal(38,0)")).alias("h"),
     ).collect()[0]
-    return round(time.time() - t0, 2), (dig.n, str(dig.sn), str(dig.sc), int(dig.h))
+    return round(time.time() - t0, 2), (dig.n, str(dig.sn), str(dig.sc), str(dig.h))
 
 
 def main():
