@@ -1149,6 +1149,31 @@ WHERE list_dot_product(a.v, b.v)
 """
 
 
+def _semantic_dedup_survivors(spark, sf_dir):
+    """SemDeDup-style semantic dedup contract query: the EXACT variant
+    (n_clusters=1) — survivors are the vec_ids with no smaller-id
+    neighbor at cosine >= threshold, a pure NOT EXISTS in SQL. The
+    clustered scale path (k-means cells + per-cell Arrow pair scan) is
+    property-tested against this exact rule (superset invariant +
+    separated-cluster parity) in tests/test_operators.py.
+    See yaetos_spark/operators/similarity.py:semantic_dedup."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.semantic_dedup(emb, threshold=_NEAR_DUP_COS).select("vec_id")
+
+
+_SEMANTIC_DEDUP_SQL = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.vec_id FROM e a
+WHERE NOT EXISTS (
+  SELECT 1 FROM e b
+  WHERE b.vec_id < a.vec_id
+    AND list_dot_product(a.v, b.v)
+        / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+        >= {_NEAR_DUP_COS}
+)
+"""
+
+
 def _ivf_ann_exactprobe(spark, sf_dir):
     """IVF ANN machinery end-to-end, oracle-checked: with n_probe equal
     to n_cells every inverted list is probed, so the result must EQUAL
@@ -5360,6 +5385,11 @@ _DEFER_ONCE: dict[str, int] = {
     # round and auto-enters the r11 window as a verdict-less query
     # (r11 demand stays 48 <= 50 — check_capacity verifies).
     "winnow_rolling_pairs": 10,
+    # r11: the r11 window is full (48 due + chain_components force +
+    # 1 pre-pull), so the new SemDeDup contract query waits one round
+    # and takes r12's single spare slot (r12 demand 49 + 1 = 50 —
+    # check_capacity verifies).
+    "semantic_dedup_survivors": 11,
 }
 
 
@@ -5498,6 +5528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_docs": _simhash_docs,
         "ann_cosine_topk": _ann_cosine_topk,
         "embedding_near_dup": _embedding_near_dup,
+        "semantic_dedup_survivors": _semantic_dedup_survivors,
         "pivot_status": _pivot_status,
         "cube_counts": _cube_counts,
         "grouping_sets_rev": _grouping_sets_rev,
@@ -5671,6 +5702,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_redundancy_scores": _doc_redundancy_oracle(),
         "ann_cosine_topk": _ANN_SQL,
         "embedding_near_dup": _NEAR_DUP_SQL,
+        "semantic_dedup_survivors": _SEMANTIC_DEDUP_SQL,
         "lsh_ann_pairs": _LSH_RECALL_SQL,
         "orderby_ordinal": _ORDERBY_ORDINAL_SQL,
         "quoted_identifiers": _QUOTED_IDENTIFIERS_SQL,

@@ -517,6 +517,68 @@ def test_lsh_near_dup_recall(spark):
     assert (1, 2) in pairs
 
 
+def test_semantic_dedup_exact_matches_reference(spark):
+    """Exact variant (n_clusters=1): survivors are exactly the ids
+    with no smaller-id neighbor at cosine >= threshold (the NOT EXISTS
+    oracle rule). Vec 2 near-dups vec 1 (cos ~0.995) -> dropped; the
+    rest are mutually distant -> kept."""
+    surv = {r.vec_id for r in S.semantic_dedup(_emb(spark), threshold=0.9).collect()}
+    assert surv == {1, 3, 4}
+
+
+def test_semantic_dedup_clustered_parity_and_superset(spark):
+    """SemDeDup scale path: (a) on well-separated clusters, the
+    clustered result EQUALS the exact one (no near pair straddles
+    clusters); (b) on arbitrary data, exact survivors are always a
+    SUBSET of clustered survivors — clustering can only MISS drop
+    evidence, never invent it."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = []
+    # 3 well-separated direction cones, each with a planted near-dup
+    bases = np.eye(3)
+    vid = 0
+    for b in bases:
+        for i in range(6):
+            v = b + rng.normal(0, 0.02, 3)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+    exact = {r.vec_id for r in S.semantic_dedup(emb, threshold=0.995).collect()}
+    clustered = {
+        r.vec_id
+        for r in S.semantic_dedup(
+            emb, threshold=0.995, n_clusters=3, max_iter=10
+        ).collect()
+    }
+    assert exact <= clustered
+    # cones are ~orthogonal: k-means with k=3 separates them, so no
+    # cross-cluster near pair exists and the two variants agree
+    assert exact == clustered
+
+    # (b) on adversarial clustering (k=5 over 3 cones) the superset
+    # invariant still holds
+    clustered5 = {
+        r.vec_id
+        for r in S.semantic_dedup(
+            emb, threshold=0.995, n_clusters=5, max_iter=5
+        ).collect()
+    }
+    assert exact <= clustered5
+
+
+def test_semantic_dedup_hot_cluster_guard(spark):
+    import pytest
+
+    emb = spark.range(40).selectExpr(
+        "id AS vec_id", "array(1.0, CAST(id AS FLOAT) / 1000.0) AS embedding"
+    )
+    with pytest.raises(ValueError, match="n_clusters"):
+        S.semantic_dedup(emb, n_clusters=2, max_cluster_rows=10)
+
+
 def test_brute_force_guard_raises_on_big_corpus(spark):
     """The brute-force paths must refuse to collect an over-sized
     corpus to the driver (pointer to the LSH scale path) instead of

@@ -390,3 +390,107 @@ def dequantize_embeddings(qdf: DataFrame) -> DataFrame:
         "embedding_deq",
         F.transform(F.col("qvec"), lambda q: q.cast("double") * F.col("scale")),
     )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    n_clusters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 20,
+    max_cluster_rows: int = 250_000,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): drop every vector that has a SMALLER-id
+    neighbor at cosine >= ``threshold`` within its cluster; return the
+    surviving input rows. Min-id survivor selection instead of the
+    paper's random exemplar: deterministic, engine-reproducible, and
+    the same convention as the text near-dup family.
+
+    The drop rule is deliberately NON-recursive (drop iff any smaller
+    similar id exists, surviving or not) so the exact variant has a
+    pure-SQL twin (one NOT EXISTS) — the oracle contract. It drops at
+    least as much as leader-style greedy selection would and every
+    epsilon-ball keeps its min-id member.
+
+    Two physical strategies, one semantic:
+
+    - ``n_clusters=1`` — EXACT: the global pair scan reuses
+      :func:`embedding_near_dup_pairs` (broadcast normalized matrix,
+      one BLAS matmul per Arrow batch). Quadratic; bounded by the
+      MAX_COLLECT_ROWS broadcast guard.
+    - ``n_clusters>1`` — the SemDeDup scale path: distributed k-means
+      (:func:`train_ivf_centroids`) + cell assignment
+      (:func:`ivf_assign`), then the pair scan runs INSIDE each
+      cluster via ``applyInPandas`` (one shuffle on the cell id; one
+      blocked matmul per cluster, O(m^2 d) flops over m ~ n/k rows).
+      Cross-cluster near-pairs are not examined — the paper's
+      documented approximation; since clustering can only MISS drop
+      evidence, ``exact survivors ⊆ clustered survivors`` always
+      (property-tested). Size n_clusters so clusters stay small
+      (SemDeDup uses k ~ sqrt(n); 1e9 vectors / 1e5 clusters = 1e4
+      rows per cell). A cluster above ``max_cluster_rows`` raises
+      with that guidance instead of silently running an O(m^2) task
+      for hours — the hot-shingle/hot-block guard pattern.
+
+    Zero vectors: norm coalesces to 1 (cosine 0 against everything),
+    matching embedding_near_dup_pairs / the DuckDB oracle.
+    """
+    if n_clusters <= 1:
+        pairs = embedding_near_dup_pairs(
+            emb, threshold=threshold, id_col=id_col, vec_col=vec_col
+        )
+        dropped = pairs.select(F.col("id2").alias(id_col)).distinct()
+        return emb.join(dropped, id_col, "left_anti")
+
+    centroids = train_ivf_centroids(
+        emb, n_cells=n_clusters, vec_col=vec_col, seed=seed, max_iter=max_iter
+    )
+    assigned = ivf_assign(emb, centroids, vec_col=vec_col)
+    # persist: feeds the hot-cluster guard AND the per-cell pair scan —
+    # without it the k-means assignment recomputes per consumer
+    assigned = assigned.persist()
+    try:
+        hot = (
+            assigned.groupBy("ivf_cell")
+            .agg(F.count(F.lit(1)).alias("_m"))
+            .agg(F.max("_m").alias("mx"))
+            .collect()[0]
+        )
+        if (hot.mx or 0) > max_cluster_rows:
+            raise ValueError(
+                f"semantic_dedup: largest cluster holds {hot.mx:,} rows "
+                f"(> max_cluster_rows={max_cluster_rows:,}) — the O(m^2) "
+                "within-cluster scan would be a straggler task; raise "
+                "n_clusters (SemDeDup uses k ~ sqrt(n)) or max_cluster_rows"
+            )
+
+        id_type = dict(emb.dtypes)[id_col]
+
+        def dropped_in_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+            ids = pdf[id_col].to_numpy()
+            mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            norms = np.sqrt((mat * mat).sum(axis=1))
+            norms[norms == 0] = 1.0
+            matn = mat / norms[:, None]
+            m = len(ids)
+            drop = np.zeros(m, dtype=bool)
+            # blocked matmul: O(block × m) memory instead of O(m^2)
+            blk = 2048
+            for s in range(0, m, blk):
+                sims = matn[s : s + blk] @ matn.T  # (blk, m)
+                hit = (sims >= threshold) & (ids[s : s + blk, None] < ids[None, :])
+                drop |= hit.any(axis=0)
+            return pdf.loc[drop, [id_col]]
+
+        dropped = assigned.groupBy("ivf_cell").applyInPandas(
+            dropped_in_cell, schema=f"{id_col} {id_type}"
+        )
+        # localCheckpoint, not persist: the anti-join's build side must
+        # not re-run k-means assignment if evicted
+        dropped = dropped.localCheckpoint(eager=True)
+    finally:
+        assigned.unpersist()
+    return emb.join(dropped, id_col, "left_anti")
