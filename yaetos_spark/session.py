@@ -36,10 +36,24 @@ _DEFAULTS = {
     # In local mode the driver JVM hosts every executor thread AND all
     # broadcast builds; Spark's 1g default dies with "Not enough memory
     # to build and broadcast" once inputs grow ~10x past sf0.1 (found
-    # by tools/scale_smoke.py). Only effective at JVM launch; a cluster
-    # submit (or the SPARK_DRIVER_MEMORY env override below) replaces
-    # it like the other sizing knobs.
-    "spark.driver.memory": "8g",
+    # by tools/scale_smoke.py). 8g survived single heavy queries at the
+    # 100x replica but an 18-query 100x smoke session died inside it
+    # (r11: GCLocker allocation retries -> task failures -> stopped
+    # context, after ~2.2 GB of dead iterative-operator checkpoint
+    # generations piled on live shuffle state); 16g gives the long
+    # multi-query session the headroom the host actually has. Only
+    # effective at JVM launch; a cluster submit (or the
+    # SPARK_DRIVER_MEMORY env override below) replaces it like the
+    # other sizing knobs.
+    "spark.driver.memory": "16g",
+    # ContextCleaner only reclaims unreferenced RDD/broadcast/shuffle
+    # state after a driver GC notices the weak refs, and its fallback
+    # periodic System.gc() defaults to every 30 MINUTES — longer than
+    # most sessions live. Iterative operators (star-CC, min-label CC,
+    # PageRank) retire one localCheckpoint generation per round, so a
+    # long session accumulates dead blocks for up to half an hour.
+    # 5 minutes bounds that backlog at a cost of one GC per interval.
+    "spark.cleaner.periodicGC.interval": "5min",
 }
 
 
