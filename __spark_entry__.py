@@ -1174,6 +1174,58 @@ WHERE NOT EXISTS (
 """
 
 
+def _dsir_scores(spark, sf_dir):
+    """DSIR hashed n-gram importance log-weights (Xie et al. 2023,
+    arXiv:2302.03169) over the documents table, target domain =
+    English docs: fit add-1-smoothed unigram+bigram bucket
+    distributions (10k md5 buckets) for target vs the whole pool, then
+    score every document by its summed per-gram log ratio.  Value-level
+    oracle: every arithmetic step (md5 bucket, smoothed ratio, ln) is
+    engine-portable; the score is rounded to 6 decimals on both sides.
+    See yaetos_spark/operators/curation.py:dsir_logweights."""
+    docs = _t(spark, sf_dir, "documents")
+    return CU.dsir_logweights(docs, F.col("lang") == "en")
+
+
+def _dsir_oracle() -> str:
+    bucket = f"{_hex_long_sql('md5(gram)', 1)} % 10000"
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         coalesce(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> ''), []) AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, lang,
+         unnest(list_concat(t,
+           CASE WHEN len(t) >= 2 THEN list_transform(generate_series(1, len(t) - 1),
+                i -> array_to_string(t[i:i+1], ' ')) ELSE [] END)) AS gram
+  FROM toks
+),
+bucketed AS (
+  SELECT doc_id, lang, {bucket} AS bucket FROM grams
+),
+bc AS (
+  SELECT bucket, CAST(count(*) AS DOUBLE) AS c_raw,
+         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE) AS c_tgt
+  FROM bucketed GROUP BY bucket
+),
+tot AS (SELECT sum(c_raw) AS r_tot, sum(c_tgt) AS t_tot FROM bc),
+w AS (
+  SELECT bucket,
+         ln((c_tgt + 1.0) / (t_tot + 10000.0)) - ln((c_raw + 1.0) / (r_tot + 10000.0)) AS wt
+  FROM bc, tot
+),
+ds AS (
+  SELECT b.doc_id, count(*) AS n_grams, sum(w.wt) AS s
+  FROM bucketed b JOIN w USING (bucket) GROUP BY b.doc_id
+)
+SELECT d.doc_id, CAST(coalesce(ds.n_grams, 0) AS BIGINT) AS n_grams,
+       round(coalesce(ds.s, 0.0), 6) AS dsir_logweight
+FROM documents d LEFT JOIN ds ON ds.doc_id = d.doc_id
+"""
+
+
 def _ivf_ann_exactprobe(spark, sf_dir):
     """IVF ANN machinery end-to-end, oracle-checked: with n_probe equal
     to n_cells every inverted list is probed, so the result must EQUAL
@@ -5392,6 +5444,25 @@ _DEFER_ONCE: dict[str, int] = {
     "semantic_dedup_survivors": 11,
 }
 
+# Multi-round deferral: a new query that must wait MORE than one round
+# because the next round is already at capacity too.  Maps query name
+# -> the FIRST round it may enter the window; the deferral is active
+# for every earlier round and expires by itself (same self-expiry
+# philosophy as _DEFER_ONCE, keyed by a horizon instead of one round).
+# tools/window_manifest.py's check_capacity knows this table, so an
+# entry whose horizon lands on an over-committed round still fails
+# loudly at manifest build.
+_DEFER_UNTIL: dict[str, int] = {
+    # r11: the corpus' 150th query.  r11 is full (48 due + force +
+    # pre-pull) and r12's demand is exactly 50 (the r9 cohort +
+    # semantic_dedup_survivors), so the new DSIR contract query takes
+    # r13's single spare slot (r13 demand 49 + 1 = 50 — check_capacity
+    # verifies).  At 150 = 3 x 50 the corpus is saturated for the
+    # 50-slot window at max verdict age 2: this is the LAST query that
+    # can be added without retiring one.
+    "dsir_scores": 13,
+}
+
 
 def _next_round() -> int:
     """The round the NEXT driver grading belongs to = one past the
@@ -5412,12 +5483,16 @@ def _next_round() -> int:
 
 
 def _active_deferrals() -> set[str]:
-    """_DEFER_ONCE names whose deferral round is the upcoming round.
-    Entries for past (or future) rounds are inert — the 'once' is
-    enforced by the round key, not by remembering to delete the
+    """Names deferred out of the upcoming round's window: _DEFER_ONCE
+    entries whose deferral round is exactly the upcoming round, plus
+    _DEFER_UNTIL entries whose horizon has not been reached yet.
+    Entries for past (or satisfied-horizon) rounds are inert — expiry
+    is enforced by the round key, not by remembering to delete the
     entry."""
     nr = _next_round()
-    return {n for n, rnd in _DEFER_ONCE.items() if rnd == nr}
+    out = {n for n, rnd in _DEFER_ONCE.items() if rnd == nr}
+    out |= {n for n, rnd in _DEFER_UNTIL.items() if nr < rnd}
+    return out
 
 
 def _last_pass_rounds() -> dict[str, int]:
@@ -5529,6 +5604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _ann_cosine_topk,
         "embedding_near_dup": _embedding_near_dup,
         "semantic_dedup_survivors": _semantic_dedup_survivors,
+        "dsir_scores": _dsir_scores,
         "pivot_status": _pivot_status,
         "cube_counts": _cube_counts,
         "grouping_sets_rev": _grouping_sets_rev,
@@ -5703,6 +5779,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": _ANN_SQL,
         "embedding_near_dup": _NEAR_DUP_SQL,
         "semantic_dedup_survivors": _SEMANTIC_DEDUP_SQL,
+        "dsir_scores": _dsir_oracle(),
         "lsh_ann_pairs": _LSH_RECALL_SQL,
         "orderby_ordinal": _ORDERBY_ORDINAL_SQL,
         "quoted_identifiers": _QUOTED_IDENTIFIERS_SQL,

@@ -305,3 +305,49 @@ def test_cli_vacuum_index_job(spark, tmp_path):
     row = spark.read.parquet(str(stats_dirs[0])).collect()[0]
     assert row.rows_before == 80 and row.rows_after == 40
     assert spark.read.parquet(str(idx)).count() == 40
+
+
+def test_cli_dsir_select_job(spark, tmp_path):
+    """The dsir_select_documents registry pattern end-to-end: score by
+    hashed n-gram importance against the en target domain through the
+    CLI, keep the top fraction, and check the selection favors
+    target-vocabulary docs; keep=scores returns every doc flagged."""
+    import pandas as pd
+
+    from jobs.examples.dsir_job import DsirSelectJob
+
+    rows = (
+        [(i, "alpha beta gamma delta epsilon zeta", "en") for i in range(10)]
+        + [(100 + i, "uno dos tres cuatro cinco seis", "es") for i in range(10)]
+    )
+    src = tmp_path / "docs.parquet"
+    pd.DataFrame(rows, columns=["doc_id", "text", "lang"]).to_parquet(src)
+
+    reg_path = tmp_path / "reg.yml"
+    reg_path.write_text(yaml.safe_dump({
+        "common_params": {"all_mode_params": {"base_path": str(tmp_path / "out"), "mode": "dev"}},
+        "jobs": {
+            "dsir_select_documents": {
+                "py_job": "jobs.examples.dsir_job",
+                "inputs": {"documents": {"path": str(src), "type": "parquet"}},
+                "output": {"path": "{{base_path}}/dsir/{{now}}", "type": "parquet"},
+                "target_lang": "en",
+                "fraction": 0.5,
+            }
+        },
+    }))
+    assert cli.main(["--job_name=dsir_select_documents", f"--registry={reg_path}"]) == 0
+    out_dirs = list((tmp_path / "out" / "dsir").iterdir())
+    got = spark.read.parquet(str(out_dirs[0]))
+    kept = {r.doc_id for r in got.collect()}
+    # top half by importance against the en domain = exactly the en docs
+    assert kept == set(range(10))
+    assert "dsir_logweight" in got.columns and "text" in got.columns
+
+    # keep=scores returns every doc with its flag; Gumbel seed variant
+    # still keeps the exact count
+    docs = spark.read.parquet(str(src))
+    scores = DsirSelectJob(params={"keep": "scores", "fraction": 0.5, "seed": 3}).transform(docs)
+    rows_out = scores.collect()
+    assert len(rows_out) == 20
+    assert sum(r.selected for r in rows_out) == 10

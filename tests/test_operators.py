@@ -1401,3 +1401,131 @@ def test_simhash_null_text_like_empty(spark):
     sim = {r.id: r.simhash for r in D.simhash(docs).collect()}
     assert set(sim) == {1, 2, 3}
     assert sim[1] == sim[2] != sim[3]
+
+
+# ---------------------------------------------------------------- DSIR
+
+
+def _dsir_expected(rows, target_langs=("en",), n_buckets=10_000, alpha=1.0):
+    """Independent pure-python DSIR reimplementation (hashlib md5, no
+    Spark) — the test oracle for dsir_logweights."""
+    import hashlib
+    import re
+    from collections import Counter
+
+    def grams(text):
+        if text is None:
+            return []
+        toks = [t for t in re.split(r"\s+", text.strip()) if t != ""]
+        return toks + [" ".join(toks[i:i + 2]) for i in range(len(toks) - 1)]
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % n_buckets
+
+    raw, tgt = Counter(), Counter()
+    per_doc = {}
+    for doc_id, text, lang in rows:
+        bs = [bucket(g) for g in grams(text)]
+        per_doc[doc_id] = bs
+        raw.update(bs)
+        if lang in target_langs:
+            tgt.update(bs)
+    r_tot, t_tot = sum(raw.values()), sum(tgt.values())
+    out = {}
+    for doc_id, bs in per_doc.items():
+        s = sum(
+            math.log((tgt[b] + alpha) / (t_tot + alpha * n_buckets))
+            - math.log((raw[b] + alpha) / (r_tot + alpha * n_buckets))
+            for b in bs
+        )
+        out[doc_id] = (len(bs), round(s, 6))
+    return out
+
+
+def test_dsir_logweights_matches_independent_reimplementation(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", "en"),
+        (2, "pack my box with five dozen liquor jugs", "en"),
+        (3, "der schnelle braune fuchs springt", "de"),
+        (4, "le renard brun rapide saute", "fr"),
+        (5, "the dog sleeps", "en"),
+        (6, None, "en"),
+        (7, "   ", "de"),
+        (8, "fox", "fr"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    got = {
+        r.doc_id: (r.n_grams, r.dsir_logweight)
+        for r in CU.dsir_logweights(docs, F.col("lang") == "en").collect()
+    }
+    exp = _dsir_expected(rows)
+    assert set(got) == set(exp)
+    for k in exp:
+        assert got[k][0] == exp[k][0], k
+        assert abs(got[k][1] - exp[k][1]) <= 2e-6, (k, got[k], exp[k])
+    # content-less docs are present with zero grams and weight 0.0
+    assert got[6] == (0, 0.0)
+    assert got[7] == (0, 0.0)
+
+
+def test_dsir_target_vocab_scores_higher(spark):
+    """Docs sharing the target domain's vocabulary must outscore docs
+    from a disjoint vocabulary — the operator's entire point."""
+    rows = (
+        [(i, "alpha beta gamma delta epsilon", "en") for i in range(10)]
+        + [(100 + i, "uno dos tres cuatro cinco", "es") for i in range(10)]
+        + [(200, "alpha beta gamma", "es")]  # es doc with TARGET vocab
+    )
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    s = {
+        r.doc_id: r.dsir_logweight
+        for r in CU.dsir_logweights(docs, F.col("lang") == "en").collect()
+    }
+    # the guarantee is RELATIVE ordering: with add-alpha smoothing over
+    # 10k buckets the absolute sign shrinks toward log(count ratios),
+    # so assert dominance, not positivity
+    assert min(s[i] for i in range(10)) > s[200] > max(s[100 + i] for i in range(10))
+
+
+def test_dsir_logweights_helper_collision_guard(spark):
+    import pytest
+
+    docs = spark.createDataFrame(
+        [(1, "a b", "en", 0)], "doc_id bigint, text string, lang string, _bucket int"
+    )
+    with pytest.raises(ValueError, match="_bucket"):
+        CU.dsir_logweights(docs, F.col("lang") == "en")
+
+
+def test_dsir_select_count_and_dominance(spark):
+    import pytest
+
+    rows = [(i, float(i % 17) - 8.0) for i in range(200)]
+    scores = spark.createDataFrame(rows, "doc_id bigint, dsir_logweight double")
+    out = CU.dsir_select(scores, 0.25).collect()
+    sel = [r.dsir_logweight for r in out if r.selected]
+    rej = [r.dsir_logweight for r in out if not r.selected]
+    assert len(sel) == math.ceil(0.25 * 200)
+    assert min(sel) >= max(rej)
+    with pytest.raises(ValueError, match="fraction"):
+        CU.dsir_select(scores, 0.0)
+
+
+def test_dsir_select_gumbel_seeded_resample(spark):
+    rows = [(i, 0.1 * i) for i in range(300)]
+    scores = spark.createDataFrame(rows, "doc_id bigint, dsir_logweight double")
+
+    def sel(seed):
+        return {
+            r.doc_id
+            for r in CU.dsir_select(scores, 0.2, seed=seed).collect()
+            if r.selected
+        }
+
+    a1, a2, b = sel(7), sel(7), sel(8)
+    assert len(a1) == math.ceil(0.2 * 300)
+    assert a1 == a2  # same seed -> identical resample
+    assert a1 != b  # different seed -> different sample (w.h.p.)
+    # importance still dominates: the top-scoring tail is near-certain
+    # to survive any seed's Gumbel noise at this score spread
+    assert 299 in a1 and 299 in b

@@ -276,7 +276,7 @@ jobs:
 
 # -- hypothesis rules over the same subsystem -------------------------
 
-from hypothesis import given, settings  # noqa: E402
+from hypothesis import HealthCheck, given, settings  # noqa: E402
 from hypothesis import strategies as st  # noqa: E402
 
 _keys = st.sampled_from([f"k{i}" for i in range(6)])
@@ -314,7 +314,7 @@ def _naive_fixed_point(params):
     return {k: walk(v) for k, v in params.items()}
 
 
-@settings(max_examples=60, deadline=None)
+@settings(max_examples=60, deadline=None, suppress_health_check=[HealthCheck.too_slow])
 @given(
     defs=st.dictionaries(
         _keys,
@@ -344,7 +344,7 @@ def test_replace_placeholders_matches_naive_fixed_point(defs, template):
     assert P.replace_placeholders(got) == _naive_fixed_point(got)
 
 
-@settings(max_examples=60, deadline=None)
+@settings(max_examples=60, deadline=None, suppress_health_check=[HealthCheck.too_slow])
 @given(
     layers=st.lists(
         st.dictionaries(
@@ -365,7 +365,7 @@ def test_merge_params_last_layer_wins(layers):
         assert merged[key] == expect
 
 
-@settings(max_examples=40, deadline=None)
+@settings(max_examples=40, deadline=None, suppress_health_check=[HealthCheck.too_slow])
 @given(
     base=st.dictionaries(
         st.sampled_from(["i1", "i2", "i3"]),

@@ -462,7 +462,7 @@ class _World:
     history=st.lists(st.booleans(), min_size=1, max_size=12),
     data=st.data(),
 )
-@settings(max_examples=200, deadline=None)
+@settings(max_examples=200, deadline=None, suppress_health_check=[HealthCheck.too_slow])
 def test_last_date_terminates_and_appends_each_nonempty_day_once(history, data):
     """Under ``last_date``, across ANY schedule of successive runs with
     non-decreasing last_day: (a) every run terminates after at most
@@ -495,7 +495,7 @@ def test_last_date_terminates_and_appends_each_nonempty_day_once(history, data):
 @given(
     history=st.lists(st.booleans(), min_size=1, max_size=12),
 )
-@settings(max_examples=200, deadline=None)
+@settings(max_examples=200, deadline=None, suppress_health_check=[HealthCheck.too_slow])
 def test_output_empty_stops_at_first_empty_and_stalls(history):
     """``output_empty`` documented semantics: a run processes the prefix
     of non-empty days plus AT MOST the first empty day, then stops; a
@@ -533,7 +533,7 @@ def test_output_empty_stops_at_first_empty_and_stalls(history):
 @given(
     history=st.lists(st.booleans(), min_size=1, max_size=12),
 )
-@settings(max_examples=200, deadline=None)
+@settings(max_examples=200, deadline=None, suppress_health_check=[HealthCheck.too_slow])
 def test_both_criterion_resumes_from_watermark_then_stops_on_empty(history):
     """``both``: starts after the materialized watermark AND stops on
     the first empty period. Repeated runs must still terminate (never
@@ -1058,7 +1058,7 @@ def test_let_binding_is_value_transparent(spark, texts):
         unique_by=lambda d: d.replace(microsecond=0),
     )
 )
-@settings(max_examples=100, deadline=None)
+@settings(max_examples=100, deadline=None, suppress_health_check=[HealthCheck.too_slow])
 def test_latest_stamp_lexicographic_equals_chronological(tmp_path_factory, stamps):
     """{{latest}} resolution depends ENTIRELY on the run-folder stamp
     format sorting lexicographically == chronologically (SURVEY §7.3

@@ -58,6 +58,9 @@ SINGLE_ROW_BROADCASTS = {
     "lsh_ann_pairs",
     "cms_heavy_hitters",
     "hll_distinct_contract",
+    # dsir_scores' BNL is the two smoothing totals riding a 1-row
+    # broadcast crossJoin onto the <=n_buckets-row weight frame
+    "dsir_scores",
 }
 
 

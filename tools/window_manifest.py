@@ -85,6 +85,7 @@ def build_manifest() -> dict:
         "verify_next_table": dict(getattr(entry, "_VERIFY_NEXT", {})),
         "deferred_once": sorted(active_defer),
         "defer_once_table": dict(getattr(entry, "_DEFER_ONCE", {})),
+        "defer_until_table": dict(getattr(entry, "_DEFER_UNTIL", {})),
         "queries": rows,
     }
 
@@ -122,13 +123,14 @@ def check_capacity(rows: list, forced: set, entry, next_round: int) -> dict:
         )
     nxt = next_round + 1
     last_pass = {r["name"]: r["last_pass_round"] for r in rows}
+    defer_until = dict(getattr(entry, "_DEFER_UNTIL", {}))
     due_next = {
         r["name"]
         for r in rows
         if not r["in_window"]
         and (
-            r["last_pass_round"] is None
-            or nxt - r["last_pass_round"] >= 3
+            (r["last_pass_round"] is None and defer_until.get(r["name"], 0) <= nxt)
+            or (r["last_pass_round"] is not None and nxt - r["last_pass_round"] >= 3)
         )
     }
     pinned_next = {
@@ -152,13 +154,61 @@ def check_capacity(rows: list, forced: set, entry, next_round: int) -> dict:
             f"{WINDOW}-slot window — a cohort member would silently "
             f"reach verdict age 3+; re-key a pin to a later round"
         )
+    horizon = check_horizon(rows, entry, next_round)
     return {
         "must_grade_this_round": len(must_now),
         "next_round_due": len(due_next),
         "next_round_pinned_extra": len(demand - due_next),
         "next_round_demand": len(demand),
         "window": WINDOW,
+        "horizon_demand": horizon,
     }
+
+
+def check_horizon(rows: list, entry, next_round: int, n_rounds: int = 6) -> dict:
+    """Simulate the rotation ``n_rounds`` ahead and assert every
+    round's MANDATORY demand fits the window — needed since
+    ``_DEFER_UNTIL`` can park a verdict-less query two or more rounds
+    out, where the one-round lookahead above cannot see a collision.
+
+    The simulation is conservative: each round grades exactly its
+    mandatory set (the cohort whose verdict age reaches 3, verdict-less
+    queries at their first eligible round, and round-keyed pins), with
+    NO opportunistic pre-pulls — real rounds can only have less future
+    demand than this.  The current round grades its actual in-window
+    set.  At corpus saturation (3 x WINDOW queries) the schedule is
+    periodic, so a short horizon proves the steady state."""
+    defer_once = dict(getattr(entry, "_DEFER_ONCE", {}))
+    defer_until = dict(getattr(entry, "_DEFER_UNTIL", {}))
+    verify_at = dict(getattr(entry, "_VERIFY_AT", {}))
+    last = {r["name"]: r["last_pass_round"] for r in rows}
+    eligible = {}
+    for n, lp in last.items():
+        if lp is None:
+            e = next_round
+            if defer_once.get(n) == next_round:
+                e = next_round + 1
+            e = max(e, defer_until.get(n, 0))
+            eligible[n] = e
+    demand_by_round = {}
+    graded_now = {r["name"] for r in rows if r["in_window"]}
+    for n in graded_now:
+        last[n] = next_round
+    demand_by_round[next_round] = len(graded_now)
+    for r in range(next_round + 1, next_round + 1 + n_rounds):
+        must = {n for n, lp in last.items() if lp is not None and r - lp >= 3}
+        must |= {n for n, lp in last.items() if lp is None and eligible[n] <= r}
+        must |= {n for n, rnd in verify_at.items() if rnd == r}
+        if len(must) > WINDOW:
+            raise ValueError(
+                f"round {r} is over-committed {r - next_round} rounds out: "
+                f"{len(must)} mandatory queries exceed the {WINDOW}-slot "
+                f"window — re-key a _DEFER_UNTIL/_VERIFY_AT entry"
+            )
+        for n in must:
+            last[n] = r
+        demand_by_round[r] = len(must)
+    return {str(k): v for k, v in demand_by_round.items()}
 
 
 def main() -> int:

@@ -697,3 +697,162 @@ def gopher_filter(
         "passes",
         F.col("ok_n_words") & F.col("ok_top_word") & F.col("ok_dup_bigram") & F.col("ok_word_len"),
     )
+
+
+def dsir_logweights(
+    df: DataFrame,
+    target: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 10_000,
+    alpha: float = 1.0,
+    round_to: int = 6,
+) -> DataFrame:
+    """DSIR hashed n-gram importance log-weights (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling",
+    arXiv:2302.03169).
+
+    Features are the paper's hashed n-grams: word unigrams + bigrams
+    WITH multiplicity, hashed into ``n_buckets`` buckets (md5-derived
+    so a DuckDB oracle reproduces the exact bucket ids — see
+    functions/hashing.md5_long). Two bag-of-ngrams distributions are
+    fit with add-``alpha`` smoothing: p over documents matching
+    ``target`` (the high-quality/target domain) and q over the WHOLE
+    input (the raw pool; the paper's q — target rows count in both).
+    Each document's importance log-weight is
+
+        log w(doc) = sum over its grams of  log p[bucket] - log q[bucket]
+
+    Returns ``(id_col, n_grams, dsir_logweight)`` for EVERY input
+    document: gram-less docs (NULL/whitespace text) keep n_grams=0 and
+    log-weight 0.0 rather than vanishing — the selection step must see
+    them to reject them.  The weight is rounded to ``round_to``
+    decimals so the value is engine-portable (the ln() inputs are
+    exact small-integer ratios, identical IEEE doubles in any engine;
+    only the transcendental's last ulp and the per-doc summation order
+    can differ, orders of magnitude below the rounding grid).
+
+    Scale: one corpus scan builds the gram/bucket rows, persisted
+    because they are consumed twice (bucket-count fit + per-doc score)
+    — without the persist the 100 TB tokenize+explode runs twice.  The
+    fit is a partial-aggregating groupBy on the bucket id (at most
+    ``n_buckets`` rows out), its two totals ride a 1-row broadcast
+    crossJoin, and the score join force-broadcasts the bucket-weight
+    frame — bounded by ``n_buckets`` at PLAN time, the one case where
+    an explicit hint beats AQE (see the inline note); the only
+    full-width shuffle is the final per-doc sum, which moves
+    (id, weight) pairs, not text.
+    """
+    reserve_helper_cols(
+        "dsir_logweights",
+        ("_is_target", "_gram", "_bucket", "_wt", "_c_raw", "_c_tgt",
+         "_r_tot", "_t_tot", "_n_grams", "_score"),
+        df,
+    )
+    from yaetos_spark.functions.hashing import md5_long
+
+    empty = F.array().cast("array<string>")
+    gram_rows = df.select(
+        F.col(id_col),
+        target.cast("int").alias("_is_target"),
+        F.explode(
+            _let(
+                F.coalesce(_tokens(text_col), empty),
+                lambda t: F.concat(t, _ngram_strings(t, 2)),
+            )
+        ).alias("_gram"),
+    )
+    bucketed = gram_rows.select(
+        id_col,
+        "_is_target",
+        (md5_long(F.col("_gram"), 32) % n_buckets).alias("_bucket"),
+    ).persist()  # job-lifetime persist, same pattern as jaccard_pairs'
+    # shingle rows: consumed by both the fit and the score pass below
+    bc = bucketed.groupBy("_bucket").agg(
+        F.count(F.lit(1)).cast("double").alias("_c_raw"),
+        F.sum("_is_target").cast("double").alias("_c_tgt"),
+    )
+    tot = bc.agg(F.sum("_c_raw").alias("_r_tot"), F.sum("_c_tgt").alias("_t_tot"))
+    denom = float(alpha) * float(n_buckets)
+    w = bc.crossJoin(F.broadcast(tot)).select(
+        "_bucket",
+        (
+            F.log((F.col("_c_tgt") + alpha) / (F.col("_t_tot") + denom))
+            - F.log((F.col("_c_raw") + alpha) / (F.col("_r_tot") + denom))
+        ).alias("_wt"),
+    )
+    ds = (
+        # force-broadcast is SAFE here, unlike the data-dependent
+        # frames the house rule covers: w is bounded by n_buckets at
+        # PLAN time (it is a groupBy on the bucket id).  Left to the
+        # optimizer, Catalyst picks BuildLeft — broadcasting the
+        # EXPLODED gram rows, whose size estimate flows through
+        # Generate (the r6/r7 mis-broadcast class) and OOMs a real
+        # cluster on a real corpus.
+        bucketed.join(F.broadcast(w), "_bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("_n_grams"),
+            F.sum("_wt").alias("_score"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(ds, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("_n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.round(F.coalesce("_score", F.lit(0.0)), round_to).alias(
+                "dsir_logweight"
+            ),
+        )
+    )
+
+
+def dsir_select(
+    scores: DataFrame,
+    fraction: float,
+    score_col: str = "dsir_logweight",
+    id_col: str = "doc_id",
+    seed: int | None = None,
+) -> DataFrame:
+    """Importance selection over :func:`dsir_logweights` output: keep
+    the top ``fraction`` of documents by log-weight.
+
+    ``seed=None`` ranks by the raw weight (greedy top-k): the selected
+    COUNT is exact (ceil(fraction * n)) and score-dominance holds —
+    every selected weight >= every rejected weight — but ties at the
+    cutoff break arbitrarily (the paper's weights are continuous, so
+    ties are degenerate inputs).  ``seed=k`` is the paper's Gumbel
+    top-k importance RESAMPLE made deterministic and engine-portable:
+    per-doc noise g = -ln(-ln(u)) with u = (md5_long(f"{seed}:{id}")+1)
+    / (2^32+1) added to the log-weight, so the selection is a true
+    weighted sample without replacement (Gumbel-max trick),
+    reproducible across runs and engines from the seed alone.
+
+    Scale: ranking is the two-phase distributed global_rank (range
+    split on the key + partition-local sort) — no single-task global
+    sort; the cutoff count comes from the rank pass's own totals.
+    Returns the input columns + ``selected`` boolean.
+    """
+    from yaetos_spark.functions.hashing import md5_long
+    from yaetos_spark.operators.windows import _global_rank_with_total
+
+    reserve_helper_cols("dsir_select", ("_key", "_dsir_rank"), scores)
+    if not 0.0 < fraction <= 1.0:
+        raise ValueError(f"fraction must be in (0, 1], got {fraction}")
+    key = F.col(score_col).cast("double")
+    if seed is not None:
+        u = (
+            md5_long(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")), 32)
+            + F.lit(1.0)
+        ) / F.lit(float(2**32) + 1.0)
+        key = key + (-F.log(-F.log(u)))
+    keyed = scores.withColumn("_key", -key)  # global_rank sorts ascending
+    ranked, total = _global_rank_with_total(keyed, "_key", "_dsir_rank", None)
+    import math
+
+    k = math.ceil(fraction * total)
+    return ranked.withColumn("selected", F.col("_dsir_rank") <= k).drop(
+        "_key", "_dsir_rank"
+    )
