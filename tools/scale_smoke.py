@@ -85,6 +85,11 @@ SMOKE_QUERIES = [
     # pipelines + cross-batch signature filter) — its growth ratio was
     # previously hand-measured per round; now automatic
     "incremental_dedup_survivors",
+    # r11: DSIR gram-explosion scan (persisted once, consumed twice) +
+    # broadcast weight join — the gram fan-out must grow linearly and
+    # the forced weight-frame broadcast stays n_buckets-bounded at any
+    # scale, which is exactly what this smoke exists to demonstrate
+    "dsir_scores",
     # shuffle-heavy relational / sessionization staples
     "pricing_summary",
     "topk_revenue",
