@@ -351,3 +351,49 @@ def test_cli_dsir_select_job(spark, tmp_path):
     rows_out = scores.collect()
     assert len(rows_out) == 20
     assert sum(r.selected for r in rows_out) == 10
+
+
+def test_cli_exact_substr_job(spark, tmp_path):
+    """The exact_substr_documents registry pattern end-to-end: the
+    planted repeated span is cut from both carriers through the CLI;
+    keep=spans returns the audit inventory."""
+    import pandas as pd
+
+    from jobs.examples.exact_substr_job import ExactSubstrJob
+
+    shared = " ".join(f"s{i}" for i in range(12))
+    # distinct framing words on each side: a shared token adjacent to
+    # the span would legitimately extend it (k-grams straddling the
+    # boundary repeat too)
+    rows = [
+        (1, f"alpha beta {shared} gamma delta"),
+        (2, f"uno dos {shared} tres cuatro"),
+        (3, "independent content with no repeats at all whatsoever"),
+    ]
+    src = tmp_path / "docs.parquet"
+    pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(src)
+
+    reg_path = tmp_path / "reg.yml"
+    reg_path.write_text(yaml.safe_dump({
+        "common_params": {"all_mode_params": {"base_path": str(tmp_path / "out"), "mode": "dev"}},
+        "jobs": {
+            "exact_substr_documents": {
+                "py_job": "jobs.examples.exact_substr_job",
+                "inputs": {"documents": {"path": str(src), "type": "parquet"}},
+                "output": {"path": "{{base_path}}/xs/{{now}}", "type": "parquet"},
+                "k": 6,
+            }
+        },
+    }))
+    assert cli.main(["--job_name=exact_substr_documents", f"--registry={reg_path}"]) == 0
+    out_dirs = list((tmp_path / "out" / "xs").iterdir())
+    got = {r.doc_id: r for r in spark.read.parquet(str(out_dirs[0])).collect()}
+    assert got[1].text == "alpha beta gamma delta" and got[1].n_removed_tokens == 12
+    assert got[2].text == "uno dos tres cuatro" and got[2].n_removed_tokens == 12
+    assert got[3].n_removed_tokens == 0
+
+    # audit mode through the job class
+    docs = spark.read.parquet(str(src))
+    spans = ExactSubstrJob(params={"k": 6, "keep": "spans"}).transform(docs)
+    assert set(spans.columns) == {"doc_id", "span_start", "span_end", "n_windows"}
+    assert {r.doc_id for r in spans.collect()} == {1, 2}

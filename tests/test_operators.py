@@ -1529,3 +1529,85 @@ def test_dsir_select_gumbel_seeded_resample(spark):
     # importance still dominates: the top-scoring tail is near-certain
     # to survive any seed's Gumbel noise at this score spread
     assert 299 in a1 and 299 in b
+
+
+# ------------------------------------------- ExactSubstr span dedup
+
+
+def test_duplicated_spans_cross_doc(spark):
+    shared = "one two three four five six seven eight"
+    docs = spark.createDataFrame(
+        [
+            (1, f"aaa bbb {shared} ccc ddd"),
+            (2, f"xxx {shared} yyy zzz"),
+            (3, "totally unique words here nothing shared at all"),
+            (4, None),
+            (5, ""),
+            (6, shared),
+        ],
+        "doc_id bigint, text string",
+    )
+    spans = {
+        r.doc_id: (r.span_start, r.span_end, r.n_windows)
+        for r in D.duplicated_spans(docs, k=4).collect()
+    }
+    # maximal merged spans: the 8 shared tokens = 5 overlapping
+    # 4-windows merged into ONE span per doc, at each doc's offset
+    assert spans == {1: (2, 10, 5), 2: (1, 9, 5), 6: (0, 8, 5)}
+
+
+def test_duplicated_spans_intra_doc_and_cross_doc_only(spark):
+    rep = "alpha beta gamma delta"
+    docs = spark.createDataFrame(
+        [(1, f"{rep} filler words {rep}"), (2, "other content entirely here")],
+        "doc_id bigint, text string",
+    )
+    both = D.duplicated_spans(docs, k=4)
+    assert {r.doc_id for r in both.collect()} == {1}  # intra-doc repeat found
+    xdoc = D.duplicated_spans(docs, k=4, cross_doc_only=True)
+    assert xdoc.count() == 0  # excluded when only cross-doc counts
+
+
+def test_duplicated_spans_min_count(spark):
+    s = "p q r s"
+    docs = spark.createDataFrame(
+        [(1, f"{s} a"), (2, f"{s} b"), (3, f"{s} c")],
+        "doc_id bigint, text string",
+    )
+    assert D.duplicated_spans(docs, k=4, min_count=3).count() == 3
+    assert D.duplicated_spans(docs, k=4, min_count=4).count() == 0
+
+
+def test_remove_duplicated_spans(spark):
+    shared = "one two three four five six seven eight"
+    docs = spark.createDataFrame(
+        [
+            (1, f"aaa bbb {shared} ccc ddd", "en"),
+            (2, f"xxx {shared} yyy zzz", "de"),
+            (3, "totally unique words here nothing shared at all", "en"),
+            (4, None, "fr"),
+            (6, shared, "en"),
+        ],
+        "doc_id bigint, text string, lang string",
+    )
+    spans = D.duplicated_spans(docs, k=4)
+    out = {r.doc_id: r for r in D.remove_duplicated_spans(docs, spans).collect()}
+    assert out[1].text == "aaa bbb ccc ddd" and out[1].n_removed_tokens == 8
+    assert out[2].text == "xxx yyy zzz" and out[2].n_removed_tokens == 8
+    # span-free doc passes through byte-identical, other columns intact
+    assert out[3].text == "totally unique words here nothing shared at all"
+    assert out[3].n_removed_tokens == 0 and out[3].lang == "en"
+    # NULL text behaves like empty text (kept, not vanished)
+    assert out[4].text == "" and out[4].n_removed_tokens == 0
+    # fully-duplicated doc -> empty string, count preserved
+    assert out[6].text == "" and out[6].n_removed_tokens == 8
+
+
+def test_duplicated_spans_helper_collision_guard(spark):
+    import pytest
+
+    docs = spark.createDataFrame(
+        [(1, "a b", 0)], "doc_id bigint, text string, _pos int"
+    )
+    with pytest.raises(ValueError, match="_pos"):
+        D.duplicated_spans(docs, k=2)

@@ -939,3 +939,184 @@ def vacuum_signature_index(
         "files_before": files_before,
         "files_after": files_after,
     }
+
+
+# -- exact duplicated substrings (ExactSubstr) -------------------------
+
+
+def duplicated_spans(
+    df: DataFrame,
+    k: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 2,
+    cross_doc_only: bool = False,
+) -> DataFrame:
+    """ExactSubstr duplicated-span detection (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499 §4.1): find, per document, every maximal token
+    span all of whose length-``k`` windows occur at least
+    ``min_count`` times in the corpus.
+
+    The paper builds one giant suffix array; the Spark-first shape is
+    the standard distributed equivalent: every doc emits its k-token
+    window hashes WITH positions (one narrow explode), a corpus-wide
+    hash-aggregate finds the windows occurring >= min_count times, the
+    duplicated window positions join back (equi-join on the 64-bit
+    hash), and overlapping/adjacent windows merge into maximal spans
+    with a per-document lag window + cumulative-sum span id — interval
+    merge, the sessionization trick.  Same result contract as the
+    suffix-array scan (up to xxhash64 collisions: at 10^9 corpus
+    windows the birthday bound puts ~3% probability on even ONE false
+    64-bit collision, i.e. one spurious k-token span — acceptable for
+    dedup, noted here for honesty).
+
+    ``cross_doc_only=True`` restricts to windows seen in >= 2 DISTINCT
+    docs, via the zero-extra-shuffle min/max-id trick (an intra-doc
+    repeat has min == max).
+
+    Returns ``(id_col, span_start, span_end, n_windows)`` with
+    token-position half-open spans [span_start, span_end) — feed to
+    :func:`remove_duplicated_spans` to rewrite the corpus.
+
+    Scale: two shuffles (hash-aggregate fit, join back) + one per-doc
+    window; the duplicated-hash frame is data-dependent so NOT
+    broadcast-hinted — AQE sizes it (on boilerplate-free corpora it is
+    tiny; on crawl corpora it is exactly the frame you cannot afford
+    to broadcast).  No driver collect anywhere.
+    """
+    from yaetos_spark.operators._guards import reserve_helper_cols
+    from pyspark.sql import Window
+
+    reserve_helper_cols(
+        "duplicated_spans",
+        ("_toks", "_pos", "_h", "_c", "_id_min", "_id_max", "_new_span", "_span_id"),
+        df,
+    )
+    toked = df.select(F.col(id_col), tokens(text_col).alias("_toks"))
+    n_win = F.size("_toks") - k + 1
+    win_rows = (
+        toked.filter(n_win >= 1)
+        .select(
+            id_col,
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), n_win),
+                    lambda i: F.struct(
+                        (i - 1).alias("_pos"),
+                        F.xxhash64(F.concat_ws(" ", F.slice("_toks", i, k))).alias("_h"),
+                    ),
+                )
+            ).alias("_w"),
+        )
+        .select(id_col, "_w._pos", "_w._h")
+        .persist()  # consumed by the fit and the join-back
+    )
+    agg = [F.count(F.lit(1)).alias("_c")]
+    if cross_doc_only:
+        agg += [F.min(id_col).alias("_id_min"), F.max(id_col).alias("_id_max")]
+    dup = win_rows.groupBy("_h").agg(*agg).filter(F.col("_c") >= min_count)
+    if cross_doc_only:
+        dup = dup.filter(F.col("_id_min") != F.col("_id_max"))
+    hits = win_rows.join(dup.select("_h"), "_h")
+    w = Window.partitionBy(id_col).orderBy("_pos")
+    spans = (
+        hits.withColumn(
+            "_new_span",
+            F.when(
+                F.col("_pos") - F.lag("_pos").over(w) <= k, F.lit(0)
+            ).otherwise(F.lit(1)),  # first row: lag NULL -> otherwise -> 1
+        )
+        .withColumn("_span_id", F.sum("_new_span").over(w))
+        .groupBy(id_col, "_span_id")
+        .agg(
+            F.min("_pos").alias("span_start"),
+            (F.max("_pos") + k).alias("span_end"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .select(id_col, "span_start", "span_end", "n_windows")
+    )
+    return spans
+
+
+def remove_duplicated_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Rewrite each document with its duplicated spans removed (the
+    ExactSubstr paper's dedup action): drop every token whose position
+    falls inside a span from :func:`duplicated_spans`, keep the rest
+    in order.  Documents with no spans pass through byte-identical;
+    a fully-duplicated document becomes the empty string (kept, so
+    downstream length filters can drop it explicitly — same
+    philosophy as the NULL-text shingle contract).
+
+    Returns the input frame with ``text_col`` rewritten and an
+    ``n_removed_tokens`` count.
+
+    Scale: covered positions come from exploding span ranges (output
+    is proportional to the duplicated volume, i.e. the work is sized
+    by what gets REMOVED), the kept tokens re-assemble with one
+    per-doc sort-free aggregate (array_sort over collected (pos, tok)
+    structs — documents are bounded, so the per-group array is too).
+    """
+    from yaetos_spark.operators._guards import reserve_helper_cols
+
+    reserve_helper_cols(
+        "remove_duplicated_spans",
+        ("_toks", "_pos", "_tok", "_covered", "_kept", "_n_orig"),
+        df,
+    )
+    toked = df.select(
+        F.col(id_col), tokens(text_col).alias("_toks")
+    ).select(
+        id_col,
+        F.coalesce("_toks", F.array().cast("array<string>")).alias("_toks"),
+    )
+    # original token count rides its OWN per-doc frame: deriving it
+    # from the kept rows loses it when a fully-duplicated doc has
+    # every token removed (no kept rows -> no group -> count silently 0)
+    n_orig = toked.select(id_col, F.size("_toks").alias("_n_orig"))
+    tok_rows = toked.select(
+        id_col,
+        F.posexplode_outer("_toks").alias("_pos", "_tok"),
+    )
+    covered = spans.select(
+        F.col(id_col),
+        F.explode(
+            F.sequence(F.col("span_start"), F.col("span_end") - 1)
+        ).alias("_pos"),
+    ).distinct()
+    kept = tok_rows.join(covered, [id_col, "_pos"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("_pos").isNotNull(),
+                            F.struct(F.col("_pos"), F.col("_tok")),
+                        )
+                    )
+                ),
+                lambda s: s["_tok"],
+            ),
+        ).alias(text_col),
+        F.count("_tok").alias("_kept"),
+    )
+    others = [c for c in df.columns if c not in (text_col,)]
+    return (
+        df.select(*others)
+        .join(rebuilt, id_col, "left")
+        .join(n_orig, id_col, "left")
+        .select(
+            *others,
+            F.coalesce(F.col(text_col), F.lit("")).alias(text_col),
+            (F.coalesce("_n_orig", F.lit(0)) - F.coalesce("_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_removed_tokens"),
+        )
+    )
