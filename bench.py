@@ -26,7 +26,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import __spark_entry__ as entrymod
-from yaetos_spark.session import get_spark
+from yaetos_spark.session import get_spark, materialize_fully
 
 def _env_signal() -> dict:
     """Environmental-noise fingerprint recorded into the bench JSON
@@ -96,12 +96,15 @@ def main():
         times, cold = {}, {}
         for name in names:
             t0 = time.time()
-            n = qs[name](spark, sf_dir).count()  # warm-up: codegen + fs caches
+            # full-plan materialization, NOT count() (count() lets
+            # Catalyst prune join subtrees — see materialize_fully);
+            # warm-up: codegen + fs caches
+            n = materialize_fully(qs[name](spark, sf_dir))
             cold[name] = round(time.time() - t0, 3)
             runs = []
             for _ in range(n_runs):
                 t0 = time.time()
-                n = qs[name](spark, sf_dir).count()
+                n = materialize_fully(qs[name](spark, sf_dir))
                 runs.append(time.time() - t0)
             times[name] = round(statistics.median(runs), 3)
             print(

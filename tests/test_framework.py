@@ -971,3 +971,25 @@ def test_sql_pandas_job_empty_result(spark):
     out = job.etl_no_io(spark, {"t": src})
     assert out.count() == 0
     assert dict(out.dtypes)["v"] == "string"
+
+
+def test_materialize_fully_runs_pruned_joins(spark):
+    """count() lets Catalyst eliminate a left join whose aggregate-
+    unique right side contributes no columns; materialize_fully must
+    run the FULL plan and still return the exact row count."""
+    from pyspark.sql import functions as F
+
+    from yaetos_spark.session import materialize_fully
+
+    left = spark.range(100).withColumnRenamed("id", "k")
+    right = spark.range(50).withColumnRenamed("id", "k").groupBy("k").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    joined = left.join(right, "k", "left")
+    # the join IS pruned under count (plan-level check)...
+    cnt_plan = joined.groupBy().count()._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" not in cnt_plan
+    # ...and materialize_fully still executes it with the right count
+    assert materialize_fully(joined) == 100
+    assert materialize_fully(joined.filter("k < 10")) == 10
+    assert materialize_fully(joined.filter("k < 0")) == 0

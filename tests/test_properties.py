@@ -1650,3 +1650,67 @@ def test_connected_components_star_auto_switch(spark):
                 ).collect()
             }
             assert got == expect, thresh
+
+
+# ------------------------------------------------ ExactSubstr spans
+
+
+@st.composite
+def _span_case(draw):
+    # tiny vocab so repeats actually happen; k small enough that spans form
+    vocab = ["a", "b", "c", "d"]
+    n_docs = draw(st.integers(2, 5))
+    docs = [
+        (i, " ".join(draw(st.sampled_from(vocab)) for _ in range(draw(st.integers(0, 14)))))
+        for i in range(n_docs)
+    ]
+    k = draw(st.integers(2, 4))
+    return docs, k
+
+
+def _naive_spans(docs, k, min_count=2):
+    """Pure-python ExactSubstr model: count k-windows, keep positions
+    of repeated ones, merge per doc when the gap is <= k."""
+    from collections import Counter
+
+    # mirror shingles.tokens: split('\s+') of trimmed text; '' -> ['']
+    toks = {i: (t.strip().split() if t.strip() else [""]) for i, t in docs}
+    wins = Counter()
+    pos = {}
+    for i, ts in toks.items():
+        pos[i] = []
+        for p in range(len(ts) - k + 1):
+            w = tuple(ts[p:p + k])
+            wins[w] += 1
+            pos[i].append((p, w))
+    spans = set()
+    for i, ps in pos.items():
+        dup = sorted(p for p, w in ps if wins[w] >= min_count)
+        if not dup:
+            continue
+        start = prev = dup[0]
+        n = 1
+        for p in dup[1:]:
+            if p - prev <= k:
+                prev = p
+                n += 1
+            else:
+                spans.add((i, start, prev + k, n))
+                start = prev = p
+                n = 1
+        spans.add((i, start, prev + k, n))
+    return spans
+
+
+@given(_span_case())
+@settings(**SETTINGS)
+def test_duplicated_spans_matches_naive(spark, case):
+    from yaetos_spark.operators.dedup import duplicated_spans
+
+    docs, k = case
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.n_windows)
+        for r in duplicated_spans(df, k=k).collect()
+    }
+    assert got == _naive_spans(docs, k)

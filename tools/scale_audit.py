@@ -27,7 +27,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 import __spark_entry__ as entrymod  # noqa: E402
-from yaetos_spark.session import get_spark  # noqa: E402
+from yaetos_spark.session import get_spark, materialize_fully  # noqa: E402
 
 
 def _env_signal() -> dict:
@@ -61,7 +61,7 @@ def run_audit(spark, sf_dir: str, names=None, warmup: bool = True) -> dict:
     # time everything — position 1 is now as warm as position 100.
     if warmup and names:
         try:
-            qs[names[0]](spark, sf_dir).count()
+            materialize_fully(qs[names[0]](spark, sf_dir))
         except Exception:
             pass  # the timed run below reports the error
         spark.catalog.clearCache()
@@ -69,7 +69,10 @@ def run_audit(spark, sf_dir: str, names=None, warmup: bool = True) -> dict:
     for name in names:
         t0 = time.time()
         try:
-            n = qs[name](spark, sf_dir).count()
+            # full-plan materialization, NOT count(): Catalyst prunes
+            # join subtrees under count() (see session.materialize_fully
+            # — r11 found 12 corpus queries under-measured that way)
+            n = materialize_fully(qs[name](spark, sf_dir))
             results[name] = {"rows": n, "sec": round(time.time() - t0, 2), "err": None}
         except Exception as e:  # keep auditing the rest; the artifact shows what broke
             results[name] = {

@@ -91,3 +91,30 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def materialize_fully(df) -> int:
+    """Execute ``df``'s FULL plan and return its row count, one pass.
+
+    ``df.count()`` is NOT that: Catalyst prunes every column under it
+    and can eliminate whole join subtrees — a left join whose right
+    side is aggregate-unique on the key and contributes no referenced
+    columns vanishes entirely (r11 found 12 corpus queries whose joins
+    never ran under count(); for one, the count collapsed to a bare
+    table scan).  Timing harnesses that bill count() as "full
+    execution" therefore under-measure exactly the join-topped plans
+    they exist to watch.  Writing to the `noop` sink forces every
+    output row through the complete plan; the row count rides an
+    Observation on the same pass, so nothing runs twice.
+    """
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    obs = Observation()
+    (
+        df.observe(obs, F.count(F.lit(1)).alias("rows"))
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+    return int(obs.get["rows"])
