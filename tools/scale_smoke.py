@@ -122,20 +122,49 @@ def build_replica(spark, base: str, out_dir: str, repl: int) -> None:
         df.drop("_k").write.mode("overwrite").parquet(f"{out_dir}/{name}.parquet")
 
     def doc_extra(df):
-        # suffix EVERY word with the copy id so copies share ZERO
-        # shingles with the original or each other (a mere trailing
-        # tag leaves long docs ~identical and fabricates cross-copy
-        # near-dup pairs that measure replication, not growth);
-        # copy 0 stays verbatim
-        return df.withColumn(
-            "text",
-            F.when(F.col("_k") == 0, F.col("text")).otherwise(
-                F.expr(
-                    "concat_ws(' ', transform(split(text, ' '),"
-                    " w -> concat(w, 'c', cast(_k as string))))"
-                )
-            ),
-        ).withColumn("n_chars", F.length("text").cast("long"))
+        # Re-letter every copy with its own seeded BIJECTIVE character
+        # permutation (a-z and 0-9 separately, via translate): an
+        # isomorphic renaming of the whole corpus.  Copy 0 stays
+        # verbatim.
+        #
+        # Why a bijection and not a word suffix (the r6-r10 approach):
+        # copies must share ZERO word shingles (a trailing tag leaves
+        # long docs ~identical and fabricates cross-copy near-dup
+        # pairs that measure replication, not growth) — but they must
+        # also preserve CHAR-GRAM statistics, which any suffix
+        # destroys two ways, both measured at 10x this round:
+        #   - a constant per-copy suffix ('c5') repeats at every word
+        #     boundary: distinct winnow fingerprints fell 6,579 (base)
+        #     -> 1,217 per copy, median doc-freq rose 19 -> 289;
+        #   - even a word-varying salt lengthens 5-char words past
+        #     k=8, so char-grams land INSIDE words and every
+        #     occurrence of a vocabulary word corpus-wide shares them
+        #     (median freq exploded again).
+        # In both cases the winnowing family's hot-fingerprint guard
+        # then correctly dropped everything: replica copies produced
+        # ZERO near-dup pairs (241 base pairs -> 241+1 at 10x), so the
+        # smokes measured the fingerprint scan and never the pair
+        # join.  A character bijection preserves word lengths,
+        # boundary structure, and the entire gram-frequency
+        # distribution exactly (grams map 1:1), while making copies
+        # disjoint at BOTH the word and the char-gram level.
+        import random
+        import string
+
+        alpha, digs = string.ascii_lowercase, string.digits
+        branches = []
+        for c in range(1, repl):
+            rng = random.Random(c)
+            pa = list(alpha)
+            rng.shuffle(pa)
+            pd = list(digs)
+            rng.shuffle(pd)
+            branches.append(
+                f"WHEN {c} THEN translate(text, '{alpha + digs}', "
+                f"'{''.join(pa) + ''.join(pd)}')"
+            )
+        case = "CASE _k " + " ".join(branches) + " ELSE text END"
+        return df.withColumn("text", F.expr(case)).withColumn("n_chars", F.length("text").cast("long"))
 
     def emb_extra(df):
         # deterministic small perturbation, different per copy and dim
