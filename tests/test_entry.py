@@ -171,6 +171,7 @@ def test_no_nested_loop_joins_anywhere(spark):
         "lsh_ann_pairs",  # recall report: crossJoin of two 1-row aggs
         "cms_heavy_hitters",  # est<=total contract: 1-row total-count agg
         "hll_distinct_contract",  # crossJoin of two 1-row aggs (exact x est)
+        "dsir_scores",  # smoothing totals: 1-row agg crossJoined onto bucket weights
     }
     for name, fn in qs.items():
         if name in single_row_broadcasts:
@@ -321,3 +322,76 @@ def test_build_manifest_live_tree_capacity_ok():
     spec.loader.exec_module(wm)
     m = wm.build_manifest()
     assert m["capacity"]["next_round_demand"] <= m["window_size"]
+
+
+def test_defer_until_is_horizon_keyed(monkeypatch):
+    """A _DEFER_UNTIL entry holds its query out of EVERY round before
+    its horizon and expires exactly at it — the multi-round analog of
+    _DEFER_ONCE for when the next round is already at capacity too."""
+    names = list(entrymod.queries())
+    for dname, drnd in entrymod._DEFER_UNTIL.items():
+        assert dname in names, f"_DEFER_UNTIL names unknown query {dname}"
+        assert isinstance(drnd, int) and drnd > 0
+    for probe in (11, 12, 13, 14):
+        monkeypatch.setattr(entrymod, "_next_round", lambda r=probe: r)
+        active = entrymod._active_deferrals()
+        for name, horizon in entrymod._DEFER_UNTIL.items():
+            assert (name in active) == (probe < horizon), (probe, name, horizon)
+
+
+def test_check_horizon_catches_far_collision():
+    """check_horizon simulates the rotation several rounds out, so a
+    _DEFER_UNTIL horizon landing on an over-committed round fails when
+    the entry is WRITTEN, not two rounds later at grading time."""
+    import importlib.util
+
+    import pytest
+
+    spec = importlib.util.spec_from_file_location(
+        "window_manifest", "/root/repo/tools/window_manifest.py"
+    )
+    wm = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(wm)
+
+    def mkrows(cohorts, extra_new=()):
+        # cohorts: {last_pass_round: n_queries}; next_round-3 cohort in window
+        rows, i = [], 0
+        for lp, n in cohorts.items():
+            for _ in range(n):
+                rows.append({
+                    "name": f"q{i}", "in_window": lp == 7,
+                    "last_pass_round": lp, "verdict_age_rounds": 10 - lp,
+                    "deferred_once": False,
+                })
+                i += 1
+        for name, horizon in extra_new:
+            rows.append({
+                "name": name, "in_window": False, "last_pass_round": None,
+                "verdict_age_rounds": None, "deferred_once": True,
+            })
+        return rows
+
+    class Saturated:
+        _VERIFY_AT = {}
+        _VERIFY_NEXT = {}
+        _DEFER_ONCE = {}
+        _DEFER_UNTIL = {"newq": 12}
+
+    # 50/50/50 saturated corpus + a new query deferred to round 12,
+    # where the r9 cohort already fills the window -> round 12 overflows
+    rows = mkrows({7: 50, 8: 50, 9: 50}, extra_new=[("newq", 12)])
+    with pytest.raises(ValueError, match="over-committed"):
+        wm.check_horizon(rows, Saturated, 10)
+
+    # the same query keyed to a round with a spare slot passes: the
+    # cohort graded NOW recycles at the horizon round, so the spare
+    # slot must live in the current window's cohort (49 + newq = 50)
+    class Fits:
+        _VERIFY_AT = {}
+        _VERIFY_NEXT = {}
+        _DEFER_ONCE = {}
+        _DEFER_UNTIL = {"newq": 13}
+
+    rows = mkrows({7: 49, 8: 50, 9: 50}, extra_new=[("newq", 13)])
+    out = wm.check_horizon(rows, Fits, 10)
+    assert out["13"] == 50  # the horizon round absorbs the new query
