@@ -397,3 +397,50 @@ def test_cli_exact_substr_job(spark, tmp_path):
     spans = ExactSubstrJob(params={"k": 6, "keep": "spans"}).transform(docs)
     assert set(spans.columns) == {"doc_id", "span_start", "span_end", "n_windows"}
     assert {r.doc_id for r in spans.collect()} == {1, 2}
+
+
+def test_cli_mix_corpus_job(spark, tmp_path):
+    """The mix_corpus_documents registry pattern end-to-end: an
+    80/15/5 corpus remixed to exact 50/30/20 at a 40-row budget
+    through the CLI (exact mode), with a max_epochs=2 upsample for the
+    minority group; missing targets raise loudly."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from jobs.examples.mix_corpus_job import MixCorpusJob
+
+    rows = [
+        (i, "en" if i < 80 else ("fr" if i < 95 else "de"), f"doc {i}")
+        for i in range(100)
+    ]
+    src = tmp_path / "docs.parquet"
+    pd.DataFrame(rows, columns=["doc_id", "lang", "text"]).to_parquet(src)
+
+    reg_path = tmp_path / "reg.yml"
+    reg_path.write_text(yaml.safe_dump({
+        "common_params": {"all_mode_params": {"base_path": str(tmp_path / "out"), "mode": "dev"}},
+        "jobs": {
+            "mix_corpus_documents": {
+                "py_job": "jobs.examples.mix_corpus_job",
+                "inputs": {"documents": {"path": str(src), "type": "parquet"}},
+                "output": {"path": "{{base_path}}/mix/{{now}}", "type": "parquet"},
+                "group_col": "lang",
+                "targets": {"en": 0.5, "fr": 0.3, "de": 0.2},
+                "budget": 40,
+                "max_epochs": 2.0,
+                "exact": True,
+            }
+        },
+    }))
+    assert cli.main(["--job_name=mix_corpus_documents", f"--registry={reg_path}"]) == 0
+    out_dirs = list((tmp_path / "out" / "mix").iterdir())
+    got = spark.read.parquet(str(out_dirs[0]))
+    counts = {r.lang: r["count"] for r in got.groupBy("lang").count().collect()}
+    # de has 5 docs; its 8-row quota = 1 full epoch + 3 at _epoch 1
+    assert counts == {"en": 20, "fr": 12, "de": 8}
+    assert "_epoch" in got.columns
+    assert got.where("lang = 'de' and _epoch = 1").count() == 3
+
+    docs = spark.read.parquet(str(src))
+    with _pytest.raises(ValueError, match="targets"):
+        MixCorpusJob(params={"budget": 10}).transform(docs)

@@ -1611,3 +1611,102 @@ def test_duplicated_spans_helper_collision_guard(spark):
     )
     with pytest.raises(ValueError, match="_pos"):
         D.duplicated_spans(docs, k=2)
+
+
+def _mix_df(spark):
+    return spark.createDataFrame(
+        [(i, "en" if i < 80 else ("fr" if i < 95 else "de"), 10 + i % 5)
+         for i in range(100)],
+        "doc_id bigint, lang string, n_toks bigint",
+    )
+
+
+def test_mix_to_target_exact_counts(spark):
+    """exact=True hits round(want) rows per group, with the target
+    proportions (hand-computed: 50 * [.4 .4 .2] = [20, 20, 10])."""
+    out = CU.mix_to_target(
+        _mix_df(spark), "lang", {"en": 0.4, "fr": 0.4, "de": 0.2}, 50,
+        max_epochs=3.0, exact=True,
+    )
+    got = {r["lang"]: r["count"] for r in out.groupBy("lang").count().collect()}
+    assert got == {"en": 20, "fr": 20, "de": 10}
+    # deterministic: same subset on a re-run
+    a = sorted((r.doc_id, r._epoch) for r in out.collect())
+    b = sorted(
+        (r.doc_id, r._epoch)
+        for r in CU.mix_to_target(
+            _mix_df(spark), "lang", {"en": 0.4, "fr": 0.4, "de": 0.2}, 50,
+            max_epochs=3.0, exact=True,
+        ).collect()
+    )
+    assert a == b
+
+
+def test_mix_to_target_upsampling_epochs(spark):
+    """A group needing 2.4 epochs emits every row at _epoch 0 and 1
+    plus a fractional subset at _epoch 2; full epochs are exact even in
+    rate mode (only the fractional slice is binomial)."""
+    out = CU.mix_to_target(_mix_df(spark), "lang", {"de": 1.0}, 12, max_epochs=4.0)
+    per_epoch = {
+        r["_epoch"]: r["count"] for r in out.groupBy("_epoch").count().collect()
+    }
+    assert per_epoch[0] == 5 and per_epoch[1] == 5  # de has 5 rows
+    assert 0 <= per_epoch.get(2, 0) <= 5  # fractional: binomial(5, 0.4)
+    assert set(r.lang for r in out.select("lang").distinct().collect()) == {"de"}
+
+
+def test_mix_to_target_weight_budget(spark):
+    """weight_col budgets allocate in token units: a 600-token budget
+    over a 1184-token corpus selects roughly 600 tokens at the target
+    mix (rate mode, so ±sqrt tolerance)."""
+    df = _mix_df(spark)
+    total = df.groupBy().sum("n_toks").collect()[0][0]
+    out = CU.mix_to_target(
+        df, "lang", {"en": 0.5, "fr": 0.5}, 600, weight_col="n_toks",
+        max_epochs=2.0,
+    )
+    got = {
+        r["lang"]: r["toks"]
+        for r in out.groupBy("lang").agg(F.sum("n_toks").alias("toks")).collect()
+    }
+    assert total > 600  # the budget genuinely subsamples
+    for g in ("en", "fr"):
+        assert abs(got[g] - 300) < 120, got  # 3-sigma-ish binomial slack
+
+
+def test_mix_to_target_water_fill_policies():
+    """Driver-side water-filling: redistribute clips the infeasible
+    group at capacity and hands its surplus to the rest; error raises
+    on the first clip; clip undershoots without redistribution."""
+    avail = {"a": 10.0, "b": 100.0}
+    shares = {"a": 0.5, "b": 0.5}
+    # a's half-share (25) exceeds cap 10 -> clipped, b absorbs the rest
+    want = CU._water_fill(avail, shares, 50, 1.0, "redistribute")
+    assert want == {"a": 10.0, "b": 40.0}
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="capacity"):
+        CU._water_fill(avail, shares, 50, 1.0, "error")
+    want_clip = CU._water_fill(avail, shares, 50, 1.0, "clip")
+    assert want_clip == {"a": 10.0, "b": 25.0}
+    # unreachable even at full capacity -> loud, never silent shortfall
+    with _pytest.raises(ValueError, match="unreachable"):
+        CU._water_fill({"a": 10.0}, {"a": 1.0}, 100, 1.0, "redistribute")
+
+
+def test_mix_to_target_drops_untargeted_and_guards(spark):
+    """Groups absent from targets (or weight 0) are dropped; helper
+    column collisions refuse loudly; zero-quota mix returns empty with
+    the _epoch column present."""
+    import pytest as _pytest
+    out = CU.mix_to_target(
+        _mix_df(spark), "lang", {"de": 1.0}, 5, max_epochs=1.0
+    )
+    assert set(r.lang for r in out.collect()) <= {"de"}
+    with _pytest.raises(ValueError, match="_epoch"):
+        CU.mix_to_target(
+            _mix_df(spark).withColumn("_epoch", F.lit(1)), "lang", {"de": 1.0}, 5
+        )
+    with _pytest.raises(ValueError, match="exact=True"):
+        CU.mix_to_target(
+            _mix_df(spark), "lang", {"de": 1.0}, 5, weight_col="n_toks", exact=True
+        )

@@ -856,3 +856,224 @@ def dsir_select(
     return ranked.withColumn("selected", F.col("_dsir_rank") <= k).drop(
         "_key", "_dsir_rank"
     )
+
+
+def _water_fill(
+    avail: dict[str, float],
+    shares: dict[str, float],
+    budget: float,
+    max_epochs: float,
+    on_infeasible: str = "redistribute",
+) -> dict[str, float]:
+    """Per-group budget allocation for ``mix_to_target`` (driver-side,
+    <= n_groups rows — metadata-scale by construction).
+
+    Classic water-filling: give every group ``budget * share``, clip
+    any group that would exceed its capacity (``max_epochs * avail``)
+    at that capacity, and redistribute the clipped surplus over the
+    remaining groups proportionally to their shares; repeat until no
+    new group clips (terminates in <= n_groups passes, each pass
+    permanently retires at least one group).
+
+    Policies: ``"error"`` raises on the FIRST group whose target
+    exceeds capacity (strict mixes); ``"redistribute"`` (default)
+    water-fills and raises only if the budget is unreachable even with
+    every group at capacity; ``"clip"`` does a single proportional
+    pass with clipping and NO redistribution — the output then
+    undershoots the budget, which is the documented audit mode for
+    "how close can this corpus get to the target mix".
+    """
+    if on_infeasible not in ("error", "redistribute", "clip"):
+        raise ValueError(f"unknown on_infeasible policy: {on_infeasible!r}")
+    cap = {g: max_epochs * avail.get(g, 0.0) for g in shares}
+    want = {g: 0.0 for g in shares}
+    share_sum = sum(shares.values())
+    if share_sum <= 0:
+        raise ValueError("mix_to_target: target shares sum to zero")
+    if on_infeasible == "error":
+        for g, s in shares.items():
+            w = budget * s / share_sum
+            if w > cap[g] + 1e-6:
+                raise ValueError(
+                    f"mix_to_target: group {g!r} needs {w:.1f} units but has "
+                    f"capacity {cap[g]:.1f} (avail * max_epochs={max_epochs}) — "
+                    "raise max_epochs to allow upsampling, or use "
+                    "on_infeasible='redistribute'/'clip'"
+                )
+            want[g] = w
+        return want
+    if on_infeasible == "clip":
+        for g, s in shares.items():
+            want[g] = min(budget * s / share_sum, cap[g])
+        return want
+    active = {g for g, s in shares.items() if s > 0}
+    fixed = 0.0
+    while active:
+        active_share = sum(shares[g] for g in active)
+        over = []
+        for g in active:
+            want[g] = (budget - fixed) * shares[g] / active_share
+            if want[g] > cap[g] + 1e-9:
+                over.append(g)
+        if not over:
+            return want
+        for g in over:
+            want[g] = cap[g]
+            fixed += cap[g]
+            active.discard(g)
+    if fixed < budget - 1e-6:
+        raise ValueError(
+            f"mix_to_target: budget {budget:.1f} unreachable — every group is "
+            f"at capacity and only {fixed:.1f} units are attainable; raise "
+            "max_epochs (upsampling) or lower the budget "
+            "(on_infeasible='clip' accepts the shortfall)"
+        )
+    return want
+
+
+def mix_to_target(
+    df: DataFrame,
+    group_col: str,
+    targets: dict[str, float],
+    budget: int,
+    id_col: str = "doc_id",
+    weight_col: str | None = None,
+    max_epochs: float = 1.0,
+    on_infeasible: str = "redistribute",
+    exact: bool = False,
+    sub_buckets: int = 64,
+) -> DataFrame:
+    """Data-mixture construction: select (and optionally repeat) rows
+    so the output matches the ``targets`` mixture over ``group_col`` at
+    a total size of ``budget`` units — rows by default, or token/char
+    units when ``weight_col`` names a per-row weight (e.g. ``n_chars``).
+    The mixture step of an LLM training pipeline (domain/language
+    reweighting a la DoReMi, arXiv:2305.10429, and the sampling-
+    proportion tables of the LLaMA/Pile reports), complementing
+    ``rebalance_groups`` (uniform per-group CAP) with arbitrary target
+    proportions, token budgets, and >1-epoch upsampling.
+
+    Each selected row carries an ``_epoch`` column (0-based repeat
+    index): a group needing 2.3 epochs emits every row with _epoch 0
+    and 1, plus a deterministic ~30% subset with _epoch 2. Selection is
+    md5-hash-based (never rand()): the same subset on every run and
+    every engine. Fractional-epoch selection is rate-based (binomial
+    ±sqrt accuracy) by default; ``exact=True`` (row units only) selects
+    exactly round(want) rows per group via the skew-proof two-phase
+    per-group top-n used by ``deterministic_sample`` — phase-1 ranks
+    within (group, hash sub-bucket) so a power-law hot group never
+    sorts in one window task.
+
+    Groups missing from ``targets`` (or with target 0) are dropped;
+    groups in ``targets`` but absent from ``df`` have zero capacity and
+    follow ``on_infeasible`` (see ``_water_fill``). Per-group budgets
+    come from driver-side water-filling over the group-count aggregate
+    (n_groups rows — metadata-scale); the resulting quota frame is
+    force-broadcast (bounded by construction, the DSIR weight-frame
+    precedent: Catalyst's size estimate over an aggregate is unreliable
+    but the TRUE size is <= n_groups rows).
+
+    Scale: one partial-agg groupBy for capacities, one broadcast join,
+    one explode sized by the OUTPUT (upsampled) volume — no all-pairs,
+    no hot-group window in the default rate mode.
+    """
+    if budget <= 0:
+        raise ValueError(f"mix_to_target: budget must be positive, got {budget}")
+    if max_epochs <= 0:
+        raise ValueError(f"mix_to_target: max_epochs must be positive, got {max_epochs}")
+    if any(v < 0 for v in targets.values()):
+        raise ValueError("mix_to_target: negative target weights")
+    if exact and weight_col is not None:
+        raise ValueError(
+            "mix_to_target: exact=True selects exact ROW counts and is "
+            "incompatible with weight_col budgets (a row is indivisible in "
+            "weight units) — use the default rate mode"
+        )
+    helpers = (
+        "_epoch", "__mx_full", "__mx_rate", "__mx_n", "__mx_u",
+        "__mx_sub", "__mx_r1", "__mx_r2",
+    )
+    reserve_helper_cols("mix_to_target", helpers, df)
+    shares = {g: float(w) for g, w in targets.items() if w > 0}
+    unit = F.count(F.lit(1)) if weight_col is None else F.sum(F.col(weight_col))
+    avail_rows = (
+        df.groupBy(group_col).agg(unit.cast("double").alias("_avail")).collect()
+    )
+    avail = {r[group_col]: float(r["_avail"] or 0.0) for r in avail_rows}
+    want = _water_fill(avail, shares, float(budget), float(max_epochs), on_infeasible)
+    quota = []
+    for g, w in want.items():
+        a = avail.get(g, 0.0)
+        if a <= 0 or w <= 0:
+            continue
+        if exact:
+            want_n = int(round(w))
+            full, frac_n = divmod(want_n, int(a))
+            quota.append((g, full, 0.0, frac_n))
+        else:
+            epochs = w / a
+            full = int(epochs)
+            quota.append((g, full, epochs - full, 0))
+    if not quota:
+        return df.limit(0).withColumn("_epoch", F.lit(0))
+    spark = df.sparkSession
+    # infer the group column's type from the actual key values, then
+    # cast to the input's exact dtype so the equi-join never falls back
+    # to a cross-type comparison
+    qdf = (
+        spark.createDataFrame(quota, [group_col, "__mx_full", "__mx_rate", "__mx_n"])
+        .select(
+            F.col(group_col).cast(dict(df.dtypes)[group_col]),
+            F.col("__mx_full").cast("int"),
+            F.col("__mx_rate").cast("double"),
+            F.col("__mx_n").cast("int"),
+        )
+    )
+    joined = df.join(F.broadcast(qdf), group_col)
+    # NULL/empty-safe epoch list: sequence(0, -1) would step BACKWARDS
+    # ([0, -1]), so the zero-full-epochs case must short-circuit
+    full_arr = F.when(
+        F.col("__mx_full") >= 1,
+        F.sequence(F.lit(0), F.col("__mx_full") - 1),
+    ).otherwise(F.array().cast("array<int>"))
+    if exact:
+        h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":mix")))
+        sub = F.conv(F.substring(h, 1, 4), 16, 10).cast("int") % sub_buckets
+        w1 = Window.partitionBy(group_col, "__mx_sub").orderBy("__mx_u")
+        w2 = Window.partitionBy(group_col).orderBy("__mx_u")
+        marked = (
+            joined.withColumn("__mx_u", h)
+            .withColumn("__mx_sub", sub)
+            .withColumn("__mx_r1", F.row_number().over(w1))
+        )
+        # phase-1 prune: only per-(group, sub-bucket) top-n reach the
+        # per-group ranking — <= sub_buckets * n rows per group
+        pruned = marked.where(F.col("__mx_r1") <= F.col("__mx_n")).withColumn(
+            "__mx_r2", F.row_number().over(w2)
+        )
+        frac_sel = F.col("__mx_r2") <= F.col("__mx_n")
+        fractional = (
+            pruned.where(frac_sel)
+            .withColumn("_epoch", F.col("__mx_full"))
+            .drop("__mx_u", "__mx_sub", "__mx_r1", "__mx_r2")
+        )
+        full_part = joined.withColumn("_epoch", F.explode(full_arr))
+        out = full_part.unionByName(fractional)
+        return out.drop("__mx_full", "__mx_rate", "__mx_n")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":mix"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(2**32))
+    )
+    epochs_arr = F.when(
+        u < F.col("__mx_rate"), F.concat(full_arr, F.array(F.col("__mx_full")))
+    ).otherwise(full_arr)
+    return (
+        joined.withColumn("_epoch", F.explode(epochs_arr))
+        .drop("__mx_full", "__mx_rate", "__mx_n")
+    )
