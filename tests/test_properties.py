@@ -1714,3 +1714,52 @@ def test_duplicated_spans_matches_naive(spark, case):
         for r in duplicated_spans(df, k=k).collect()
     }
     assert got == _naive_spans(docs, k)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5000), st.sampled_from(["en", "de", "fr"])),
+        min_size=4,
+        max_size=24,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(5, 40),
+    st.sampled_from([1.0, 2.0, 3.5]),
+)
+@settings(**SETTINGS)
+def test_mix_to_target_matches_model(spark, rows, budget, max_epochs):
+    """Exact-mode mixture vs an independent python model: per-group
+    output counts equal round(water-filled want), decomposed as
+    full-epoch copies (every doc) + a fractional remainder subset; the
+    base (_epoch 0..full-1) selection contains EVERY doc of the group."""
+    from yaetos_spark.operators.curation import _water_fill, mix_to_target
+
+    targets = {"en": 0.5, "de": 0.3, "fr": 0.2}
+    avail = {}
+    for _, g in rows:
+        avail[g] = avail.get(g, 0) + 1
+    try:
+        want = _water_fill(
+            {g: float(n) for g, n in avail.items()},
+            targets, float(budget), max_epochs, "redistribute",
+        )
+    except ValueError:
+        return  # unreachable budget: the operator raises identically
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = mix_to_target(
+        df, "lang", targets, budget, max_epochs=max_epochs, exact=True
+    ).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r.lang, []).append((r.doc_id, r._epoch))
+    for g, w in want.items():
+        if g not in avail:
+            continue
+        want_n = int(round(w))
+        full, rem = divmod(want_n, avail[g])
+        emitted = got.get(g, [])
+        assert len(emitted) == want_n, (g, want_n, len(emitted))
+        group_ids = {i for i, gg in rows if gg == g}
+        for e in range(full):
+            assert {i for i, ep in emitted if ep == e} == group_ids
+        assert len([1 for _, ep in emitted if ep == full]) == rem
