@@ -1710,3 +1710,17 @@ def test_mix_to_target_drops_untargeted_and_guards(spark):
         CU.mix_to_target(
             _mix_df(spark), "lang", {"de": 1.0}, 5, weight_col="n_toks", exact=True
         )
+
+
+def test_mix_to_target_null_group_contract(spark):
+    """NULL group rows are dropped (untargetable); a None target key
+    refuses loudly instead of silently undershooting the budget (the
+    equi-join could never match it)."""
+    import pytest as _pytest
+    df = spark.createDataFrame(
+        [(1, "en"), (2, "en"), (3, None), (4, "fr")], "doc_id bigint, lang string"
+    )
+    out = CU.mix_to_target(df, "lang", {"en": 1.0}, 2, exact=True)
+    assert sorted(r.doc_id for r in out.collect()) == [1, 2]
+    with _pytest.raises(ValueError, match="coalesce"):
+        CU.mix_to_target(df, "lang", {None: 0.5, "en": 0.5}, 2)

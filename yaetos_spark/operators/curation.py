@@ -983,6 +983,15 @@ def mix_to_target(
         raise ValueError(f"mix_to_target: max_epochs must be positive, got {max_epochs}")
     if any(v < 0 for v in targets.values()):
         raise ValueError("mix_to_target: negative target weights")
+    if None in targets:
+        # a NULL target would water-fill real budget against the NULL
+        # group's count, then the equi-join (NULL never equals NULL)
+        # would drop every row — a silent shortfall; refuse loudly.
+        # NULL-group rows are untargetable and always dropped.
+        raise ValueError(
+            "mix_to_target: None is not a targetable group (NULL group "
+            "rows are dropped) — coalesce the group column first"
+        )
     if exact and weight_col is not None:
         raise ValueError(
             "mix_to_target: exact=True selects exact ROW counts and is "
