@@ -444,3 +444,41 @@ def test_cli_mix_corpus_job(spark, tmp_path):
     docs = spark.read.parquet(str(src))
     with _pytest.raises(ValueError, match="targets"):
         MixCorpusJob(params={"budget": 10}).transform(docs)
+
+
+def test_cli_bpe_tokenize_job(spark, tmp_path):
+    """The bpe_tokenize_documents registry pattern end-to-end: learn
+    merges from the input corpus through the CLI and tokenize it;
+    keep=merges emits the ordered merge table."""
+    import pandas as pd
+
+    from jobs.examples.bpe_tokenize_job import BpeTokenizeJob
+
+    rows = [(i, "low low low lower newest newest newest widest") for i in range(3)]
+    src = tmp_path / "docs.parquet"
+    pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(src)
+
+    reg_path = tmp_path / "reg.yml"
+    reg_path.write_text(yaml.safe_dump({
+        "common_params": {"all_mode_params": {"base_path": str(tmp_path / "out"), "mode": "dev"}},
+        "jobs": {
+            "bpe_tokenize_documents": {
+                "py_job": "jobs.examples.bpe_tokenize_job",
+                "inputs": {"documents": {"path": str(src), "type": "parquet"}},
+                "output": {"path": "{{base_path}}/bpe/{{now}}", "type": "parquet"},
+                "n_merges": 4,
+            }
+        },
+    }))
+    assert cli.main(["--job_name=bpe_tokenize_documents", f"--registry={reg_path}"]) == 0
+    out_dirs = list((tmp_path / "out" / "bpe").iterdir())
+    got = spark.read.parquet(str(out_dirs[0]))
+    assert got.count() == 3 and "bpe_tokens" in got.columns
+    toks = got.collect()[0].bpe_tokens
+    assert "est</w>" in toks  # the newest/widest family unit
+
+    docs = spark.read.parquet(str(src))
+    merges = BpeTokenizeJob(params={"keep": "merges", "n_merges": 4}).transform(docs)
+    assert [tuple(r) for r in merges.collect()] == [
+        (0, "e", "s"), (1, "es", "t"), (2, "est", "</w>"), (3, "l", "o")
+    ]
