@@ -482,3 +482,45 @@ def test_cli_bpe_tokenize_job(spark, tmp_path):
     assert [tuple(r) for r in merges.collect()] == [
         (0, "e", "s"), (1, "es", "t"), (2, "est", "</w>"), (3, "l", "o")
     ]
+
+
+def test_cli_charlm_filter_job(spark, tmp_path):
+    """The charlm_filter_documents registry pattern end-to-end: fit on
+    the en reference rows through the CLI, drop the gibberish doc,
+    keep the fluent one; keep=scores returns every doc scored."""
+    import pandas as pd
+
+    from jobs.examples.charlm_filter_job import CharlmFilterJob
+
+    rows = [
+        (1, "the cat sat on the mat", "en"),
+        (2, "the dog sat on the log", "en"),
+        (3, "the cat sat on a mat", "xx"),
+        (4, "zzqx vvkk jjww qqpp zzxx wwyy", "xx"),
+    ]
+    src = tmp_path / "docs.parquet"
+    pd.DataFrame(rows, columns=["doc_id", "text", "lang"]).to_parquet(src)
+
+    reg_path = tmp_path / "reg.yml"
+    reg_path.write_text(yaml.safe_dump({
+        "common_params": {"all_mode_params": {"base_path": str(tmp_path / "out"), "mode": "dev"}},
+        "jobs": {
+            "charlm_filter_documents": {
+                "py_job": "jobs.examples.charlm_filter_job",
+                "inputs": {"documents": {"path": str(src), "type": "parquet"}},
+                "output": {"path": "{{base_path}}/lm/{{now}}", "type": "parquet"},
+                "ref_lang": "en",
+                "max_perplexity": 8.0,
+            }
+        },
+    }))
+    assert cli.main(["--job_name=charlm_filter_documents", f"--registry={reg_path}"]) == 0
+    out_dirs = list((tmp_path / "out" / "lm").iterdir())
+    got = spark.read.parquet(str(out_dirs[0]))
+    kept = {r.doc_id for r in got.collect()}
+    assert 3 in kept and 4 not in kept
+    assert "perplexity" in got.columns
+
+    docs = spark.read.parquet(str(src))
+    scores = CharlmFilterJob(params={"keep": "scores", "ref_lang": "en"}).transform(docs)
+    assert scores.count() == 4

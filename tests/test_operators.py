@@ -1724,3 +1724,75 @@ def test_mix_to_target_null_group_contract(spark):
     assert sorted(r.doc_id for r in out.collect()) == [1, 2]
     with _pytest.raises(ValueError, match="coalesce"):
         CU.mix_to_target(df, "lang", {None: 0.5, "en": 0.5}, 2)
+
+
+def _charlm_ref_model(ref_texts, n=3, alpha=0.1):
+    """Independent python reference for charlm_fit_score."""
+    import re
+    from collections import Counter
+
+    B = "\x01"
+    ng, ctx, chars = Counter(), Counter(), set()
+    norm = [re.sub(r"\s+", " ", (t or "").lower()).strip() for t in ref_texts]
+    for t in norm:
+        p = B * (n - 1) + t
+        for i in range(len(t)):
+            g = p[i : i + n]
+            ng[g] += 1
+            ctx[g[: n - 1]] += 1
+            chars.add(g[n - 1])
+    v = len(chars) + 1
+
+    def score(text):
+        t = re.sub(r"\s+", " ", (text or "").lower()).strip()
+        if not t:
+            return None
+        p = B * (n - 1) + t
+        s = sum(
+            math.log(
+                (ng.get(p[i : i + n], 0) + alpha)
+                / (ctx.get(p[i : i + n - 1], 0) + alpha * v)
+            )
+            for i in range(len(t))
+        )
+        return round(s / len(t), 6)
+
+    return score
+
+
+def test_charlm_fluency_ordering_and_contracts(spark):
+    """Reference-like text scores lower perplexity than gibberish;
+    NULL/whitespace docs surface with n_scored=0 and NULL scores; the
+    model-size guard raises with sizing guidance."""
+    import pytest as _pytest
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat", 1), (2, "the dog sat on the log", 1),
+         (3, "the cat sat on the mat again", 0), (4, "zzqx vvkk jjww qqpp", 0),
+         (5, None, 0), (6, "   ", 0)],
+        "doc_id bigint, text string, is_ref int",
+    )
+    out = {r.doc_id: r for r in TX.charlm_fit_score(docs, F.col("is_ref") == 1).collect()}
+    assert out[3].perplexity < out[4].perplexity
+    assert out[5].n_scored == 0 and out[5].perplexity is None
+    assert out[6].n_scored == 0 and out[6].avg_logp is None
+    with _pytest.raises(ValueError, match="max_model_rows"):
+        TX.charlm_fit_score(docs, F.col("is_ref") == 1, max_model_rows=2)
+
+
+def test_charlm_matches_python_model(spark):
+    """Value-exact vs the independent python model (exact integer
+    counts -> identical IEEE ratios on both sides, round-6 grid)."""
+    ref = ["the cat sat on the mat", "the dog sat on the log"]
+    pool = ["the cat sat on the mat again", "zzqx vvkk jjww", "sat on a log"]
+    rows = [(i, t, 1) for i, t in enumerate(ref)] + [
+        (100 + i, t, 0) for i, t in enumerate(pool)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, is_ref int")
+    score = _charlm_ref_model(ref)
+    got = {r.doc_id: r.avg_logp for r in
+           TX.charlm_fit_score(docs, F.col("is_ref") == 1).collect()}
+    for i, t in enumerate(pool):
+        assert got[100 + i] == score(t), t
+    for i, t in enumerate(ref):
+        assert got[i] == score(t), t

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from yaetos_spark.functions.hashing import normalize_text, stable_fingerprint
 from yaetos_spark.functions.hof import let as _let
+from yaetos_spark.operators._guards import reserve_helper_cols
 
 # Marker stopwords per language for the n-gram-free heuristic language
 # ID. Real pipelines use a trained model; the heuristic is the always-
@@ -570,3 +571,136 @@ def winnow_fingerprints_rolling(
             yield pd.DataFrame({id_col: ids, "fingerprint": fps})
 
     return df.where(F.length(F.col(text_col)) >= k).mapInPandas(gen, out_schema)
+
+
+_LM_BOUNDARY = "\x01"
+
+
+def charlm_fit_score(
+    df: DataFrame,
+    reference: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    alpha: float = 0.1,
+    max_model_rows: int = 500_000,
+    round_to: int = 6,
+) -> DataFrame:
+    """CCNet-style LM fluency scoring (Wenzek et al. 2019,
+    arXiv:1911.00359 §4.3): fit a character ``n``-gram language model
+    on the rows matching ``reference`` (the high-quality subset — CCNet
+    uses Wikipedia; here any boolean column works) and score EVERY
+    document's perplexity under it. Low perplexity = fluent,
+    reference-like text; the classic absolute-quality filter,
+    complementing ``curation.dsir_logweights`` (RELATIVE target-vs-pool
+    importance) and ``curation.gopher_filter`` (rule heuristics).
+
+    The model is add-``alpha`` smoothed:
+
+        P(c | ctx) = (C(ctx+c) + alpha) / (C(ctx) + alpha * V)
+
+    over characters of whitespace-collapsed, lowercased text, with
+    ``n-1`` boundary markers so the first characters condition on
+    document start; V = distinct reference characters + 1 (the unseen
+    pseudo-char, so OOV characters get mass). Counts are exact
+    integers and the per-char mean log-prob is rounded to ``round_to``
+    decimals, so scores are engine-portable (the DSIR precedent).
+
+    Returns ``(id_col, n_scored, avg_logp, perplexity)`` for EVERY
+    input document; docs whose normalized text is empty (NULL/
+    whitespace-only) keep n_scored=0 with NULL scores — downstream
+    filters must see them to reject them.
+
+    Scale: character n-grams over a natural alphabet are BOUNDED by
+    |alphabet|^n, not by corpus size — so unlike DSIR's open-ended
+    word-gram space no hashing is needed: the model is a groupBy over
+    at most that many rows, guarded by ``max_model_rows`` (a unicode-
+    heavy corpus at n=3 can exceed memory-safe broadcast size; the
+    guard raises with sizing guidance instead of silently degrading).
+    The corpus-scale event rows are built ONCE and persisted (consumed
+    by fit and score); both model frames are force-broadcast (bounded
+    by construction after the guard); the only full shuffle is the
+    per-doc score sum, which moves (id, logp), not text.
+    """
+    if n < 2:
+        raise ValueError(f"charlm_fit_score: n must be >= 2, got {n}")
+    reserve_helper_cols(
+        "charlm_fit_score",
+        ("_is_ref", "_padded", "_gram", "_ctx", "_c_ng", "_c_ctx",
+         "_n_scored", "_sum_logp"),
+        df,
+    )
+    norm = F.trim(
+        F.regexp_replace(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+", " ")
+    )
+    padded = F.concat(F.lit(_LM_BOUNDARY * (n - 1)), norm)
+    # one prediction event per REAL character: (ctx, next) n-grams of
+    # the padded string; whole-stage-codegen substring loop, no UDF
+    events = df.select(
+        F.col(id_col),
+        reference.cast("int").alias("_is_ref"),
+        F.explode(
+            _let(
+                padded,
+                # empty normalized text -> zero events, via the
+                # when-guard (sequence(1, 0) is an illegal range, the
+                # _ngram_strings pattern)
+                lambda p: F.when(
+                    F.length(p) - (n - 1) >= 1,
+                    F.transform(
+                        F.sequence(F.lit(1), F.length(p) - (n - 1), F.lit(1)),
+                        lambda i: F.substring(p, i, n),
+                    ),
+                ).otherwise(F.array().cast("array<string>")),
+            )
+        ).alias("_gram"),
+    ).persist()  # consumed twice: model fit + per-doc scoring
+    ref_events = events.where(F.col("_is_ref") == 1)
+    ngram_counts = ref_events.groupBy("_gram").agg(
+        F.count(F.lit(1)).alias("_c_ng")
+    )
+    n_model = ngram_counts.count()
+    if n_model > max_model_rows:
+        events.unpersist()
+        raise ValueError(
+            f"charlm_fit_score: reference yields {n_model} distinct "
+            f"{n}-grams > max_model_rows={max_model_rows} — the model frame "
+            "must stay broadcast-safe; normalize/restrict the alphabet, "
+            "lower n, or raise the cap if the driver can hold it"
+        )
+    ctx_counts = ref_events.groupBy(
+        F.substring(F.col("_gram"), 1, n - 1).alias("_ctx")
+    ).agg(F.count(F.lit(1)).alias("_c_ctx"))
+    v = (
+        ref_events.select(F.substring(F.col("_gram"), n, 1).alias("c"))
+        .agg(F.countDistinct("c").alias("v"))
+        .collect()[0]["v"]
+    ) + 1  # +1: the unseen pseudo-character
+    logp = F.log(
+        (F.coalesce(F.col("_c_ng"), F.lit(0)) + F.lit(float(alpha)))
+        / (F.coalesce(F.col("_c_ctx"), F.lit(0)) + F.lit(float(alpha * v)))
+    )
+    scored = (
+        events.withColumn("_ctx", F.substring(F.col("_gram"), 1, n - 1))
+        .join(F.broadcast(ngram_counts), "_gram", "left")
+        .join(F.broadcast(ctx_counts), "_ctx", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("_n_scored"),
+            F.sum(logp).alias("_sum_logp"),
+        )
+    )
+    # left join back to the full input: event-less (empty-text) docs
+    # must surface with NULL scores, not vanish (the redundancy_scores
+    # contract)
+    avg_logp = F.round(F.col("_sum_logp") / F.col("_n_scored"), round_to)
+    return (
+        df.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("_n_scored"), F.lit(0)).alias("n_scored"),
+            avg_logp.alias("avg_logp"),
+            F.round(F.exp(-avg_logp), round_to).alias("perplexity"),
+        )
+    )
