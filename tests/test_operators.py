@@ -1796,3 +1796,15 @@ def test_charlm_matches_python_model(spark):
         assert got[100 + i] == score(t), t
     for i, t in enumerate(ref):
         assert got[i] == score(t), t
+
+
+def test_charlm_empty_reference_raises(spark):
+    """An empty reference subset must refuse loudly, not hand every
+    doc the same degenerate perplexity-1 score."""
+    import pytest as _pytest
+
+    docs = spark.createDataFrame(
+        [(1, "some text", 0), (2, None, 1)], "doc_id bigint, text string, is_ref int"
+    )
+    with _pytest.raises(ValueError, match="reference subset"):
+        TX.charlm_fit_score(docs, F.col("is_ref") == 1)

@@ -671,11 +671,22 @@ def charlm_fit_score(
     ctx_counts = ref_events.groupBy(
         F.substring(F.col("_gram"), 1, n - 1).alias("_ctx")
     ).agg(F.count(F.lit(1)).alias("_c_ctx"))
-    v = (
+    n_ref_chars = (
         ref_events.select(F.substring(F.col("_gram"), n, 1).alias("c"))
         .agg(F.countDistinct("c").alias("v"))
         .collect()[0]["v"]
-    ) + 1  # +1: the unseen pseudo-character
+    )
+    if n_ref_chars == 0:
+        # an empty reference subset would degenerate to log(1)=0 for
+        # every event (uniform "perplexity 1" for the whole corpus) —
+        # meaningless scores that LOOK fine downstream; refuse loudly
+        events.unpersist()
+        raise ValueError(
+            "charlm_fit_score: the reference subset matched no rows with "
+            "non-empty text — an empty model scores every document "
+            "identically; check the reference condition"
+        )
+    v = n_ref_chars + 1  # +1: the unseen pseudo-character
     logp = F.log(
         (F.coalesce(F.col("_c_ng"), F.lit(0)) + F.lit(float(alpha)))
         / (F.coalesce(F.col("_c_ctx"), F.lit(0)) + F.lit(float(alpha * v)))

@@ -98,6 +98,13 @@ def bpe_train(
     end-of-word symbol (the paper's scheme), so learned units never
     cross word boundaries and word-final units stay distinct from
     word-internal ones.
+
+    Unicode honesty note: the character split (Spark ``split(col,
+    '')``) operates on UTF-16 code units, so astral-plane characters
+    (emoji, rare CJK) split into surrogate halves that only reunite if
+    training merges them — same base-symbol granularity caveat as any
+    non-byte-level BPE. Byte-level alphabets (GPT-2 style) sidestep
+    this at the cost of the paper's semantics; out of scope here.
     """
     if n_merges < 0:
         raise ValueError(f"bpe_train: n_merges must be >= 0, got {n_merges}")
