@@ -1808,3 +1808,28 @@ def test_charlm_empty_reference_raises(spark):
     )
     with _pytest.raises(ValueError, match="reference subset"):
         TX.charlm_fit_score(docs, F.col("is_ref") == 1)
+
+
+def test_shuffle_shards_deterministic_permutation(spark):
+    """shuffle_shards: output is a permutation of the input, identical
+    across reruns, different under another salt, evenly sharded, and
+    collision-guarded."""
+    import pytest as _pytest
+
+    from yaetos_spark.operators.layout import shuffle_shards
+
+    df = spark.range(400).withColumnRenamed("id", "doc_id")
+    out = shuffle_shards(df, n_shards=4)
+    a = [r.doc_id for r in out.collect()]
+    assert sorted(a) == list(range(400))            # permutation
+    assert a != list(range(400))                    # actually shuffled
+    b = [r.doc_id for r in shuffle_shards(df, n_shards=4).collect()]
+    assert a == b                                   # reproducible
+    c = [r.doc_id for r in shuffle_shards(df, n_shards=4, salt="e1").collect()]
+    assert a != c and sorted(c) == list(range(400))  # salted re-permute
+    sizes = out.rdd.glom().map(len).collect()
+    assert len(sizes) == 4 and max(sizes) - min(sizes) <= 100  # sampled ranges, roughly even
+    with _pytest.raises(ValueError, match="_shard_pos"):
+        shuffle_shards(df.withColumn("_shard_pos", F.lit(1)))
+    with _pytest.raises(ValueError, match="n_shards"):
+        shuffle_shards(df, n_shards=0)

@@ -96,3 +96,42 @@ def zorder_layout(
     else:
         keyed = keyed.repartitionByRange(key)
     return keyed.sortWithinPartitions(key).drop(key)
+
+
+def shuffle_shards(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_shards: int = 64,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic pseudo-random global ORDER for training-shard
+    writes: every row gets a position by md5 of its id, rows are
+    range-partitioned into ``n_shards`` on that position, and sorted
+    within each shard — so shard files read back-to-back yield one
+    well-shuffled, REPRODUCIBLE sequence (same corpus + same salt =
+    identical shard contents and order, on any cluster).
+
+    The shuffle-before-training step of a data pipeline: sequential
+    epoch readers must not see documents in ingestion order (source/
+    time correlations become curriculum artifacts), and rand()-based
+    shuffles are neither reproducible nor stable across retries of a
+    failed write. ``salt`` varies the permutation (e.g. per epoch:
+    salt="epoch1") without touching the data.
+
+    Scale: one repartitionByRange shuffle (range boundaries from
+    Spark's reservoir sample of the hash — uniform by construction, so
+    shards come out even) + an in-partition sort; no global sort, no
+    driver collect. Write with ``writers`` using the returned frame's
+    partitioning as-is (repartition afterwards would destroy the
+    order).
+    """
+    if n_shards < 1:
+        raise ValueError(f"shuffle_shards: n_shards must be >= 1, got {n_shards}")
+    reserve_helper_cols("shuffle_shards", ("_shard_pos",), df)
+    pos = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt)))
+    return (
+        df.withColumn("_shard_pos", pos)
+        .repartitionByRange(n_shards, "_shard_pos")
+        .sortWithinPartitions("_shard_pos")
+        .drop("_shard_pos")
+    )
