@@ -993,3 +993,25 @@ def test_materialize_fully_runs_pruned_joins(spark):
     assert materialize_fully(joined) == 100
     assert materialize_fully(joined.filter("k < 10")) == 10
     assert materialize_fully(joined.filter("k < 0")) == 0
+
+
+def test_registry_corpus_assembly_chain_end_to_end(spark):
+    """The shipped conf/jobs.yml training-corpus chain: dedup output
+    remixed to exact target language proportions, BPE-tokenized, and
+    shard-shuffled, all via {{latest}} + from: chaining."""
+    import glob
+    import shutil
+
+    from yaetos_spark.cli import main
+
+    shutil.rmtree("/tmp/yaetos_spark_out", ignore_errors=True)
+    assert main(["--job_name=shard_corpus", "--dependencies"]) == 0
+    mixed = spark.read.parquet(glob.glob("/tmp/yaetos_spark_out/corpus_mix/*")[0])
+    counts = {r["lang"]: r["count"] for r in mixed.groupBy("lang").count().collect()}
+    # budget 150 at targets .4/.2/.2/.1/.1, exact mode
+    assert counts == {"en": 60, "fr": 30, "es": 30, "de": 15, "zh": 15}
+    shards = spark.read.parquet(glob.glob("/tmp/yaetos_spark_out/corpus_shards/*")[0])
+    assert shards.count() == 150 and "bpe_tokens" in shards.columns
+    assert "_epoch" in shards.columns  # mixture provenance survives the chain
+    files = glob.glob(glob.glob("/tmp/yaetos_spark_out/corpus_shards/*")[0] + "/part-*")
+    assert len(files) == 8
