@@ -1706,10 +1706,50 @@ def test_mix_to_target_drops_untargeted_and_guards(spark):
         CU.mix_to_target(
             _mix_df(spark).withColumn("_epoch", F.lit(1)), "lang", {"de": 1.0}, 5
         )
-    with _pytest.raises(ValueError, match="exact=True"):
-        CU.mix_to_target(
-            _mix_df(spark), "lang", {"de": 1.0}, 5, weight_col="n_toks", exact=True
+
+
+def test_mix_to_target_exact_weight_budget(spark):
+    """exact=True + weight_col: greedy hash-prefix weight selection —
+    identical to a pure-python model (same md5 order, same water-fill),
+    per-group selected weight within one doc of the target, full
+    epochs exact."""
+    import hashlib
+
+    rows = [(i, "en" if i < 60 else "fr", 5 + (i * 7) % 13) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string, n_toks bigint")
+    targets, budget = {"en": 0.6, "fr": 0.4}, 500
+    out = CU.mix_to_target(
+        df, "lang", targets, budget, weight_col="n_toks", max_epochs=2.0, exact=True
+    )
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.lang, []).append((r.doc_id, r._epoch, r.n_toks))
+    avail = {}
+    for _, g, w in rows:
+        avail[g] = avail.get(g, 0) + w
+    want = CU._water_fill(
+        {k: float(v) for k, v in avail.items()}, targets, float(budget), 2.0
+    )
+    for g in want:
+        a = avail[g]
+        full = int(want[g] / a)
+        fw = want[g] - full * a
+        members = sorted(
+            (hashlib.md5(f"{i}:mix".encode()).hexdigest(), i, w)
+            for i, gg, w in rows if gg == g
         )
+        sel, acc = [], 0.0
+        for _h, i, w in members:
+            if acc < fw:
+                sel.append(i)
+                acc += w
+            else:
+                break
+        assert len(got[g]) == full * len(members) + len(sel)
+        assert sorted(i for i, e, _w in got[g] if e == full) == sorted(sel)
+        gw = sum(w for _i, _e, w in got[g])
+        max_doc = max(w for _h, _i, w in members)
+        assert want[g] <= gw < want[g] + max_doc  # crossing-doc contract
 
 
 def test_mix_to_target_null_group_contract(spark):

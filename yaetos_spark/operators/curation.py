@@ -957,12 +957,22 @@ def mix_to_target(
     index): a group needing 2.3 epochs emits every row with _epoch 0
     and 1, plus a deterministic ~30% subset with _epoch 2. Selection is
     md5-hash-based (never rand()): the same subset on every run and
-    every engine. Fractional-epoch selection is rate-based (binomial
-    ±sqrt accuracy) by default; ``exact=True`` (row units only) selects
-    exactly round(want) rows per group via the skew-proof two-phase
-    per-group top-n used by ``deterministic_sample`` — phase-1 ranks
-    within (group, hash sub-bucket) so a power-law hot group never
-    sorts in one window task.
+    every engine. Three fractional-epoch modes:
+
+    - default (rate): hash-thresholded Bernoulli — binomial ±sqrt
+      accuracy, ZERO extra shuffles.
+    - ``exact=True``, row units: exactly round(want) rows per group via
+      the skew-proof two-phase per-group top-n used by
+      ``deterministic_sample`` — phase-1 ranks within (group, hash
+      sub-bucket) so a power-law hot group never sorts in one window
+      task.
+    - ``exact=True`` with ``weight_col``: exact WEIGHT (e.g. token)
+      budget — greedy prefix of the hash order until the group's
+      budget is crossed (crossing doc included: per-group selected
+      weight lands in [want, want + max doc weight)), via a two-phase
+      distributed prefix sum over 256 fixed hex-range buckets of the
+      md5 key (uniform by construction, so no percentile pass and no
+      hot-group window).
 
     Groups missing from ``targets`` (or with target 0) are dropped;
     groups in ``targets`` but absent from ``df`` have zero capacity and
@@ -992,15 +1002,10 @@ def mix_to_target(
             "mix_to_target: None is not a targetable group (NULL group "
             "rows are dropped) — coalesce the group column first"
         )
-    if exact and weight_col is not None:
-        raise ValueError(
-            "mix_to_target: exact=True selects exact ROW counts and is "
-            "incompatible with weight_col budgets (a row is indivisible in "
-            "weight units) — use the default rate mode"
-        )
     helpers = (
         "_epoch", "__mx_full", "__mx_rate", "__mx_n", "__mx_u",
-        "__mx_sub", "__mx_r1", "__mx_r2",
+        "__mx_sub", "__mx_r1", "__mx_r2", "__mx_b", "__mx_off",
+        "__mx_pref", "__mx_fw",
     )
     reserve_helper_cols("mix_to_target", helpers, df)
     shares = {g: float(w) for g, w in targets.items() if w > 0}
@@ -1015,14 +1020,18 @@ def mix_to_target(
         a = avail.get(g, 0.0)
         if a <= 0 or w <= 0:
             continue
-        if exact:
+        if exact and weight_col is None:
             want_n = int(round(w))
             full, frac_n = divmod(want_n, int(a))
-            quota.append((g, full, 0.0, frac_n))
+            quota.append((g, full, 0.0, frac_n, 0.0))
+        elif exact:
+            epochs = w / a
+            full = int(epochs)
+            quota.append((g, full, 0.0, 0, w - full * a))
         else:
             epochs = w / a
             full = int(epochs)
-            quota.append((g, full, epochs - full, 0))
+            quota.append((g, full, epochs - full, 0, 0.0))
     if not quota:
         return df.limit(0).withColumn("_epoch", F.lit(0))
     spark = df.sparkSession
@@ -1030,12 +1039,15 @@ def mix_to_target(
     # cast to the input's exact dtype so the equi-join never falls back
     # to a cross-type comparison
     qdf = (
-        spark.createDataFrame(quota, [group_col, "__mx_full", "__mx_rate", "__mx_n"])
+        spark.createDataFrame(
+            quota, [group_col, "__mx_full", "__mx_rate", "__mx_n", "__mx_fw"]
+        )
         .select(
             F.col(group_col).cast(dict(df.dtypes)[group_col]),
             F.col("__mx_full").cast("int"),
             F.col("__mx_rate").cast("double"),
             F.col("__mx_n").cast("int"),
+            F.col("__mx_fw").cast("double"),
         )
     )
     joined = df.join(F.broadcast(qdf), group_col)
@@ -1045,6 +1057,61 @@ def mix_to_target(
         F.col("__mx_full") >= 1,
         F.sequence(F.lit(0), F.col("__mx_full") - 1),
     ).otherwise(F.array().cast("array<int>"))
+    drop_cols = ("__mx_full", "__mx_rate", "__mx_n", "__mx_fw")
+    if exact and weight_col is not None:
+        # exact WEIGHT budget: greedy prefix of the md5 ordering —
+        # select docs in hash order until the group's fractional
+        # weight budget is crossed (the crossing doc is included, so
+        # per-group selected weight lands in [want, want + max doc
+        # weight)). The running weight is a distributed two-phase
+        # prefix sum (the pack_sequences pattern), but with FIXED hex
+        # buckets: the first two hex chars of the md5 key are 256
+        # contiguous, uniform-by-construction ranges of the ordering
+        # key, so no percentile sampling pass is needed and no hot
+        # group ever sorts in one window task. NULL weights count as 0
+        # (a weightless doc can be selected but consumes no budget) —
+        # consistent with the F.sum capacity aggregate skipping NULLs.
+        h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":mix")))
+        marked = joined.withColumn("__mx_u", h).withColumn(
+            "__mx_b", F.substring(F.col("__mx_u"), 1, 2)
+        )
+        bsums = {
+            (r[group_col], r["__mx_b"]): r["_t"]
+            for r in marked.groupBy(group_col, "__mx_b")
+            .agg(F.sum(weight_col).cast("double").alias("_t"))
+            .collect()
+        }  # <= n_groups x 256 rows — metadata-scale
+        offset_rows = []
+        for g in {k[0] for k in bsums}:
+            acc = 0.0
+            for b in sorted(k[1] for k in bsums if k[0] == g):
+                offset_rows.append((g, b, acc))
+                acc += bsums[(g, b)] or 0.0
+        offsets = (
+            spark.createDataFrame(offset_rows, [group_col, "__mx_b", "__mx_off"])
+            .select(
+                F.col(group_col).cast(dict(df.dtypes)[group_col]),
+                F.col("__mx_b").cast("string"),
+                F.col("__mx_off").cast("double"),
+            )
+        )
+        wp = (
+            Window.partitionBy(group_col, "__mx_b")
+            .orderBy("__mx_u")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        pref = marked.join(F.broadcast(offsets), [group_col, "__mx_b"]).withColumn(
+            "__mx_pref",
+            F.col("__mx_off")
+            + F.coalesce(F.sum(F.col(weight_col).cast("double")).over(wp), F.lit(0.0)),
+        )
+        fractional = (
+            pref.where(F.col("__mx_pref") < F.col("__mx_fw"))
+            .withColumn("_epoch", F.col("__mx_full"))
+            .drop("__mx_u", "__mx_b", "__mx_off", "__mx_pref")
+        )
+        full_part = joined.withColumn("_epoch", F.explode(full_arr))
+        return full_part.unionByName(fractional).drop(*drop_cols)
     if exact:
         h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":mix")))
         sub = F.conv(F.substring(h, 1, 4), 16, 10).cast("int") % sub_buckets
@@ -1068,7 +1135,7 @@ def mix_to_target(
         )
         full_part = joined.withColumn("_epoch", F.explode(full_arr))
         out = full_part.unionByName(fractional)
-        return out.drop("__mx_full", "__mx_rate", "__mx_n")
+        return out.drop(*drop_cols)
     u = (
         F.conv(
             F.substring(
@@ -1082,7 +1149,4 @@ def mix_to_target(
     epochs_arr = F.when(
         u < F.col("__mx_rate"), F.concat(full_arr, F.array(F.col("__mx_full")))
     ).otherwise(full_arr)
-    return (
-        joined.withColumn("_epoch", F.explode(epochs_arr))
-        .drop("__mx_full", "__mx_rate", "__mx_n")
-    )
+    return joined.withColumn("_epoch", F.explode(epochs_arr)).drop(*drop_cols)
