@@ -23,8 +23,9 @@ class MixCorpusJob(SparkJob):
     ``weight_col`` (None = row budget), ``max_epochs``,
     ``on_infeasible`` ('redistribute' water-fills surplus from
     capacity-clipped groups; 'error' is strict; 'clip' accepts the
-    shortfall), ``exact`` (row budgets only: exact per-group counts via
-    the skew-proof two-phase rank)."""
+    shortfall), ``exact`` (exact per-group row counts, or — with
+    ``weight_col`` — exact token budgets via greedy hash-prefix
+    selection; default False = binomial rate mode)."""
 
     def transform(self, documents):
         targets = self.params.get("targets") or {}
