@@ -34,6 +34,18 @@ def _t(spark, sf_dir, name):
     return load_table(spark, sf_dir, name)
 
 
+def _tp(spark, sf_dir, name):
+    """Load with the adaptive starved-scan repartition (guide §2.5):
+    identical rows, but a single-row-group input is hash-spread over
+    the session's cores so the scan-stage work (filters, explodes,
+    partial aggregates) parallelizes. No-op on production layouts
+    (row groups >= cores) and under SPARK_GRAFT_SCAN_PARALLELIZE=0.
+    Used ONLY where an interleaved A/B showed a win — aggregation
+    plans whose map side is CPU-dense and whose partial-agg output
+    stays small; see OPTIMIZATION_r11.md for the per-query evidence."""
+    return load_table(spark, sf_dir, name, parallelize=True)
+
+
 def _dsum(col, scale: int = 4):
     """Engine-portable money sum: the per-row double expression is
     IEEE-identical in any engine; casting it to DECIMAL makes the SUM
@@ -75,7 +87,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _pricing_summary(spark, sf_dir):
-    li = _t(spark, sf_dir, "lineitem")
+    li = _tp(spark, sf_dir, "lineitem")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
@@ -139,8 +151,8 @@ WHERE p_size BETWEEN 10 AND 30 AND p_type LIKE '%AND%'
 
 def _topk_revenue(spark, sf_dir):
     cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
-    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1999-01-01"))
-    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1999-01-01"))
+    orders = _tp(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1999-01-01"))
+    li = _tp(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1999-01-01"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
@@ -210,7 +222,7 @@ GROUP BY n_name
 
 
 def _user_sessions(spark, sf_dir):
-    ev = _t(spark, sf_dir, "events")
+    ev = _tp(spark, sf_dir, "events")
     return ev.groupBy("user_id").agg(
         F.unix_timestamp(F.min("ts")).alias("first_sec"),
         F.unix_timestamp(F.max("ts")).alias("last_sec"),
@@ -407,7 +419,7 @@ SELECT
 
 
 def _running_window(spark, sf_dir):
-    li = _t(spark, sf_dir, "lineitem")
+    li = _tp(spark, sf_dir, "lineitem")
     monthly = (
         li.groupBy("l_suppkey", F.date_format("l_shipdate", "yyyy-MM").alias("month"))
         .agg(
@@ -855,7 +867,7 @@ FROM j
 
 
 def _text_stats(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
         F.length("text").cast("long").alias("n_chars"),
@@ -880,7 +892,7 @@ FROM documents
 
 
 def _lang_quality(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents")
     from yaetos_spark.functions.hashing import normalize_text, stable_fingerprint
 
     return docs.select(
@@ -967,7 +979,7 @@ _NGRAM_N = 3
 
 
 def _minhash_lsh(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents")
     return D.minhash_lsh_pairs(
         docs, n=_NGRAM_N, num_hashes=_MINHASH_K, bands=_MINHASH_BANDS, threshold=_MINHASH_THRESHOLD
     )
@@ -1040,7 +1052,7 @@ _JACCARD_THRESHOLD = 0.2
 
 
 def _ngram_jaccard(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents")
     return D.jaccard_pairs(docs, n=_NGRAM_N, threshold=_JACCARD_THRESHOLD)
 
 
@@ -1070,7 +1082,7 @@ WHERE round(i.n_common / (z1.n_sh + z2.n_sh - i.n_common), 6) >= {_JACCARD_THRES
 
 
 def _simhash_docs(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents")
     return D.simhash(docs)
 
 
@@ -1134,7 +1146,7 @@ _NEAR_DUP_COS = 0.4
 
 
 def _embedding_near_dup(spark, sf_dir):
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _tp(spark, sf_dir, "embeddings")
     return S.embedding_near_dup_pairs(emb, threshold=_NEAR_DUP_COS)
 
 
@@ -1501,7 +1513,7 @@ FROM orders GROUP BY o_orderpriority
 
 
 def _cube_counts(spark, sf_dir):
-    li = _t(spark, sf_dir, "lineitem")
+    li = _tp(spark, sf_dir, "lineitem")
     return li.cube("l_returnflag", "l_linestatus").agg(
         F.count(F.lit(1)).alias("n"), _dsum(F.col("l_quantity")).alias("sum_qty")
     )
@@ -1570,7 +1582,7 @@ _SESSION_GAP_SEC = 1800
 
 
 def _sessionize_events(spark, sf_dir):
-    ev = _t(spark, sf_dir, "events")
+    ev = _tp(spark, sf_dir, "events")
     sess = WOP.sessionize(ev, key="user_id", ts_col="ts", gap_seconds=_SESSION_GAP_SEC)
     return sess.groupBy("user_id", "session_seq").agg(
         F.count(F.lit(1)).alias("n_events"),
@@ -2323,7 +2335,7 @@ def _dedup_clusters(spark, sf_dir):
     pipeline shape: pair generation → clustering → canonical pick."""
     from yaetos_spark.operators.graph import dedup_clusters
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents")
     pairs = D.jaccard_pairs(docs, n=_NGRAM_N, threshold=_JACCARD_THRESHOLD).select("id1", "id2")
     return dedup_clusters(docs, pairs)
 
@@ -2797,7 +2809,7 @@ def _winnow_overlap(spark, sf_dir):
     """Winnowing (MOSS) fingerprint near-dup pairs: k-gram md5 hashes,
     window-min selection, boilerplate-capped fingerprint self-join.
     See yaetos_spark/operators/text.py:winnow_fingerprints."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents")
     fps = TX.winnow_fingerprints(docs, k=8, window=4)
     return TX.winnow_overlap_pairs(fps, min_shared=4, max_doc_freq=20)
 
@@ -2814,7 +2826,7 @@ def _winnow_rolling_pairs(spark, sf_dir):
     the driver hash-checks values, not just rows; the winnowing
     guarantee is additionally property-tested in tests/test_operators.py.
     See yaetos_spark/operators/text.py:winnow_fingerprints_rolling."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents")
     fps = TX.winnow_fingerprints_rolling(docs, k=8, window=4)
     return (
         TX.winnow_overlap_pairs(fps, min_shared=4, max_doc_freq=20)
@@ -2933,7 +2945,7 @@ def _ngram_contamination(spark, sf_dir):
     the eval set; every other doc is scored by how many of its token
     bigrams appear in the eval set. See
     yaetos_spark/operators/curation.py:ngram_contamination."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents")
     eval_df = docs.where(F.col("doc_id") % 20 == 0)
     train = docs.where(F.col("doc_id") % 20 != 0)
     return CU.ngram_contamination(train, eval_df, n=2)
@@ -2984,7 +2996,7 @@ def _repetition_profile(spark, sf_dir):
     """Gopher-style repetition quality signals (top-word fraction,
     duplicate-bigram fraction) — zero-shuffle per-doc HOFs. See
     curation.py:repetition_profile."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents")
     return CU.repetition_profile(docs)
 
 
@@ -3082,7 +3094,7 @@ def _pii_redaction(spark, sf_dir):
     deterministically (the testdata has none), so the redaction +
     counting machinery is value-checked end-to-end. See
     curation.py:redact_pii."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents")
     d = F.col("doc_id")
     injected = F.concat(
         F.lit("reach me at user"), d.cast("string"),
@@ -3172,7 +3184,7 @@ def _quantiles_summary(spark, sf_dir):
     and DuckDB quantile_cont() share the lo + (hi-lo)*frac definition,
     so values match bit-for-bit. (percentile_approx is the 100 TB path;
     it's engine-specific by design so the oracle pins the exact one.)"""
-    li = _t(spark, sf_dir, "lineitem")
+    li = _tp(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
         F.expr("percentile(l_extendedprice, 0.9)").alias("p90"),
@@ -4332,7 +4344,7 @@ def _part_pairs_support(spark, sf_dir):
     C(parts_in_order, 2) with order size bounded by the schema (~7
     lines); the join shuffles on the order key, never all-pairs."""
     op = (
-        _t(spark, sf_dir, "lineitem")
+        _tp(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
     )
@@ -4391,7 +4403,7 @@ def _math_funcs(spark, sf_dir):
     the oracle — same closed form).  Irrational doubles are summed via
     the decimal trick (_dsum) so engine-dependent addition order can't
     flip low bits."""
-    li = _t(spark, sf_dir, "lineitem")
+    li = _tp(spark, sf_dir, "lineitem")
     q = F.col("l_quantity")
     per = li.select(
         "l_returnflag",
@@ -4450,7 +4462,7 @@ def _date_try_funcs(spark, sf_dir):
     quarter, weekofyear (ISO both engines), dayofweek (Spark Sunday=1
     vs DuckDB Sunday=0 — mapped in the oracle), add_months clamping,
     try_divide (null on zero), try_cast of a non-numeric string."""
-    o = _t(spark, sf_dir, "orders")
+    o = _tp(spark, sf_dir, "orders")
     od = F.col("o_orderdate").cast("date")
     per = o.select(
         "o_orderpriority",
@@ -4781,7 +4793,7 @@ def _gopher_filter_verdicts(spark, sf_dir):
     both engines)."""
     from yaetos_spark.operators.curation import gopher_filter
 
-    d = _t(spark, sf_dir, "documents")
+    d = _tp(spark, sf_dir, "documents")
     return gopher_filter(
         d, min_words=30, max_words=90, max_top_word_frac=0.12,
         max_dup_bigram_frac=0.05, min_avg_word_len=3.0, max_avg_word_len=10.0,

@@ -670,3 +670,37 @@ def test_xlsx_lite_skips_chartsheet_first_tab(tmp_path):
         zf.writestr("xl/worksheets/sheet1.xml", data)
     header, rows = read_xlsx(path)
     assert header == ["DATA"] and rows == [(7,)]
+
+
+def test_starved_scan_repartition_gate(spark, sf_dir):
+    """The adaptive scan repartition (guide §2.5: unsplittable input)
+    fires only on starved layouts with enough rows, and never changes
+    the rows themselves."""
+    from yaetos_spark.sources.tables import (
+        _starved_scan_partitions,
+        load_table,
+    )
+
+    p = spark.sparkContext.defaultParallelism
+    # single-row-group file with rows >= 8*p -> fires with width p
+    lineitem = f"{sf_dir}/lineitem.parquet"
+    assert _starved_scan_partitions(spark, lineitem) == p
+    # tiny dimension table (25 rows) -> too few rows, no repartition
+    assert _starved_scan_partitions(spark, f"{sf_dir}/nation.parquet") is None
+    # unknown path -> metadata unreadable -> safe no-op
+    assert _starved_scan_partitions(spark, f"{sf_dir}/nope.parquet") is None
+    # kill switch
+    os.environ["SPARK_GRAFT_SCAN_PARALLELIZE"] = "0"
+    try:
+        assert _starved_scan_partitions(spark, lineitem) is None
+    finally:
+        del os.environ["SPARK_GRAFT_SCAN_PARALLELIZE"]
+    # parallelized load: same rows, wider layout
+    base = load_table(spark, os.path.dirname(lineitem), "lineitem")
+    par = load_table(spark, os.path.dirname(lineitem), "lineitem", parallelize=True)
+    assert par.rdd.getNumPartitions() == p
+    assert par.count() == base.count()
+    assert (
+        par.selectExpr("sum(hash(l_orderkey, l_partkey, l_quantity))").first()[0]
+        == base.selectExpr("sum(hash(l_orderkey, l_partkey, l_quantity))").first()[0]
+    )
