@@ -1247,9 +1247,11 @@ def _ivf_ann_exactprobe(spark, sf_dir):
     the machinery already proven."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < _ANN_N_QUERIES)
-    # few k-means iterations on purpose: probe-all == exact holds for
-    # ANY centroid set, so training quality is not under test here
-    cents = S.train_ivf_centroids(emb, n_cells=4, max_iter=3)
+    # few k-means iterations AND random init on purpose: probe-all ==
+    # exact holds for ANY centroid set, so training quality is not
+    # under test here — random init skips k-means||'s ~2 extra full
+    # passes (measured interleaved at sf0.1: train 1.2-1.7 s -> 0.9-1.2 s)
+    cents = S.train_ivf_centroids(emb, n_cells=4, max_iter=3, init_mode="random")
     return S.ivf_topk(emb, queries, cents, k=_ANN_K, n_probe=4)
 
 
@@ -3244,13 +3246,20 @@ def _pagerank_customers(spark, sf_dir):
 
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
+    # distinct on the (custkey, suppkey) LONG pair, stringify after:
+    # the distinct's shuffle and hash table work on 16-byte long pairs
+    # instead of strings, and the concat runs once per DISTINCT pair
+    # instead of once per lineitem row. Identical edges ("c"/"s"
+    # prefixes keep the namespaces disjoint, so the long pair and the
+    # string pair dedup to the same set).
     edges = (
         orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select("o_custkey", "l_suppkey")
+        .distinct()
         .select(
             F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
             F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
         )
-        .distinct()
     )
     return pagerank_fixed_point(edges, iters=3)
 
@@ -4300,7 +4309,10 @@ def _rfm_segments(spark, sf_dir):
     customer key into one unique sort key (metric * 1e7 + custkey,
     valid while custkey < 1e7), which is order-equivalent to
     ORDER BY metric, c_custkey."""
-    o = _t(spark, sf_dir, "orders")
+    # parallelize the starved scan on o_custkey — the groupBy key — so
+    # the added exchange is the clustering the aggregation needed
+    # anyway (bench-style A/B: warm ~1.9 -> ~1.75 s, identical output)
+    o = load_table(spark, sf_dir, "orders", parallelize="o_custkey")
     enc = 10_000_000
     m = o.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
         F.datediff(F.lit("2001-09-01").cast("timestamp"), F.max("o_orderdate"))

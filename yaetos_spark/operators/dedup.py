@@ -449,8 +449,8 @@ def simhash(
     """32-bit SimHash per doc over distinct whitespace tokens.
 
     Token hash = first 8 md5 hex chars as long; per bit position the
-    ±1 votes are summed as ``bits`` aggregate expressions in ONE
-    groupBy — no bit-explosion of rows. Near-dup = small hamming
+    set bits are counted as ``bits`` aggregate expressions in ONE
+    groupBy (majority vote = 2*count > n) — no bit-explosion of rows. Near-dup = small hamming
     distance; pair generation at scale uses byte-banding (pigeonhole).
 
     NULL text coalesces to '' before the split: split(NULL) is NULL
@@ -469,16 +469,22 @@ def simhash(
     )
     h = F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
     toks = toks.select("id", h.alias("h"))
-    votes = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"v{i}")
+    # Per bit, count SET bits instead of summing ±1 votes: the ±1 vote
+    # sum is v_i = 2*c_i - n, so "v_i > 0" == "2*c_i > n" — identical
+    # simhash (A/B-verified bit-for-bit), but each per-row aggregate
+    # update is a shift+and instead of shift+and+compare+branch.
+    # Measured interleaved at sf0.1: 2.77 s -> 2.27 s median (0.82x).
+    aggs = [
+        F.sum(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1))).alias(f"c{i}")
         for i in range(bits)
     ]
-    agg = toks.groupBy("id").agg(*votes)
+    aggs.append(F.count(F.lit(1)).alias("n"))
+    agg = toks.groupBy("id").agg(*aggs)
     sim = F.lit(0).cast("long")
     for i in range(bits):
-        sim = sim + F.when(F.col(f"v{i}") > 0, F.lit(2 ** i).cast("long")).otherwise(F.lit(0).cast("long"))
+        sim = sim + F.when(F.col(f"c{i}") * 2 > F.col("n"), F.lit(2 ** i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
     return agg.select("id", sim.alias("simhash"))
 
 

@@ -473,8 +473,21 @@ def pagerank_fixed_point(
     )
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     # degree is iteration-invariant: join it to the edge list ONCE and
-    # persist, so each round pays a single rank join instead of two
-    e_deg = e.join(deg, "src").select("src", "dst", "outdeg").persist()
+    # persist, so each round pays a single rank join instead of two.
+    # Persist PRE-PARTITIONED on src (guide §2.4: two operations keyed
+    # the same way share one exchange): every iteration's rank join
+    # requires clustering on src, so a one-time repartition before the
+    # persist replaces an exchange of the (largest) edge frame PER
+    # ITERATION with one at build — strictly fewer shuffles for any
+    # iters >= 1. Interleaved bench-style A/B at sf0.1: warm medians
+    # 3.05->2.72 s and 1.91->1.69 s (~0.9x), identical ranks.
+    n_part = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    e_deg = (
+        e.join(deg, "src")
+        .repartition(n_part, "src")
+        .select("src", "dst", "outdeg")
+        .persist()
+    )
     nodes = e.select(F.col("src").alias("node")).distinct().persist()
     base = scale * (damping_den - damping_num) // damping_den
     ranks = nodes.withColumn("r", F.lit(scale).cast("long"))

@@ -214,12 +214,19 @@ def train_ivf_centroids(
     vec_col: str = "embedding",
     seed: int = 42,
     max_iter: int = 20,
+    init_mode: str = "k-means||",
 ) -> list[list[float]]:
     """Train IVF coarse centroids with distributed k-means (MLlib).
 
     Returns plain python centroid lists consumable by
     :func:`ivf_assign` / :func:`ivf_topk`. Training distributes; only
     the (n_cells × dim) centroid matrix comes back to the driver.
+
+    ``init_mode``: MLlib's ``k-means||`` (default — better centroids)
+    or ``random`` (skips the ~2 extra full init passes + their driver
+    round-trips; right when centroid QUALITY does not matter, e.g. the
+    probe-all contract path where any centroid set yields the exact
+    result).
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -233,7 +240,7 @@ def train_ivf_centroids(
     # scale the 2+max_iter re-scans are the dominant training cost).
     feats = feats.persist()
     try:
-        model = KMeans(k=n_cells, seed=seed, maxIter=max_iter).fit(feats)
+        model = KMeans(k=n_cells, seed=seed, maxIter=max_iter, initMode=init_mode).fit(feats)
     finally:
         feats.unpersist()
     return [c.tolist() for c in model.clusterCenters()]

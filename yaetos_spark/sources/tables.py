@@ -135,8 +135,12 @@ def _starved_scan_partitions(spark: SparkSession, path: str) -> int | None:
 
 
 def load_table(
-    spark: SparkSession, sf_dir: str, name: str, parallelize: bool = False
+    spark: SparkSession, sf_dir: str, name: str, parallelize: bool | str = False
 ) -> DataFrame:
+    """``parallelize``: False (plain scan), True (adaptive starved-scan
+    repartition on the table's natural key), or a column name to
+    repartition on instead — pick the downstream groupBy/join key so
+    the exchange it pays is one the plan needed anyway (guide §2.4)."""
     _ensure_nanos_conf(spark)
     path = f"{sf_dir}/{name}.parquet"
     df = spark.read.parquet(path)
@@ -145,7 +149,7 @@ def load_table(
             # integer div — double math would lose precision at 1e18 ns
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
     if parallelize:
-        key = _TABLE_KEYS.get(name)
+        key = parallelize if isinstance(parallelize, str) else _TABLE_KEYS.get(name)
         p = _starved_scan_partitions(spark, path)
         if key is not None and p is not None and key in df.columns:
             df = df.repartition(p, key)
