@@ -709,7 +709,7 @@ def _parts_supplier_counts(spark, sf_dir):
     excluding one brand and a NOT-IN size list — count-distinct after
     an anti-filtered join."""
     part = _t(spark, sf_dir, "part")
-    li = _t(spark, sf_dir, "lineitem")
+    li = _tp(spark, sf_dir, "lineitem")
     return (
         part.filter(
             (F.col("p_brand") != "Brand#1") & ~F.col("p_size").isin(1, 4, 7)
@@ -1176,7 +1176,7 @@ def _semantic_dedup_survivors(spark, sf_dir):
     property-tested against this exact rule (superset invariant +
     separated-cluster parity) in tests/test_operators.py.
     See yaetos_spark/operators/similarity.py:semantic_dedup."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _tp(spark, sf_dir, "embeddings")
     return S.semantic_dedup(emb, threshold=_NEAR_DUP_COS).select("vec_id")
 
 
@@ -1275,7 +1275,7 @@ def _lsh_ann_pairs(spark, sf_dir):
     expected worst-case recall 1 - (1 - 0.63^2)^8 ~ 0.98. Higher
     thresholds (real near-dup, cos >= 0.9) would use more planes per
     table and fewer tables."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _tp(spark, sf_dir, "embeddings")
     lsh = (
         S.lsh_near_dup_pairs(
             emb, dim=64, threshold=_NEAR_DUP_COS, n_planes=2, n_tables=8
@@ -1536,7 +1536,7 @@ FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
 
 
 def _grouping_sets_rev(spark, sf_dir):
-    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    _tp(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(
         """
         SELECT l_returnflag, l_linestatus,
@@ -1730,8 +1730,8 @@ def _revenue_share(spark, sf_dir):
     nation = _t(spark, sf_dir, "nation")
     region = _t(spark, sf_dir, "region")
     cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders")
-    li = _t(spark, sf_dir, "lineitem")
+    orders = _tp(spark, sf_dir, "orders")
+    li = _tp(spark, sf_dir, "lineitem")
     per_nation = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
@@ -5064,7 +5064,7 @@ def _regression_stats(spark, sf_dir):
     few double ops deterministic).  The oracle recomputes the decimal
     sums and asserts the contracts tautologically, so a hash mismatch
     means a native aggregate drifted from its definition."""
-    li = _t(spark, sf_dir, "lineitem")
+    li = _tp(spark, sf_dir, "lineitem")
     x = F.col("l_quantity")
     y = F.col("l_discount")
     d = lambda c: c.cast("decimal(38,8)")  # noqa: E731
