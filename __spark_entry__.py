@@ -46,6 +46,14 @@ def _tp(spark, sf_dir, name):
     return load_table(spark, sf_dir, name, parallelize=True)
 
 
+def _tpk(spark, sf_dir, name, key):
+    """Like _tp but repartitions on ``key`` — used where the table's
+    natural key is NOT otherwise read by the query, so keying on it
+    would drag an unused column into ReadSchema and break pruning
+    (guide §6.2); pick a high-cardinality column the query reads."""
+    return load_table(spark, sf_dir, name, parallelize=key)
+
+
 def _dsum(col, scale: int = 4):
     """Engine-portable money sum: the per-row double expression is
     IEEE-identical in any engine; casting it to DECIMAL makes the SUM
@@ -87,7 +95,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _pricing_summary(spark, sf_dir):
-    li = _tp(spark, sf_dir, "lineitem")
+    li = _tpk(spark, sf_dir, "lineitem", "l_extendedprice")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
@@ -709,7 +717,7 @@ def _parts_supplier_counts(spark, sf_dir):
     excluding one brand and a NOT-IN size list — count-distinct after
     an anti-filtered join."""
     part = _t(spark, sf_dir, "part")
-    li = _tp(spark, sf_dir, "lineitem")
+    li = _tpk(spark, sf_dir, "lineitem", "l_partkey")
     return (
         part.filter(
             (F.col("p_brand") != "Brand#1") & ~F.col("p_size").isin(1, 4, 7)
@@ -1522,7 +1530,7 @@ FROM orders GROUP BY o_orderpriority
 
 
 def _cube_counts(spark, sf_dir):
-    li = _tp(spark, sf_dir, "lineitem")
+    li = _tpk(spark, sf_dir, "lineitem", ["l_quantity", "l_returnflag"])
     return li.cube("l_returnflag", "l_linestatus").agg(
         F.count(F.lit(1)).alias("n"), _dsum(F.col("l_quantity")).alias("sum_qty")
     )
@@ -1536,7 +1544,7 @@ FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
 
 
 def _grouping_sets_rev(spark, sf_dir):
-    _tp(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    _tpk(spark, sf_dir, "lineitem", "l_extendedprice").createOrReplaceTempView("lineitem")
     return spark.sql(
         """
         SELECT l_returnflag, l_linestatus,
@@ -3194,7 +3202,7 @@ def _quantiles_summary(spark, sf_dir):
     and DuckDB quantile_cont() share the lo + (hi-lo)*frac definition,
     so values match bit-for-bit. (percentile_approx is the 100 TB path;
     it's engine-specific by design so the oracle pins the exact one.)"""
-    li = _tp(spark, sf_dir, "lineitem")
+    li = _tpk(spark, sf_dir, "lineitem", "l_extendedprice")
     return li.groupBy("l_returnflag").agg(
         F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
         F.expr("percentile(l_extendedprice, 0.9)").alias("p90"),
@@ -4424,7 +4432,7 @@ def _math_funcs(spark, sf_dir):
     the oracle — same closed form).  Irrational doubles are summed via
     the decimal trick (_dsum) so engine-dependent addition order can't
     flip low bits."""
-    li = _tp(spark, sf_dir, "lineitem")
+    li = _tpk(spark, sf_dir, "lineitem", ["l_quantity", "l_linenumber"])
     q = F.col("l_quantity")
     per = li.select(
         "l_returnflag",
@@ -4483,7 +4491,7 @@ def _date_try_funcs(spark, sf_dir):
     quarter, weekofyear (ISO both engines), dayofweek (Spark Sunday=1
     vs DuckDB Sunday=0 — mapped in the oracle), add_months clamping,
     try_divide (null on zero), try_cast of a non-numeric string."""
-    o = _tp(spark, sf_dir, "orders")
+    o = _tpk(spark, sf_dir, "orders", "o_custkey")
     od = F.col("o_orderdate").cast("date")
     per = o.select(
         "o_orderpriority",
@@ -5064,7 +5072,7 @@ def _regression_stats(spark, sf_dir):
     few double ops deterministic).  The oracle recomputes the decimal
     sums and asserts the contracts tautologically, so a hash mismatch
     means a native aggregate drifted from its definition."""
-    li = _tp(spark, sf_dir, "lineitem")
+    li = _tpk(spark, sf_dir, "lineitem", ["l_quantity", "l_discount"])
     x = F.col("l_quantity")
     y = F.col("l_discount")
     d = lambda c: c.cast("decimal(38,8)")  # noqa: E731

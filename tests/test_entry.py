@@ -143,9 +143,11 @@ def test_dimension_joins_broadcast(spark):
     assert "SortMergeJoin" not in plan
 
 
-def test_curation_narrow_ops_have_no_exchange(spark):
+def test_curation_narrow_ops_have_no_exchange(spark, monkeypatch):
     """pii_redaction and repetition_profile are per-row/per-doc work —
-    any Exchange in their plans would be an accidental shuffle."""
+    with the (intentional) starved-scan repartition disabled, any
+    Exchange in their plans would be an accidental shuffle."""
+    monkeypatch.setenv("SPARK_GRAFT_SCAN_PARALLELIZE", "0")
     qs = entrymod.queries()
     for name in ("pii_redaction", "repetition_profile"):
         plan = _plan_of(qs[name](spark, "/root/testdata/sf0.001"))

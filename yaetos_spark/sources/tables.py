@@ -138,9 +138,12 @@ def load_table(
     spark: SparkSession, sf_dir: str, name: str, parallelize: bool | str = False
 ) -> DataFrame:
     """``parallelize``: False (plain scan), True (adaptive starved-scan
-    repartition on the table's natural key), or a column name to
-    repartition on instead — pick the downstream groupBy/join key so
-    the exchange it pays is one the plan needed anyway (guide §2.4)."""
+    repartition on the table's natural key), or a column name (or list
+    of column names, for when no single already-read column has enough
+    cardinality) to repartition on instead — pick the downstream
+    groupBy/join key so the exchange it pays is one the plan needed
+    anyway (guide §2.4), and prefer columns the query already reads so
+    the key does not drag an extra column into ReadSchema (§6.2)."""
     _ensure_nanos_conf(spark)
     path = f"{sf_dir}/{name}.parquet"
     df = spark.read.parquet(path)
@@ -149,10 +152,15 @@ def load_table(
             # integer div — double math would lose precision at 1e18 ns
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
     if parallelize:
-        key = parallelize if isinstance(parallelize, str) else _TABLE_KEYS.get(name)
+        key = (
+            parallelize
+            if isinstance(parallelize, (str, list, tuple))
+            else _TABLE_KEYS.get(name)
+        )
+        keys = [key] if isinstance(key, str) else list(key or [])
         p = _starved_scan_partitions(spark, path)
-        if key is not None and p is not None and key in df.columns:
-            df = df.repartition(p, key)
+        if keys and p is not None and all(k in df.columns for k in keys):
+            df = df.repartition(p, *keys)
     return df
 
 
