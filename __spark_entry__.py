@@ -471,7 +471,9 @@ FROM m
 
 
 def _summary_stats(spark, sf_dir):
-    li = _t(spark, sf_dir, "lineitem")
+    # starved-scan repartition keyed on l_partkey: read by the query,
+    # and the countDistinct's partial-distinct phase clusters on it
+    li = _tpk(spark, sf_dir, "lineitem", "l_partkey")
     return li.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.round(F.min("l_quantity"), 2).alias("min_qty"),
@@ -1430,7 +1432,7 @@ def _doc_redundancy_scores(spark, sf_dir):
     shingles occurring in more than min_df docs corpus-wide — the
     doc-level redundancy signal curation filters act on. Integer
     counts + one IEEE division, engine-reproducible."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents")
     return TX.redundancy_scores(docs, n=_NGRAM_N, min_df=_REDUNDANCY_MIN_DF)
 
 
@@ -2353,7 +2355,10 @@ def _dedup_clusters(spark, sf_dir):
     pipeline shape: pair generation → clustering → canonical pick."""
     from yaetos_spark.operators.graph import dedup_clusters
 
-    docs = _tp(spark, sf_dir, "documents")
+    # starved-scan repartition REVERTED (r11 opt validation): quiet-
+    # window ratio 0.93 with overlapping rep spreads (0.93-1.0 across
+    # four batches) — the iterative CC dominates, not the scan
+    docs = _t(spark, sf_dir, "documents")
     pairs = D.jaccard_pairs(docs, n=_NGRAM_N, threshold=_JACCARD_THRESHOLD).select("id1", "id2")
     return dedup_clusters(docs, pairs)
 
@@ -3391,7 +3396,10 @@ def _fuzzy_customer_pairs(spark, sf_dir):
     block bounds every block at 100 names regardless of scale factor,
     so the within-block self-join cost stays linear in customers. See
     yaetos_spark/operators/dedup.py:blocked_fuzzy_pairs."""
-    c = _t(spark, sf_dir, "customer")
+    # starved-scan repartition: the single-row-group customer scan
+    # otherwise leaves the per-pair levenshtein work on few cores
+    c = _tpk(spark, sf_dir, "customer", "c_custkey")
+
     return D.blocked_fuzzy_pairs(
         c, "c_name", "c_custkey", block=F.substring("c_name", 1, 16), max_dist=1
     )
@@ -4013,7 +4021,10 @@ def _dominant_suppliers(spark, sf_dir):
     missing partsupp availability): suppliers shipping >15% of some
     part's total quantity — nested aggregation + IN-subquery semi-join.
     The threshold compare is integer-valued-double × int (exact)."""
-    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    # starved-scan repartition on l_partkey: a hash on a SUBSET of the
+    # grouping keys satisfies both groupBys' clustering (pq on
+    # (l_partkey, l_suppkey), pt on l_partkey) and the USING join
+    _tpk(spark, sf_dir, "lineitem", "l_partkey").createOrReplaceTempView("lineitem")
     _t(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
     return spark.sql(
         """
@@ -4326,10 +4337,10 @@ def _rfm_segments(spark, sf_dir):
     customer key into one unique sort key (metric * 1e7 + custkey,
     valid while custkey < 1e7), which is order-equivalent to
     ORDER BY metric, c_custkey."""
-    # parallelize the starved scan on o_custkey — the groupBy key — so
-    # the added exchange is the clustering the aggregation needed
-    # anyway (bench-style A/B: warm ~1.9 -> ~1.75 s, identical output)
-    o = load_table(spark, sf_dir, "orders", parallelize="o_custkey")
+    # starved-scan repartition REVERTED (r11 opt validation): ratios
+    # 0.92/0.93/0.95 across three interleaved batches incl. the quiet
+    # window — no reproducible win over the distributed-ntile pipeline
+    o = _t(spark, sf_dir, "orders")
     enc = 10_000_000
     m = o.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
         F.datediff(F.lit("2001-09-01").cast("timestamp"), F.max("o_orderdate"))
