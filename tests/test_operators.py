@@ -1101,6 +1101,33 @@ def test_tf_cosine_pairs_exact_values_and_hot_term_guard(spark):
         tf_cosine_pairs(df, threshold=0.0)
 
 
+def test_tf_cosine_singleton_prune_keeps_norms(spark):
+    """r11-opt join-side singleton prune: a df_count==1 term can never
+    produce a pair (one row self-joined under id1 < id2), so it is
+    filtered off the self-join sides — but it MUST still count in the
+    norm sums, or the cosine denominator shrinks. doc 1 = 'shared uniq'
+    (norm 2), doc 2 = 'shared' (norm 1): dot = 1 over sqrt(2*1); if the
+    prune leaked into the norms, cos would read 1.0."""
+    import math
+
+    from yaetos_spark.operators.text import tf_cosine_pairs
+
+    df = spark.createDataFrame(
+        [(1, "shared uniq"), (2, "shared")], "doc_id long, text string"
+    )
+    out = {
+        (r.id1, r.id2): (r.dot, r.cos_sim)
+        for r in tf_cosine_pairs(df, threshold=0.0, max_df=10).collect()
+    }
+    assert out == {(1, 2): (1, round(1 / math.sqrt(2.0), 6))}
+    # and the prune is actually in the plan: the join-side subtree
+    # filters df_count >= 2 (the max_df=None opt-out path does not)
+    plan = tf_cosine_pairs(
+        df, threshold=0.0, max_df=10
+    )._jdf.queryExecution().optimizedPlan().toString()
+    assert "df_count" in plan
+
+
 def test_redundancy_scores_counts_and_fraction(spark):
     """4 docs where one shingle ('a b c') appears in 3 docs: with
     min_df=2 that shingle is common; each doc's fraction is its common

@@ -406,25 +406,37 @@ def tf_cosine_pairs(
     is exactly the cosine of the filtered vectors. The self-join and
     the norm joins are merge-hinted: the term rows hang off a Generate
     (explode of split), so their Catalyst size estimate is the pruned
-    scan's — structurally dishonest at any scale."""
+    scan's — structurally dishonest at any scale.
+
+    Singleton prune (result-preserving): a term with df_count == 1 has
+    exactly one (id, term) row, so the a.id < b.id self-join emits
+    nothing for it — those rows are dead weight on both join sides
+    (on a Zipf corpus the singleton tail is a large vocabulary
+    fraction). When ``max_df`` is set, df_count is attached to the
+    persisted index via an inner join (same one term-keyed shuffle the
+    old anti-join cost), making the df >= 2 join-side prune a free
+    filter over the cache; norms still aggregate ALL index rows, so
+    cos_sim is bit-identical. The ``max_df=None`` opt-out keeps the
+    original df-count-free shape (no prune) — that path exists for
+    corpora too small for any of this to matter."""
     toks = F.filter(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), lambda t: t != "")
     rows = df.select(F.col(id_col).alias("id"), F.explode(toks).alias("term"))
     tf = rows.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
     if max_df:
-        hot = (
-            tf.groupBy("term")
-            .agg(F.count(F.lit(1)).alias("df_count"))
-            .filter(F.col("df_count") > max_df)
-            .select("term")
-        )
-        tf = tf.join(hot, "term", "left_anti")
+        dfc = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_count"))
+        tf = tf.join(dfc.hint("merge"), "term").filter(F.col("df_count") <= max_df)
     # job-lifetime persist: the index feeds both self-join sides and
     # the two norm branches — one materialization instead of four
     # corpus tokenizations; one row per (doc, distinct term), far
     # smaller than the token stream itself
     tf = tf.persist()
     norms = tf.groupBy("id").agg(F.sum(F.col("tf") * F.col("tf")).alias("n2"))
-    a, b = tf.alias("a"), tf.hint("merge").alias("b")
+    pair = (
+        tf.filter(F.col("df_count") >= 2).select("id", "term", "tf")
+        if max_df
+        else tf
+    )
+    a, b = pair.alias("a"), pair.hint("merge").alias("b")
     dots = (
         a.join(b, (F.col("a.term") == F.col("b.term")) & (F.col("a.id") < F.col("b.id")))
         .groupBy(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
