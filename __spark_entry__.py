@@ -5457,6 +5457,13 @@ _VERIFY_AT: dict[str, int] = {
     # the robust-phase twin sits in the r9 cohort that regrades
     # naturally at r12 — zero extra capacity, pure insurance
     "chain_components_robust": 12,
+    # r11 optimization round: tf_cosine_pairs gained the singleton
+    # join-side prune (df_count >= 2 on the self-join sides; norms
+    # unchanged — identity + oracle verified at sf0.01/sf0.1, see
+    # OPTIMIZATION_r11.md Change 7).  The query holds an r9 verdict on
+    # the old plan and sits in the cohort that regrades naturally at
+    # r12 — zero extra capacity, pure insurance.
+    "tfcosine_doc_pairs": 12,
 }
 
 
