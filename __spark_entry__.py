@@ -1264,11 +1264,15 @@ def _ivf_ann_exactprobe(spark, sf_dir):
     the machinery already proven."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < _ANN_N_QUERIES)
-    # few k-means iterations AND random init on purpose: probe-all ==
+    # ONE k-means iteration AND random init on purpose: probe-all ==
     # exact holds for ANY centroid set, so training quality is not
     # under test here — random init skips k-means||'s ~2 extra full
-    # passes (measured interleaved at sf0.1: train 1.2-1.7 s -> 0.9-1.2 s)
-    cents = S.train_ivf_centroids(emb, n_cells=4, max_iter=3, init_mode="random")
+    # passes (measured interleaved at sf0.1: train 1.2-1.7 s -> 0.9-1.2 s),
+    # and every Lloyd iteration beyond the first only improves centroids
+    # the contract provably ignores (tools/ab_ivf_iters.py: identity
+    # holds, 0.90-0.95x across two 7-rep interleaved batches; one
+    # iteration still exercises assign+update end-to-end)
+    cents = S.train_ivf_centroids(emb, n_cells=4, max_iter=1, init_mode="random")
     return S.ivf_topk(emb, queries, cents, k=_ANN_K, n_probe=4)
 
 
