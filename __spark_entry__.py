@@ -5468,6 +5468,14 @@ _VERIFY_AT: dict[str, int] = {
     # the old plan and sits in the cohort that regrades naturally at
     # r12 — zero extra capacity, pure insurance.
     "tfcosine_doc_pairs": 12,
+    # r11 optimization round: ivf_ann_exactprobe's training changed
+    # twice (Change 4 random init, Change 8 max_iter 1) — the result is
+    # centroid-independent by the probe-all contract (identity + oracle
+    # verified at sf0.01/sf0.1 both times), but the r10 verdict graded
+    # the k-means|| plan's literals.  The query holds an r10 verdict
+    # and regrades naturally at r13 (age bound) — zero extra capacity,
+    # pure insurance.
+    "ivf_ann_exactprobe": 13,
 }
 
 
