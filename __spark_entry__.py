@@ -1288,25 +1288,55 @@ def _lsh_ann_pairs(spark, sf_dir):
     p = 1 - theta/pi ~ 0.63, so 2 planes/table and 8 tables give
     expected worst-case recall 1 - (1 - 0.63^2)^8 ~ 0.98. Higher
     thresholds (real near-dup, cos >= 0.9) would use more planes per
-    table and fewer tables."""
+    table and fewer tables.
+
+    r12 shape (guide §1.2 / §2.3 / §3.2): the report needs only "how
+    many TRUE pairs are LSH candidates" — the candidate pair SET
+    beyond its intersection with the true pairs is provably dead work
+    (at sf0.1 it was ~25M generated pair rows through a distinct plus
+    an exact-cosine verify join: the repo's most expensive query at
+    12.1 s). A pair is a candidate iff SOME table's bucket ids agree,
+    so the query now joins the true pairs (output-proportional,
+    broadcastable) to per-vector bucket-id ARRAYS computed in one scan
+    restricted to the true-pair ids, and counts bucket agreement per
+    pair — no candidate materialization, no verify. n_found equals
+    |brute ∩ distinct(candidates)|; the old plan's extra exact-cosine
+    verify could only drop a true pair at a 1-ulp JVM-vs-numpy
+    threshold boundary, and recall_ok compares against the 0.8 bound
+    with ~20 points of slack, so the RESULT row is unchanged
+    (identity-asserted old vs new at sf0.001/0.01/0.1 before adoption;
+    tools/ab_lsh_ann.py). ``lsh_near_dup_pairs`` itself — the actual
+    near-dup scale operator — is unchanged and stays property-tested."""
     emb = _tp(spark, sf_dir, "embeddings")
-    lsh = (
-        S.lsh_near_dup_pairs(
-            emb, dim=64, threshold=_NEAR_DUP_COS, n_planes=2, n_tables=8
-        )
-        .select("id1", "id2")
-        .withColumn("_hit", F.lit(1))
-    )
     brute = S.embedding_near_dup_pairs(emb, threshold=_NEAR_DUP_COS).select("id1", "id2")
-    # single pass: left join + conditional count, so the brute-force
-    # matmul branch executes once (the old total/found + crossJoin shape
-    # evaluated it twice)
-    return brute.join(lsh, ["id1", "id2"], "left").agg(
-        F.count(F.lit(1)).alias("n_true_pairs"),
-        F.count("_hit").alias("n_found"),
-    ).select(
-        "n_true_pairs",
-        (F.col("n_found") >= 0.8 * F.col("n_true_pairs")).alias("recall_ok"),
+    # eager checkpoint: the matmul pass runs ONCE while feeding the
+    # count, the id restriction, and the join left side
+    brute = brute.localCheckpoint(eager=True)
+    pair_ids = (
+        brute.select(F.col("id1").alias("vec_id"))
+        .unionByName(brute.select(F.col("id2").alias("vec_id")))
+        .distinct()
+    )
+    asg = S.lsh_bucket_arrays(
+        emb.join(F.broadcast(pair_ids), "vec_id", "left_semi"),
+        dim=64,
+        n_planes=2,
+        n_tables=8,
+    ).select("vec_id", "buckets")
+    b1 = asg.select(F.col("vec_id").alias("id1"), F.col("buckets").alias("_bk1"))
+    b2 = asg.select(F.col("vec_id").alias("id2"), F.col("buckets").alias("_bk2"))
+    hit = F.exists(F.zip_with("_bk1", "_bk2", lambda x, y: x == y), lambda z: z)
+    return (
+        brute.join(F.broadcast(b1), "id1")
+        .join(F.broadcast(b2), "id2")
+        .agg(
+            F.count(F.lit(1)).alias("n_true_pairs"),
+            F.coalesce(F.sum(hit.cast("long")), F.lit(0)).alias("n_found"),
+        )
+        .select(
+            "n_true_pairs",
+            (F.col("n_found") >= 0.8 * F.col("n_true_pairs")).alias("recall_ok"),
+        )
     )
 
 

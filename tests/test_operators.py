@@ -517,6 +517,49 @@ def test_lsh_near_dup_recall(spark):
     assert (1, 2) in pairs
 
 
+def test_lsh_bucket_arrays_match_per_table_ids(spark):
+    """lsh_bucket_arrays element t must be value-identical to
+    lsh_bucket_ids(seed=seed0+t), and the derived candidate predicate
+    (∃t: buckets agree) must reproduce lsh_near_dup_pairs' candidate
+    rule — the invariant the r12 lsh_ann_pairs rewrite rests on."""
+    from pyspark.sql import functions as F
+
+    emb = _emb(spark)
+    n_tables, n_planes = 4, 4
+    arr = {
+        r.vec_id: list(r.buckets)
+        for r in S.lsh_bucket_arrays(
+            emb, dim=3, n_planes=n_planes, n_tables=n_tables
+        ).collect()
+    }
+    for t in range(n_tables):
+        per_table = {
+            r.vec_id: r.bucket
+            for r in S.lsh_bucket_ids(emb, dim=3, n_planes=n_planes, seed=42 + t).collect()
+        }
+        for vid, buckets in arr.items():
+            assert buckets[t] == per_table[vid], (t, vid)
+    # candidate predicate equivalence: pairs sharing >= 1 per-table
+    # bucket == the union-of-tables equi-join candidate set
+    ids = sorted(arr)
+    pred_pairs = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if any(arr[a][t] == arr[b][t] for t in range(n_tables))
+    }
+    cands = set()
+    for t in range(n_tables):
+        bk = S.lsh_bucket_ids(emb, dim=3, n_planes=n_planes, seed=42 + t)
+        a = bk.select(F.col("vec_id").alias("id1"), "bucket")
+        b = bk.select(F.col("vec_id").alias("id2"), "bucket")
+        cands |= {
+            (r.id1, r.id2)
+            for r in a.join(b, "bucket").where("id1 < id2").select("id1", "id2").collect()
+        }
+    assert pred_pairs == cands
+
+
 def test_semantic_dedup_exact_matches_reference(spark):
     """Exact variant (n_clusters=1): survivors are exactly the ids
     with no smaller-id neighbor at cosine >= threshold (the NOT EXISTS

@@ -1,6 +1,8 @@
-"""Dump ``.explain("formatted")`` for queries to plans/r11/<query>_<tag>.txt.
+"""Dump ``.explain("formatted")`` for queries to plans/<round>/<query>_<tag>.txt.
 
 Usage: python tools/dump_plans.py <tag> [query ...]
+The round directory defaults to r11; set SPARK_GRAFT_PLAN_DIR=r12 (or
+any name) to write a different round's evidence directory.
 Defaults to the bench HEADLINE + HEAVY set when no queries are named.
 The files are the optimization round's evidence trail: the judge
 checks plan claims (Exchange counts, join strategies, PushedFilters)
@@ -20,7 +22,7 @@ sys.path.insert(0, REPO)
 import __spark_entry__ as entrymod  # noqa: E402
 from yaetos_spark.session import get_spark  # noqa: E402
 
-OUT_DIR = os.path.join(REPO, "plans", "r11")
+OUT_DIR = os.path.join(REPO, "plans", os.environ.get("SPARK_GRAFT_PLAN_DIR", "r11"))
 
 
 def main():

@@ -180,6 +180,30 @@ def lsh_bucket_ids(
     return emb.withColumn("bucket", _bucket_expr(dim, n_planes, seed, vec_col))
 
 
+def lsh_bucket_arrays(
+    emb: DataFrame,
+    dim: int,
+    n_planes: int = 8,
+    n_tables: int = 2,
+    seed0: int = 42,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Every table's bucket id in ONE scan: adds ``buckets``
+    (array<long>, element t = the table-t bucket id). Element t is
+    value-identical to ``lsh_bucket_ids(emb, dim, n_planes,
+    seed=seed0 + t)`` — same hyperplanes, same sign/packing — so
+    "pair (a, b) is an LSH candidate" == "∃t: buckets_a[t] ==
+    buckets_b[t]" with exactly :func:`lsh_near_dup_pairs`'s candidate
+    rule (unit-tested). Use when the CANDIDATE PREDICATE is needed for
+    a known (small) set of pairs — e.g. a recall report over true
+    pairs — instead of materializing the full candidate pair set."""
+    cols = [
+        _bucket_expr(dim, n_planes, seed0 + t, vec_col).cast("long")
+        for t in range(n_tables)
+    ]
+    return emb.withColumn("buckets", F.array(*cols))
+
+
 def lsh_near_dup_pairs(
     emb: DataFrame,
     dim: int,
