@@ -1163,7 +1163,16 @@ _NEAR_DUP_COS = 0.4
 
 
 def _embedding_near_dup(spark, sf_dir):
-    emb = _tp(spark, sf_dir, "embeddings")
+    # starved-scan repartition REVERTED (r12, VERDICT r11 item 1): the
+    # driver-conditions A/B (fresh process per rep, vanilla bench
+    # session, median-of-3, probe-gated) measured the flip LOSING at
+    # both core counts — on/off 2.10 at 32 cores, 1.27 at 8
+    # (tools/ab_driver_cond.py) — reproducing the driver's r11 cold-run
+    # regression that the r11 in-session A/B missed. The exchange
+    # shuffles the heavy 64-float embedding payload (guide §2.3) and
+    # splits the corpus into 32 tiny Arrow batches for the one matmul
+    # pass, which costs more than the single-task scan it fixes.
+    emb = _t(spark, sf_dir, "embeddings")
     return S.embedding_near_dup_pairs(emb, threshold=_NEAR_DUP_COS)
 
 
@@ -1186,7 +1195,12 @@ def _semantic_dedup_survivors(spark, sf_dir):
     property-tested against this exact rule (superset invariant +
     separated-cluster parity) in tests/test_operators.py.
     See yaetos_spark/operators/similarity.py:semantic_dedup."""
-    emb = _tp(spark, sf_dir, "embeddings")
+    # starved-scan repartition REVERTED (r12): same payload-shuffle
+    # class as _embedding_near_dup above — driver-conditions A/B
+    # on/off 1.27 at 32 cores, on > off in 3/3 reps
+    # (tools/ab_driver_cond.py; the r11 in-session 0.43 was warm-cache
+    # confounded like its sibling)
+    emb = _t(spark, sf_dir, "embeddings")
     return S.semantic_dedup(emb, threshold=_NEAR_DUP_COS).select("vec_id")
 
 
@@ -1306,8 +1320,11 @@ def _lsh_ann_pairs(spark, sf_dir):
     with ~20 points of slack, so the RESULT row is unchanged
     (identity-asserted old vs new at sf0.001/0.01/0.1 before adoption;
     tools/ab_lsh_ann.py). ``lsh_near_dup_pairs`` itself — the actual
-    near-dup scale operator — is unchanged and stays property-tested."""
-    emb = _tp(spark, sf_dir, "embeddings")
+    near-dup scale operator — is unchanged and stays property-tested.
+    The r11 starved-scan repartition was also dropped here: under the
+    new shape it is a wash (driver-conditions on/off 0.998), and a
+    wash flip pays a payload exchange for nothing."""
+    emb = _t(spark, sf_dir, "embeddings")
     brute = S.embedding_near_dup_pairs(emb, threshold=_NEAR_DUP_COS).select("id1", "id2")
     # eager checkpoint: the matmul pass runs ONCE while feeding the
     # count, the id restriction, and the join left side

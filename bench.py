@@ -28,24 +28,48 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import __spark_entry__ as entrymod
 from yaetos_spark.session import get_spark, materialize_fully
 
+def _spin(_=None) -> float:
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(20_000_000):
+        x += i
+    return time.perf_counter() - t0
+
+
 def _env_signal() -> dict:
     """Environmental-noise fingerprint recorded into the bench JSON
     (VERDICT r3 item 7: round 2's sandbox contention masqueraded as a
     ~30% regression for a whole round).  ``load_avg_1m`` is the host's
     1-minute run-queue; ``spin_sec`` times a fixed CPU-bound reference
     loop — on an idle host it's a stable constant, so a bench run whose
-    spin_sec is inflated is flagged noisy, not regressed."""
-    t0 = time.perf_counter()
-    x = 0
-    for i in range(20_000_000):
-        x += i
-    spin = time.perf_counter() - t0
+    spin_sec is inflated is flagged noisy, not regressed.
+
+    ``par_spin_sec`` (ADDED r12, VERDICT r11 item 7 — additions-only):
+    the same loop run on every core at once (one process per core);
+    this host's hypervisor steal is often UNIFORM across cores, which
+    throttles all-core Spark stages while an instantaneous single-core
+    probe still reads quiet (r11: single spin 0.638 s "quiet" while the
+    parallel mean read 1.03 s/proc and the bench came out 13% high).
+    Quiet constant ~0.64 s/proc; the best windows this host offers are
+    ~0.89-0.93. Quantifying steal inside the artifact replaces the r11
+    best-of-N hunting the verdict disallowed."""
+    spin = _spin()
+    try:
+        import multiprocessing as mp
+
+        n = min(32, os.cpu_count() or 32)
+        with mp.Pool(n) as p:
+            par = p.map(_spin, range(n))
+        par_spin = round(sum(par) / len(par), 3)
+    except Exception:
+        par_spin = None
     try:
         load1 = os.getloadavg()[0]
     except OSError:
         load1 = None
     return {"load_avg_1m": round(load1, 2) if load1 is not None else None,
-            "spin_sec": round(spin, 3)}
+            "spin_sec": round(spin, 3),
+            "par_spin_sec": par_spin}
 
 
 HEADLINE = [

@@ -703,6 +703,35 @@ def test_connected_components_star_equals_min_label(spark, case):
     assert robust == star
 
 
+@given(_edge_case())
+@settings(max_examples=5, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow])
+def test_connected_components_star_local_contract_invariant(spark, case):
+    """The r12 per-partition local contraction is a pure physical
+    optimization: (node, comp) must be IDENTICAL with local_contract
+    on and off, and invariant to how edges are scattered across
+    partitions (components spanning many partitions must be stitched
+    by the global loop exactly as before)."""
+    from yaetos_spark.operators.graph import connected_components_star
+
+    n_nodes, edge_list = case
+    if not edge_list:
+        return
+    edges = spark.createDataFrame(edge_list, "id1 long, id2 long")
+    base = {
+        r.node: r.comp
+        for r in connected_components_star(edges, local_contract=False).collect()
+    }
+    on = {r.node: r.comp for r in connected_components_star(edges).collect()}
+    assert on == base
+    # adversarial scatter: round-robin over many partitions so almost
+    # every component spans partitions (worst case for the contraction)
+    scattered = edges.repartition(7)
+    on_scattered = {
+        r.node: r.comp for r in connected_components_star(scattered).collect()
+    }
+    assert on_scattered == base
+
+
 def test_connected_components_star_skew_robust_on_stars(spark):
     """Both phase implementations on the two adversarial-skew shapes:
     a root-hub star (every edge's min endpoint is the hub — the
