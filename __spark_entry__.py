@@ -5523,6 +5523,15 @@ _VERIFY_AT: dict[str, int] = {
     # and regrades naturally at r13 (age bound) — zero extra capacity,
     # pure insurance.
     "ivf_ann_exactprobe": 13,
+    # r12 optimization round: connected_components_star gained the
+    # per-partition local contraction (identical (node, comp) output —
+    # property-tested on/off + scattered partitions; digest-equal at
+    # base/10x/100x, see OPTIMIZATION_r12.md Change 3).  The robust
+    # twin regrades in the r12 window already (pin above);
+    # chain_components holds an r11 verdict on the old loop and sits
+    # in the cohort that regrades naturally at r13 — zero extra
+    # capacity, pure insurance.
+    "chain_components": 13,
 }
 
 
