@@ -5528,10 +5528,11 @@ _VERIFY_AT: dict[str, int] = {
     # property-tested on/off + scattered partitions; digest-equal at
     # base/10x/100x, see OPTIMIZATION_r12.md Change 3).  The robust
     # twin regrades in the r12 window already (pin above);
-    # chain_components holds an r11 verdict on the old loop and sits
-    # in the cohort that regrades naturally at r13 — zero extra
-    # capacity, pure insurance.
-    "chain_components": 13,
+    # chain_components holds an r11 verdict on the old loop and ages
+    # into the window naturally at r14 (r13 is exactly full with the
+    # 50-query r10/r11 cohort — the capacity check rejects an r13
+    # pin) — zero extra capacity, pure insurance.
+    "chain_components": 14,
 }
 
 

@@ -104,6 +104,17 @@ HEAVY = [
     "dedup_clusters",
 ]
 
+# ADDED r12 (additions-only per the driver contract; "value" and
+# "queries" are untouched): the two corpus lines this optimization
+# round rebuilt — tracked with the same warm-up + median-of-3
+# methodology in their own group so future rounds see them
+# round-over-round without distorting the headline/heavy totals the
+# BASELINE lines cover.
+CORPUS_TRACKED = [
+    "lsh_ann_pairs",
+    "chain_components",
+]
+
 
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -146,6 +157,7 @@ def main():
 
     times, cold = time_set(HEADLINE)
     heavy_times, heavy_cold = time_set(HEAVY)
+    corpus_times, _corpus_cold = time_set(CORPUS_TRACKED)
     total = round(sum(times.values()), 3)
     print(json.dumps({
         "metric": "headline_queries_total_sec",
@@ -157,6 +169,8 @@ def main():
         "heavy_queries": heavy_times,
         "heavy_total_sec": round(sum(heavy_times.values()), 3),
         "heavy_cold_total_sec": round(sum(heavy_cold.values()), 3),
+        "corpus_queries": corpus_times,
+        "corpus_total_sec": round(sum(corpus_times.values()), 3),
         "env_before": env_before,
         "env_after": _env_signal(),
     }))
