@@ -57,9 +57,17 @@ def main():
             tuple(r) for r in _query(spark, sf_dir, it).collect()
         )
         spark.catalog.clearCache()
-    assert rows["old"] == rows["new"], (
-        f"IDENTITY FAILED: {len(rows['old'])} old vs {len(rows['new'])} new rows"
-    )
+    if rows["old"] != rows["new"]:
+        # same-count value mismatches need a row sample, not just
+        # counts (ADVICE r11): show a symmetric-difference sample
+        old_s, new_s = set(rows["old"]), set(rows["new"])
+        only_old = sorted(old_s - new_s)[:5]
+        only_new = sorted(new_s - old_s)[:5]
+        raise AssertionError(
+            f"IDENTITY FAILED: {len(rows['old'])} old vs "
+            f"{len(rows['new'])} new rows; only-old sample {only_old}; "
+            f"only-new sample {only_new}"
+        )
     print(f"identity ok: {len(rows['new'])} rows at {sf_dir}", flush=True)
 
     for it in (3, 1):  # warm both arms (codegen)

@@ -40,8 +40,13 @@ def spin(_):
 
 
 def parallel_probe():
-    with mp.Pool(32) as p:
-        r = p.map(spin, range(32))
+    # size the pool like the bench sizes its master: SPARK_GRAFT_CPUS
+    # first, cpu_count fallback — a 32-proc pool on a smaller host
+    # oversubscribes and never passes the gate (ADVICE r11)
+    n = int(os.environ.get("SPARK_GRAFT_CPUS") or os.cpu_count() or 32)
+    n = max(1, min(32, n))
+    with mp.Pool(n) as p:
+        r = p.map(spin, range(n))
     return round(sum(r) / len(r), 3), round(max(r), 3)
 
 
@@ -58,15 +63,30 @@ def main():
                "single": round(spin(0), 3)}
         if pmean <= gate:
             t0 = time.time()
-            out = subprocess.run(
-                [sys.executable, "bench.py"], cwd=REPO, env=env,
-                capture_output=True, text=True, timeout=1200,
-            )
-            line = out.stdout.strip().splitlines()[-1] if out.stdout.strip() else ""
             try:
-                rec["bench"] = json.loads(line)
-            except Exception:
-                rec["bench"] = {"error": (out.stderr or "")[-500:]}
+                out = subprocess.run(
+                    [sys.executable, "bench.py"], cwd=REPO, env=env,
+                    capture_output=True, text=True, timeout=1200,
+                )
+            except subprocess.TimeoutExpired:
+                # record the attempt and keep hunting — an unhandled
+                # TimeoutExpired killed the unattended loop and dropped
+                # the pre-probe reading (ADVICE r11)
+                rec["bench"] = {"error": "timeout"}
+                out = None
+            if out is not None:
+                line = out.stdout.strip().splitlines()[-1] if out.stdout.strip() else ""
+                rec["bench_rc"] = out.returncode
+                try:
+                    rec["bench"] = json.loads(line)
+                except Exception:
+                    rec["bench"] = {"error": (out.stderr or "")[-500:]}
+                if out.returncode != 0 and isinstance(rec["bench"], dict) \
+                        and "error" not in rec["bench"]:
+                    # a bench that failed after printing a stale JSON
+                    # line is NOT a valid attempt (ADVICE r11)
+                    rec["bench"] = {"error": f"rc={out.returncode}",
+                                    "stale_line": rec["bench"]}
             rec["bench_wall"] = round(time.time() - t0, 1)
             rec["par_mean_after"] = parallel_probe()[0]
         with open(log, "a") as f:
