@@ -135,7 +135,7 @@ def _local_contract_stars(e: DataFrame) -> DataFrame:
     edge builder's lag window shuffled by user) collapses to depth-1
     stars in this single narrow pass, so the global loop converges in
     O(1) rounds instead of O(log diameter) full-volume rounds (r12
-    measurement: 14 rounds → 2 at the 100x replica). Adversarially
+    measurement: 14 rounds → 1 at the 100x replica, 147→27 s). Adversarially
     scattered input degrades gracefully: one extra Arrow pass, rounds
     unchanged.
 
@@ -286,7 +286,7 @@ def connected_components_star(
     groups co-located by an upstream shuffle) contracts locally to
     depth-1 stars, cutting the O(log diameter) full-volume rounds to
     the few needed to stitch cross-partition components (measured at
-    the 100x chain replica: 14 rounds → 2, see OPTIMIZATION_r12.md).
+    the 100x chain replica: 14 rounds → 1, 147→27 s, see OPTIMIZATION_r12.md).
     False restores the r11 plan exactly.
 
     Diagnostics (underscore = not part of the operator contract):
